@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is measured end-to-end per query with a noop sink (full plan runs,
+nothing is collected to the driver) after a warm-up of the parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bioeco_portal_etl_spark import catalog  # noqa: E402
+from bioeco_portal_etl_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "a1_grouped_merge",
+    "a2_dedupe_keep_first",
+    "a4_make_unique",
+    "g2_multipoint_union",
+    "g7_linestring_track",
+    "j1_broadcast_left_join",
+    "u1_union_by_name",
+    "r2_unpivot_flags",
+    # LLM-pipeline extensions
+    "t1_token_stats",
+    "t3_quality_score",
+    "d1_dedup_exact",
+    "d3_minhash_lsh_dedup",
+    "s1_cosine_topk",
+    "e1_event_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = catalog.queries()
+    names = [n for n in BENCH_QUERIES if n in qmap]
+
+    # warm-up: touch every table's footer + JVM codegen paths once
+    catalog.q6_revenue_forecast(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Keyed JDBC upsert / delete+insert sinks (SURVEY.md §2.2 K5-K7).
+
+Reference parity: notebooks/index.Rmd:710-761 — per-row UPDATE of
+base_resourcebase/layers_layer and DELETE+INSERT set-replacement of
+layers_layer_eovs / base_contactrole; eov_to_keywords.Rmd:67 overwrite.
+
+The reference issues ONE statement per row over a single connection (its
+slowest path, SURVEY.md §3 EP3). Spark-first redesign:
+  - the full target state is computed as a DataFrame (set-oriented);
+  - writes happen in ``foreachPartition`` batches, one connection + one
+    transaction per partition, executemany-style — N_partitions parallel
+    connections instead of row-at-a-time;
+  - ``upsert`` uses INSERT ... ON CONFLICT DO UPDATE (Postgres) so the
+    operation is idempotent under task retries (Spark may re-run partitions).
+
+DB drivers are gated: psycopg2 is not in this environment, so the writer
+accepts any DB-API connection factory — tests inject sqlite3/duckdb.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def _batch(iterable, size):
+    buf = []
+    for x in iterable:
+        buf.append(x)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def upsert_partitioned(
+    df: DataFrame,
+    connect: Callable[[], object],
+    table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    batch_size: int = 1000,
+    dialect: str = "postgres",
+) -> None:
+    """Batched keyed upsert via foreachPartition.
+
+    ``connect`` must be a picklable zero-arg factory returning a DB-API
+    connection (executor-side; never share driver connections).
+    """
+    cols = key_cols + update_cols
+    placeholders = ", ".join(["?" if dialect != "postgres" else "%s"] * len(cols))
+    if dialect == "postgres":
+        conflict = ", ".join(key_cols)
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+        sql = (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        )
+    else:  # sqlite-compatible upsert
+        conflict = ", ".join(key_cols)
+        sets = ", ".join(f"{c} = excluded.{c}" for c in update_cols)
+        sql = (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        )
+
+    def write_partition(rows):
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            for chunk in _batch((tuple(r[c] for c in cols) for r in rows), batch_size):
+                cur.executemany(sql, chunk)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.select(*cols).foreachPartition(write_partition)
+
+
+def replace_set_partitioned(
+    df: DataFrame,
+    connect: Callable[[], object],
+    table: str,
+    group_col: str,
+    value_cols: list[str],
+    batch_size: int = 1000,
+    placeholder: str = "?",
+) -> None:
+    """K6 delete+insert set replacement: for each group key present in df,
+    DELETE the group's rows then INSERT the new set — transactional per
+    partition. Repartition by group first so a group never spans partitions
+    (otherwise two partitions' deletes could interleave with inserts)."""
+    cols = [group_col] + value_cols
+    df = df.repartition(group_col)
+
+    def write_partition(rows):
+        rows = list(rows)
+        if not rows:
+            return
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            groups = sorted({r[group_col] for r in rows})
+            for chunk in _batch(groups, batch_size):
+                cur.executemany(
+                    f"DELETE FROM {table} WHERE {group_col} = {placeholder}",
+                    [(g,) for g in chunk],
+                )
+            ph = ", ".join([placeholder] * len(cols))
+            ins = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph})"
+            for chunk in _batch((tuple(r[c] for c in cols) for r in rows), batch_size):
+                cur.executemany(ins, chunk)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.select(*cols).foreachPartition(write_partition)

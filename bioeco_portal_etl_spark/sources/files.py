@@ -1,0 +1,111 @@
+"""File-based scans (SURVEY.md §2.1 S1-S4, S9).
+
+Reference parity:
+  - read_csv  -> notebooks/index.Rmd:56,69,433 (read.csv; multiline quoted
+    GeoJSON fields — 25,123 physical lines for 243 records)
+  - read_tsv  -> notebooks/index.Rmd:531
+  - read_excel-> notebooks/index.Rmd:135,547 (read.xlsx sheet 1) — gated: no
+    xlsx lib in this environment; a pandas bridge is used when available
+  - list_files-> notebooks/index.Rmd:472-474 (recursive .shp listing)
+
+Scale notes: CSV with multiLine=True cannot be split within a file (each file
+is one partition) — acceptable because multiline sources are dimension-scale;
+fact-scale data arrives as parquet/ORC. Schemas should be passed explicitly
+(inference scans the data twice and guesses).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multi_line: bool = True,
+    null_value: str = "NA",
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", header)
+        .option("multiLine", multi_line)
+        .option("escape", '"')
+        .option("nullValue", null_value)
+        .option("sep", sep)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_tsv(spark: SparkSession, path: str, schema=None, **kw) -> DataFrame:
+    return read_csv(spark, path, schema=schema, sep="\t", multi_line=False, **kw)
+
+
+def read_excel(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
+    """S4: Excel via a pandas driver-side bridge (files are dimension-scale).
+    Gated — raises with guidance when no xlsx engine is installed."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:  # pragma: no cover - environment dependent
+        raise NotImplementedError(
+            "Excel scan requires openpyxl/xlrd; convert the sheet to CSV and "
+            "use read_csv, or install an engine."
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def list_files(root: str, pattern: str = "*.shp", recursive: bool = True) -> list[str]:
+    """S9 directory-listing scan. Driver-side glob; on HDFS/S3 swap for the
+    Hadoop FS API via spark._jvm — path list then drives a multi-file union."""
+    pat = os.path.join(root, "**", pattern) if recursive else os.path.join(root, pattern)
+    return sorted(_glob.glob(pat, recursive=recursive))
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps on load."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    out = []
+    for f in schema:
+        t = f.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(f.name)
+    return out
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_columns(path):
+        # ns -> µs truncation matches DuckDB's ns->TIMESTAMP conversion
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables and register temp views so every
+    operator is reachable from spark.sql as well."""
+    out = {}
+    for name in names or TESTDATA_TABLES:
+        df = read_parquet_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
