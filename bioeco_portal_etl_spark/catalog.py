@@ -684,6 +684,11 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
+from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
+
+_CATALOG.update(CATALOG_EXT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in _CATALOG.items()}
 

@@ -1,0 +1,442 @@
+"""Catalog extension: training-data pipeline operators.
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding near-dup),
+similarity search (brute-force + LSH-bucketed cosine top-k), text analysis
+(token counts / language ID / quality / fingerprint), multimodal metadata
+(mapInPandas decode stub), and event-time windows (tumbling / sliding /
+session — the batch faces of the streaming module).
+
+Every entry keeps the engine-portability contract of catalog.py: hash
+functions are md5 (byte-identical in DuckDB), float folds are left-folds
+(list_reduce ≡ F.aggregate because 0.0 + x == x), scores are floor(x*1e4)
+ints, and money/value sums go through DECIMAL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bioeco_portal_etl_spark.multimodal.media import attach_payload, decode_media_metadata
+from bioeco_portal_etl_spark.similarity.knn import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
+from bioeco_portal_etl_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from bioeco_portal_etl_spark.text.analysis import (
+    BPE_ISH,
+    LANG_PROFILES,
+    STOPWORDS,
+    _profile_regex,
+    fingerprint,
+    language_id,
+    lang_scores,
+    quality_features,
+    quality_score,
+    token_counts,
+)
+from bioeco_portal_etl_spark.text.dedupe import (
+    exact_dedupe,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bioeco_portal_etl_spark.text.tokenize import duck_shingles, duck_tokens
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def td1_exact_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return exact_dedupe(d, "doc_id", "text").orderBy("doc_id")
+
+
+TD1_SQL = """
+SELECT doc_id,
+       md5(coalesce(text, '')) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS is_duplicate
+FROM documents ORDER BY doc_id
+"""
+
+# Shared CTE text for the MinHash family (k=3, 8 perms, 4 bands x 2 rows).
+_DUCK_SH = f"""
+sh AS (
+  SELECT doc_id, {duck_shingles(duck_tokens('text'), 3)} AS sg
+  FROM (SELECT doc_id, text FROM documents)
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           p -> list_min(list_transform(sg, s -> md5(p::VARCHAR || ':' || s)))) AS mh
+  FROM sh WHERE len(sg) > 0
+),
+bandix AS (SELECT doc_id, mh, unnest([0, 1, 2, 3]) AS b FROM sig),
+bands AS (
+  SELECT doc_id, b, mh[2 * b + 1] || '|' || mh[2 * b + 2] AS bkey FROM bandix
+),
+sized AS (
+  SELECT b, bkey FROM bands GROUP BY b, bkey HAVING count(*) BETWEEN 2 AND 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a
+  JOIN sized s ON s.b = a.b AND s.bkey = a.bkey
+  JOIN bands c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+)
+"""
+
+
+def td2_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+TD2_SQL = f"WITH {_DUCK_SH} SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+
+
+def td3_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN substr(hx, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(16)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+TD3_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id)
+SELECT doc_id, ({_SIMHASH_VALUE})::BIGINT AS simhash FROM bits ORDER BY doc_id
+"""
+
+
+def td4_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+TD4_SQL = f"""
+WITH {_DUCK_SH},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.sg, b.sg)) AS n_common,
+         len(list_distinct(a.sg || b.sg)) AS n_union
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_common, n_union, round(n_common / n_union, 4) AS jaccard
+FROM scored WHERE n_common / n_union >= 0.5 ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings, 64-dim float)
+# ---------------------------------------------------------------------------
+
+_DUCK_VEC = """
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(range(1, 65), i -> e[i] * e[i]),
+                          (a, b) -> a + b)) AS nrm
+  FROM v
+)
+"""
+_DUCK_COS = (
+    "list_reduce(list_transform(range(1, 65), i -> q.e[i] * c.e[i]),"
+    " (a, b) -> a + b) / (q.nrm * c.nrm)"
+)
+_DUCK_BUCKET = (
+    "(CASE WHEN e[1] >= 0 THEN 8 ELSE 0 END + CASE WHEN e[2] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN e[3] >= 0 THEN 2 ELSE 0 END + CASE WHEN e[4] >= 0 THEN 1 ELSE 0 END)"
+)
+
+
+def _query_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    return T(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+
+
+def ts1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = _query_vectors(spark, sf)
+    return cosine_topk(e, q, "embedding", "vec_id", k=5).orderBy("query_id", "rank")
+
+
+TS1_SQL = f"""
+WITH {_DUCK_VEC},
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         floor(({_DUCK_COS}) * 10000)::BIGINT AS score_e4
+  FROM (SELECT * FROM n WHERE vec_id < 10) q
+  JOIN n c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, score_e4, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_e4 DESC, match_id) AS rank
+  FROM p)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def ts2_lsh_bucket_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    q = _query_vectors(spark, sf)
+    return lsh_bucket_topk(e, q, "embedding", "vec_id", k=5, bits=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+TS2_SQL = f"""
+WITH {_DUCK_VEC},
+nb AS (SELECT vec_id, e, nrm, {_DUCK_BUCKET} AS bucket FROM n),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         floor(({_DUCK_COS}) * 10000)::BIGINT AS score_e4
+  FROM (SELECT * FROM nb WHERE vec_id < 10) q
+  JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, match_id, score_e4, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_e4 DESC, match_id) AS rank
+  FROM p)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+TD5_THRESHOLD_E4 = 2000
+
+
+def td5_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "embeddings")
+    return embedding_neardup_pairs(
+        e, "embedding", "vec_id", threshold_e4=TD5_THRESHOLD_E4, bits=4
+    ).orderBy("id_a", "id_b")
+
+
+TD5_SQL = f"""
+WITH {_DUCK_VEC},
+nb AS (SELECT vec_id, e, nrm, {_DUCK_BUCKET} AS bucket FROM n)
+SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+       floor(({_DUCK_COS}) * 10000)::BIGINT AS score_e4
+FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+WHERE floor(({_DUCK_COS}) * 10000) >= {TD5_THRESHOLD_E4}
+ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def tx1_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    counts = token_counts("text")
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in counts.items()]
+    ).orderBy("doc_id")
+
+
+TX1_SQL = rf"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_ws_tokens,
+       len({duck_tokens('text')}) AS n_word_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpe_units
+FROM documents ORDER BY doc_id
+"""
+
+
+def tx2_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    scores = lang_scores("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+        language_id("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE_COLS = ", ".join(
+    f"len(regexp_extract_all(lower(text), '{_profile_regex(w)}')) AS s_{lang}"
+    for lang, w in LANG_PROFILES
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in LANG_PROFILES) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {_LANG_BEST} THEN '{lang}'"
+        for lang, _ in LANG_PROFILES
+    )
+    + " ELSE 'und' END"
+)
+TX2_SQL = f"""
+WITH s AS (SELECT doc_id, {_LANG_SCORE_COLS} FROM documents)
+SELECT doc_id, s_en, s_es, s_de, s_fr, {_LANG_CASE} AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+def tx3_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in feats.items()],
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+TX3_SQL = rf"""
+WITH tk AS (SELECT doc_id, text, {duck_tokens('text')} AS tk FROM documents),
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(tk) AS n_tokens,
+         coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS word_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_profile_regex(STOPWORDS)}')) AS n_stop
+  FROM tk)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN word_chars / n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+       round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+       round(least(n_tokens / 50.0, 1.0)
+             * (0.5 + 0.5 * least(n_stop / 5.0, 1.0))
+             * (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 ELSE 0.5 END),
+             4) AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+def tx4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+TX4_SQL = f"""
+WITH tk AS (SELECT doc_id, text, {duck_tokens('text')} AS tk FROM documents),
+sh AS (SELECT doc_id, text, {duck_shingles('tk', 4)} AS sg FROM tk)
+SELECT doc_id,
+       substr(CASE WHEN len(sg) > 0
+                   THEN list_min(list_transform(sg, s -> md5(s)))
+                   ELSE md5(coalesce(text, '')) END, 1, 16) AS fingerprint
+FROM sh ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def mm1_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents")
+    return decode_media_metadata(attach_payload(d, "doc_id", "text")).orderBy(
+        "media_id"
+    )
+
+
+MM1_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 + 16 AS width,
+       octet_length(encode(text)) // 7 % 480 + 16 AS height,
+       'fake-rgb' AS media_format
+FROM documents ORDER BY media_id
+"""
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch faces of streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def w1_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return tumbling_counts(e).orderBy("window_start", "event_type")
+
+
+W1_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, sum(value::DECIMAL(18,6)) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def w2_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return sliding_counts(e).orderBy("window_start", "event_type")
+
+
+W2_SQL = """
+WITH x AS (
+  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type, count(*) AS n_events,
+       sum(value::DECIMAL(18,6)) AS sum_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def w3_session(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return session_counts(e).orderBy("user_id", "session_start")
+
+
+W3_SQL = """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+y AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+       sum(value::DECIMAL(18,6)) AS sum_value
+FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
+    "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
+    "td3_simhash": (td3_simhash, TD3_SQL),
+    "td4_jaccard_pairs": (td4_jaccard_pairs, TD4_SQL),
+    "td5_embedding_neardup": (td5_embedding_neardup, TD5_SQL),
+    "ts1_cosine_topk": (ts1_cosine_topk, TS1_SQL),
+    "ts2_lsh_bucket_topk": (ts2_lsh_bucket_topk, TS2_SQL),
+    "tx1_token_counts": (tx1_token_counts, TX1_SQL),
+    "tx2_language_id": (tx2_language_id, TX2_SQL),
+    "tx3_quality": (tx3_quality, TX3_SQL),
+    "tx4_fingerprint": (tx4_fingerprint, TX4_SQL),
+    "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
+    "w1_tumbling": (w1_tumbling, W1_SQL),
+    "w2_sliding": (w2_sliding, W2_SQL),
+    "w3_session": (w3_session, W3_SQL),
+}

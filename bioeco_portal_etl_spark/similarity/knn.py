@@ -1,0 +1,155 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Three tiers, all pure Column algebra (F.zip_with/F.aggregate fold JVM-side —
+no Python in the scoring loop):
+
+  - ``cosine_topk``       brute-force exact top-k: broadcast the query set,
+                          score every (query, candidate) pair. The correctness
+                          baseline; O(Q·N·d) but embarrassingly parallel —
+                          at 100 TB this is the re-rank stage, not the scan.
+  - ``lsh_bucket_topk``   sign-bit LSH: bucket on the sign pattern of the
+                          first ``bits`` dimensions (axis-aligned random
+                          hyperplanes); queries probe ONLY their bucket.
+                          Turns the cross join into an equi-join -> shuffle
+                          co-partitioned on bucket, ~2^bits× less work.
+  - ``embedding_neardup_pairs``  near-duplicate detection: all intra-bucket
+                          pairs above a cosine threshold (blocked all-pairs —
+                          the embedding-space analogue of MinHash dedupe).
+
+Determinism contract: dot products are LEFT FOLDS over the dimension order
+(F.aggregate), norms likewise, and scores are compared/exposed as
+``floor(cos * 1e4)`` ints — so rankings are bit-reproducible across engines
+(the DuckDB oracle runs the identical fold via list_reduce).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — reproducible summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def score_e4(cos: Column) -> Column:
+    """Engine-exact score: floor(cosine * 1e4) as int (identical doubles in ->
+    identical ints out; no round-tie ambiguity)."""
+    return F.floor(cos * 10000).cast("long")
+
+
+def with_norm(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.select(F.col(id_col), v.alias("_v"), norm(v).alias("_n"))
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """LSH bucket id from the sign bits of the first ``bits`` dimensions."""
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << (bits - 1 - i))
+        ).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _scored_pairs(q: DataFrame, c: DataFrame, join_on) -> DataFrame:
+    cos = cosine(F.col("q_v"), F.col("_v"), F.col("q_n"), F.col("_n"))
+    return (
+        q.join(c, join_on)
+        .filter(F.col("q_id") != F.col("_cid"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("_cid").alias("match_id"),
+            score_e4(cos).alias("score_e4"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e4"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    df: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the (small) query set against every
+    candidate, rank by cosine. One narrow broadcast join + one window."""
+    cand = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
+    )
+    return _topk(_scored_pairs(F.broadcast(q), cand, F.lit(True)), k)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates and queries bucketed by sign-bit LSH;
+    each query scores only its own bucket (single-probe). Recall trades off
+    with 2^bits; multi-probe = union over neighboring buckets (not needed for
+    the oracle surface)."""
+    cand = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
+    cand = cand.withColumn("bucket", sign_bucket(F.col("_v"), bits))
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
+    )
+    q = q.withColumn("bucket", sign_bucket(F.col("q_v"), bits))
+    return _topk(_scored_pairs(F.broadcast(q), cand, "bucket"), k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold_e4: int,
+    bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) with floor(cos*1e4) >= threshold_e4,
+    blocked by sign-bucket so the all-pairs join is intra-bucket only."""
+    v = with_norm(df, vec_col, id_col).withColumn(
+        "bucket", sign_bucket(F.col("_v"), bits)
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), "bucket",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "bucket",
+    )
+    cos = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score_e4(cos).alias("score_e4"))
+        .filter(F.col("score_e4") >= threshold_e4)
+    )

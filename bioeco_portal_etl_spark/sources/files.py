@@ -95,8 +95,10 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_columns(path):
-        # ns -> µs truncation matches DuckDB's ns->TIMESTAMP conversion
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+        # ns -> µs truncation matches DuckDB's ns->TIMESTAMP conversion.
+        # MUST be integer division: floor(col/1000) routes through double
+        # (53-bit mantissa) and rounds epoch-nanos off by ±1 µs.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,90 @@
+"""Event-time windowed aggregation — batch + Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2.11); this is the
+extension path for the driver's ``events`` table. The SAME column expressions
+drive both modes: ``tumbling_counts``/``sliding_counts``/``session_counts``
+are plain DataFrame transforms, so a batch DataFrame gives the oracle-checked
+answer and a streaming DataFrame (``read_event_stream`` + watermark) gives the
+incremental one — the unified-API property Spark's execution model promises.
+
+Scale notes: tumbling/sliding aggs shuffle on (window, key) with partial
+aggregation; state store size is bounded by the watermark horizon. Sums use
+DECIMAL so results are reassociation-exact (engine-portable, no float-sum
+nondeterminism across partial aggregation orders).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _agg(grouped) -> DataFrame:
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    w = F.window("ts", width)
+    return _agg(events.groupBy(w, "event_type")).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    w = F.window("ts", width, slide)
+    return _agg(events.groupBy(w, "event_type")).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (session_window works in batch and
+    streaming alike)."""
+    w = F.session_window("ts", gap)
+    return _agg(events.groupBy(w, "user_id")).select(
+        F.col("session_window.start").alias("session_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def read_event_stream(spark: SparkSession, path: str, watermark: str = "2 hours") -> DataFrame:
+    """File-source stream over an events directory (parquet, explicit schema —
+    streaming sources must not infer), with an event-time watermark so windowed
+    state is evictable and late data beyond the horizon is dropped."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(path)
+        .withWatermark("ts", watermark)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+):
+    """Drain a (bounded) stream into an in-memory table with availableNow —
+    the batch-equivalence test harness; swap sink/trigger for production."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,126 @@
+"""Text analysis: language ID, quality scoring, token counting, fingerprints.
+
+Training-data curation heuristics (the CCNet / Gopher-rules family of filters,
+re-expressed as Column algebra). No ML models, no UDFs: n-gram/stopword
+profiles are literal regexes evaluated JVM-side, so at 100 TB these run inside
+the scan stage's codegen span.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from bioeco_portal_etl_spark.text.tokenize import shingles, tokens, ws_tokens
+
+# Tiny per-language stopword profiles (public-knowledge function words). The
+# predicted language is the profile with the most word-boundary hits; ties
+# resolve in PROFILE order; zero hits everywhere -> 'und' (BCP-47 undetermined).
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is", "in", "to"]),
+    ("es", ["el", "la", "de", "los", "es", "y", "que"]),
+    ("de", ["der", "die", "das", "und", "ist", "nicht", "ein"]),
+    ("fr", ["le", "la", "les", "des", "est", "et", "une"]),
+]
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation —
+# the GPT-2 pre-tokenization shape without the library dependency.
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _profile_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (word-boundary regex, case-folded)."""
+    low = F.lower(_c(col))
+    return {
+        lang: F.regexp_count(low, F.lit(_profile_regex(words)))
+        for lang, words in LANG_PROFILES
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax over the profile scores; first profile wins ties; 'und' if all
+    zero."""
+    scores = lang_scores(col)
+    all_scores = list(scores.values())
+    best = F.greatest(*all_scores) if len(all_scores) > 1 else all_scores[0]
+    out = F.lit("und")
+    for lang, _ in reversed(LANG_PROFILES):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_counts(col: Column | str) -> dict[str, Column]:
+    """Whitespace tokens, normalized word tokens, BPE-ish unit count."""
+    c = _c(col)
+    return {
+        "n_ws_tokens": F.size(ws_tokens(c)),
+        "n_word_tokens": F.size(tokens(c)),
+        "n_bpe_units": F.regexp_count(c, F.lit(BPE_ISH)),
+    }
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Gopher-style quality signals, all engine-exact ints or guarded ratios."""
+    c = _c(col)
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    n_chars = F.length(c)
+    word_chars = F.aggregate(
+        tok, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    n_stop = F.regexp_count(F.lower(c), F.lit(_profile_regex(STOPWORDS)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_word_len": F.round(
+            F.when(n_tok > 0, word_chars / n_tok).otherwise(F.lit(0.0)), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 4
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length saturation × stopword presence ×
+    punctuation sanity. Deliberately simple + deterministic; the per-feature
+    columns are what a real pipeline would threshold on."""
+    c = _c(col)
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    n_chars = F.length(c)
+    n_stop = F.regexp_count(F.lower(c), F.lit(_profile_regex(STOPWORDS)))
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(n_stop / F.lit(5.0), F.lit(1.0))
+    punct_ok = F.when(
+        (n_chars > 0) & (n_punct / n_chars <= 0.2), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(len_score * (F.lit(0.5) + F.lit(0.5) * stop_score) * punct_ok, 4)
+
+
+def fingerprint(col: Column | str, k: int = 4, width: int = 16) -> Column:
+    """Document fingerprint: min-md5 over k-word shingles (winnowing-style
+    selection of one representative k-gram hash), truncated to ``width`` hex
+    chars; short docs (< k tokens) fall back to md5 of the whole text."""
+    c = _c(col)
+    sh = shingles(tokens(c), k)
+    fp = F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    ).otherwise(F.md5(F.coalesce(c, F.lit(""))))
+    return F.substring(fp, 1, width)

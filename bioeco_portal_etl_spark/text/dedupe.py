@@ -1,0 +1,194 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Standard near-dup stack for training-data curation (Broder 1997 resemblance /
+MinHash; Charikar 2002 SimHash; Leskovec-Rajaraman-Ullman MMDS ch.3 for the
+LSH banding scheme). The reference has only relational dedupe
+(/root/reference/notebooks/index.Rmd:670 distinct, :382 duplicated-audit,
+:392 make.unique — covered in operators/dedupe.py); these are the scale
+extensions the repo's north star requires.
+
+Design for 100 TB:
+  - Hash family is md5 of ``"{perm}:{shingle}"`` and the MinHash is the
+    lexicographic min of the hex digests — one md5 per (shingle, perm), no
+    Python, no UDFs, and byte-reproducible in any engine (the DuckDB oracles
+    run the identical construction).
+  - LSH banding turns the O(n²) all-pairs problem into groupBy(band, key) —
+    a single shuffle whose reducer sees only colliding docs. Bucket pair
+    expansion happens inside the reducer via array transforms (no re-shuffle,
+    no self-join); a `max_bucket` guard caps quadratic blowup from degenerate
+    buckets (boilerplate-heavy corpora).
+  - Exact dedupe is one window over the content hash: shuffle on a 128-bit
+    uniformly-distributed key -> no skew by construction.
+  - SimHash is explode -> 16 conditional sums in ONE hash aggregate (partial
+    aggregation pre-combines map-side, so the shuffle carries 16 ints per doc,
+    not the token stream).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from bioeco_portal_etl_spark.text.tokenize import shingles, tokens
+
+SIMHASH_BITS = 16
+
+
+def content_hash(col: Column | str) -> Column:
+    """128-bit exact-dup key; null text hashes as the empty string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.coalesce(c, F.lit("")))
+
+
+def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: every row annotated with its content
+    hash, the canonical (minimum-id) member of its duplicate group, and an
+    ``is_duplicate`` flag. Keep-policy = min id (deterministic, order-free)."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(id_col, content_hash(text_col).alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_signature(sh: Column, num_perm: int) -> Column:
+    """MinHash signature: per permutation p, min over shingles of
+    md5('p:' || shingle). Lexicographic min over a cryptographic digest is a
+    uniform random permutation of the shingle space — the classic estimator
+    with string-valued hashes (engine-portable, no 64-bit int arithmetic).
+
+    Shape: ONE transform emits the per-permutation hash vector per shingle,
+    then ONE aggregate zip_with-folds the element-wise min — a single pass
+    over the shingle set. (Do NOT write this as num_perm separate
+    transform/array_min lambdas with a `p=p` default argument: PySpark treats
+    a 2-parameter lambda as (element, index) and silently binds the default
+    to the index Column.)"""
+    hashed = F.transform(
+        sh,
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{p}:"), s)) for p in range(num_perm)]
+        ),
+    )
+    # '￿' sorts above every md5 hex char; folded away by the first shingle
+    init = F.array(*[F.lit("￿") for _ in range(num_perm)])
+    return F.aggregate(
+        hashed, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b))
+    )
+
+
+def _band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
+    return [
+        F.concat_ws("|", *[F.element_at(sig, b * rows + j + 1) for j in range(rows)])
+        for b in range(bands)
+    ]
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle-set) projection; docs with < k tokens are dropped (they
+    have no k-shingle and can never collide)."""
+    return df.select(
+        F.col(id_col), shingles(tokens(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash + LSH banding.
+
+    Plan: scan -> shingle/signature (codegen) -> explode ``bands`` band keys
+    -> ONE groupBy(band, key) shuffle -> in-reducer pair expansion over the
+    sorted bucket membership -> distinct. Buckets larger than ``max_bucket``
+    are dropped (degenerate collisions; at 100 TB one boilerplate bucket can
+    otherwise emit billions of pairs)."""
+    rows = num_perm // bands
+    sig = shingled(df, id_col, text_col, k).select(
+        F.col(id_col).alias("_id"), minhash_signature(F.col("sh"), num_perm).alias("mh")
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(F.array(*_band_keys(F.col("mh"), bands, rows))).alias(
+            "band", "bkey"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    **lsh_kw,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates re-scored with EXACT n-gram
+    Jaccard over the shingle sets; pairs below ``threshold`` are dropped.
+
+    The candidate set is linear-ish in n (LSH), so the exact set intersection
+    runs on candidates only — the standard two-phase near-dedup. Sizes are
+    emitted as ints (engine-exact); jaccard is their ratio."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, k=k, **lsh_kw)
+    sh = shingled(df, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("n_union"),
+        )
+        .withColumn("jaccard", F.round(F.col("n_common") / F.col("n_union"), 4))
+    )
+    return scored.filter(F.col("n_common") / F.col("n_union") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over term-frequency-weighted tokens.
+
+    Bit b of a token = top bit of nibble b of md5(token) (hex char >= '8').
+    Doc bit b = sign of sum over tokens of (+1 / -1). One explode + one hash
+    aggregate; docs with zero tokens get no row (no signal)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hx = F.md5("tok")
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring(hx, b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    value = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return sums.select(F.col(id_col), value.cast("long").alias("simhash"))
