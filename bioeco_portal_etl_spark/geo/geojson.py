@@ -87,10 +87,9 @@ def _geojson_geom_to_wkt(geom: dict) -> str:
     return None
 
 
-@pandas_udf("string")
-def geojson_to_wkt(geom_json: pd.Series) -> pd.Series:
-    """Arrow-batched GeoJSON-geometry-string -> WKT."""
-
+# pandas UDFs are built lazily (first call) — decorating at import time would
+# require an active SparkSession just to import this module.
+def _wkt_conv(geom_json: "pd.Series") -> "pd.Series":
     def conv(s):
         if s is None:
             return None
@@ -102,10 +101,7 @@ def geojson_to_wkt(geom_json: pd.Series) -> pd.Series:
     return geom_json.map(conv)
 
 
-@pandas_udf("string")
-def geojson_geom_type(geom_json: pd.Series) -> pd.Series:
-    """st_geometry_type for GeoJSON-string geometries."""
-
+def _type_conv(geom_json: "pd.Series") -> "pd.Series":
     def conv(s):
         if s is None:
             return None
@@ -115,6 +111,18 @@ def geojson_geom_type(geom_json: pd.Series) -> pd.Series:
             return None
 
     return geom_json.map(conv)
+
+
+def geojson_to_wkt(col: Column | str) -> Column:
+    """Arrow-batched GeoJSON-geometry-string -> WKT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_wkt_conv, "string")(c)
+
+
+def geojson_geom_type(col: Column | str) -> Column:
+    """st_geometry_type for GeoJSON-string geometries."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_type_conv, "string")(c)
 
 
 def point_geojson(lon: Column | str, lat: Column | str) -> Column:

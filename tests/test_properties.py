@@ -1,0 +1,63 @@
+"""Partition-invariance property tests (SURVEY.md §5.2).
+
+The #1 correctness trap porting the reference (§4.1): its semantics lean on
+frame order. Every order-sensitive operator here declares an explicit sort
+key, so results must be IDENTICAL regardless of how the input is partitioned
+or shuffled. We run each operator on (a) the natural parquet layout and
+(b) an adversarially repartitioned/reordered copy, and compare signatures.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bioeco_portal_etl_spark.operators.dedupe import dedupe_keep_first, make_unique
+from bioeco_portal_etl_spark.sources.files import read_parquet_table
+from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs, simhash
+from tests.conftest import SF_SMOKE
+
+
+def _sig(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def _scrambled(df):
+    """Adversarial layout: hash-repartitioned into many small partitions and
+    locally reverse-sorted, destroying any incidental input order."""
+    return df.repartition(13, F.col(df.columns[0])).sortWithinPartitions(
+        F.col(df.columns[0]).desc()
+    )
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return read_parquet_table(spark, SF_SMOKE, "orders")
+
+
+def test_dedupe_keep_first_partition_invariant(spark, orders):
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    a = dedupe_keep_first(orders, ["o_custkey"], order)
+    b = dedupe_keep_first(_scrambled(orders), ["o_custkey"], order)
+    assert _sig(a) == _sig(b)
+
+
+def test_make_unique_partition_invariant(spark, orders):
+    keyed = orders.withColumn("key", F.col("o_orderpriority"))
+    a = make_unique(keyed, "key", [F.col("o_orderkey").asc()], out_col="uk")
+    b = make_unique(_scrambled(keyed), "key", [F.col("o_orderkey").asc()], out_col="uk")
+    assert _sig(a.select("o_orderkey", "uk")) == _sig(b.select("o_orderkey", "uk"))
+
+
+def test_minhash_pairs_partition_invariant(spark):
+    docs = read_parquet_table(spark, SF_SMOKE, "documents")
+    a = minhash_lsh_pairs(docs, "doc_id", "text")
+    b = minhash_lsh_pairs(_scrambled(docs), "doc_id", "text")
+    assert _sig(a) == _sig(b)
+
+
+def test_simhash_partition_invariant(spark):
+    docs = read_parquet_table(spark, SF_SMOKE, "documents")
+    a = simhash(docs, "doc_id", "text")
+    b = simhash(_scrambled(docs), "doc_id", "text")
+    assert _sig(a) == _sig(b)
