@@ -34,12 +34,12 @@ BENCH_QUERIES = [
     "u1_union_by_name",
     "r2_unpivot_flags",
     # LLM-pipeline extensions
-    "t1_token_stats",
-    "t3_quality_score",
-    "d1_dedup_exact",
-    "d3_minhash_lsh_dedup",
-    "s1_cosine_topk",
-    "e1_event_window",
+    "tx1_token_counts",
+    "tx3_quality",
+    "td1_exact_dedupe",
+    "td2_minhash_lsh",
+    "ts1_cosine_topk",
+    "w1_tumbling",
 ]
 
 

@@ -33,6 +33,9 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         # --- correctness parity with the DuckDB oracle ---
         .config("spark.sql.session.timeZone", "UTC")
+        # permissive R semantics (as.numeric junk -> NA, out-of-range index
+        # -> NULL) — the reference never errors on dirty cells
+        .config("spark.sql.ansi.enabled", "false")
         # read TIMESTAMP(NANOS) parquet columns as long; sources.files
         # converts them back to (microsecond) timestamps on load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
