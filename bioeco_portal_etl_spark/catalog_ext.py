@@ -36,11 +36,10 @@ from bioeco_portal_etl_spark.text.analysis import (
     LANG_PROFILES,
     STOPWORDS,
     _profile_regex,
-    fingerprint,
+    fingerprint_table,
     language_id,
     lang_scores,
-    quality_features,
-    quality_score,
+    quality_table,
     token_counts,
 )
 from bioeco_portal_etl_spark.text.dedupe import (
@@ -70,20 +69,33 @@ FROM documents ORDER BY doc_id
 """
 
 # Shared CTE text for the MinHash family (k=3, 8 perms, 4 bands x 2 rows).
+# Mirrors text/dedupe.py exactly: one md5 per shingle -> 60-bit int ->
+# (A_p*h + B_p) mod 2^31-1 permutations -> per-band key -> bucket pairs.
+from bioeco_portal_etl_spark.text.dedupe import MERSENNE31, PERM_A, PERM_B  # noqa: E402
+
+_DUCK_SIG_MINS = ", ".join(
+    f"min(({PERM_A[p]} * h + {PERM_B[p]}) % {MERSENNE31}) AS m{p}" for p in range(8)
+)
+_DUCK_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS b, m{2 * b} || '|' || m{2 * b + 1} AS bkey FROM sig"
+    for b in range(4)
+)
 _DUCK_SH = f"""
 sh AS (
   SELECT doc_id, {duck_shingles(duck_tokens('text'), 3)} AS sg
   FROM (SELECT doc_id, text FROM documents)
 ),
-sig AS (
+ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+hx AS (
   SELECT doc_id,
-         list_transform(range(0, 8),
-           p -> list_min(list_transform(sg, s -> md5(p::VARCHAR || ':' || s)))) AS mh
-  FROM sh WHERE len(sg) > 0
+         list_reduce(list_transform(range(1, 16),
+             i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+           (a, b) -> a * 16 + b) % {MERSENNE31} AS h
+  FROM ex
 ),
-bandix AS (SELECT doc_id, mh, unnest([0, 1, 2, 3]) AS b FROM sig),
+sig AS (SELECT doc_id, {_DUCK_SIG_MINS} FROM hx GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, b, mh[2 * b + 1] || '|' || mh[2 * b + 2] AS bkey FROM bandix
+  {_DUCK_BANDS}
 ),
 sized AS (
   SELECT b, bkey FROM bands GROUP BY b, bkey HAVING count(*) BETWEEN 2 AND 64
@@ -297,12 +309,7 @@ FROM s ORDER BY doc_id
 
 def tx3_quality(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    feats = quality_features("text")
-    return d.select(
-        "doc_id",
-        *[c.alias(name) for name, c in feats.items()],
-        quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    return quality_table(d, "doc_id", "text").orderBy("doc_id")
 
 
 TX3_SQL = rf"""
@@ -329,9 +336,7 @@ FROM f ORDER BY doc_id
 
 def tx4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = T(spark, sf, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fingerprint")).orderBy(
-        "doc_id"
-    )
+    return fingerprint_table(d, "doc_id", "text").orderBy("doc_id")
 
 
 TX4_SQL = f"""

@@ -116,7 +116,10 @@ def quality_score(col: Column | str) -> Column:
 def fingerprint(col: Column | str, k: int = 4, width: int = 16) -> Column:
     """Document fingerprint: min-md5 over k-word shingles (winnowing-style
     selection of one representative k-gram hash), truncated to ``width`` hex
-    chars; short docs (< k tokens) fall back to md5 of the whole text."""
+    chars; short docs (< k tokens) fall back to md5 of the whole text.
+
+    NOTE: single-expression form — fine for one-off use, but it inlines the
+    token split several times. Hot paths should use :func:`fingerprint_table`."""
     c = _c(col)
     sh = shingles(tokens(c), k)
     fp = F.when(
@@ -124,3 +127,64 @@ def fingerprint(col: Column | str, k: int = 4, width: int = 16) -> Column:
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
     ).otherwise(F.md5(F.coalesce(c, F.lit(""))))
     return F.substring(fp, 1, width)
+
+
+def fingerprint_table(
+    df, id_col: str, text_col: str, k: int = 4, width: int = 16
+):
+    """DataFrame-level fingerprint with the token/shingle arrays materialized
+    as columns (one split, one shingle pass — see dedupe.shingled's note on
+    CollapseProject)."""
+    c = _c(text_col)
+    tok = df.select(F.col(id_col), c.alias("__text"), tokens(c).alias("__tok"))
+    sh = tok.select(
+        F.col(id_col), F.col("__text"), shingles(F.col("__tok"), k).alias("__sh")
+    )
+    fp = F.when(
+        F.size("__sh") > 0,
+        F.array_min(F.transform(F.col("__sh"), lambda s: F.md5(s))),
+    ).otherwise(F.md5(F.coalesce(F.col("__text"), F.lit(""))))
+    return sh.select(F.col(id_col), F.substring(fp, 1, width).alias("fingerprint"))
+
+
+def quality_table(df, id_col: str, text_col: str):
+    """DataFrame-level quality features + composite score, computing the
+    token array and every regexp count exactly once (layered selects)."""
+    c = _c(text_col)
+    tok = df.select(F.col(id_col), c.alias("__text"), tokens(c).alias("__tok"))
+    feats = tok.select(
+        F.col(id_col),
+        F.length("__text").alias("n_chars"),
+        F.size("__tok").alias("n_tokens"),
+        F.aggregate(F.col("__tok"), F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "__word_chars"
+        ),
+        F.regexp_count(F.col("__text"), F.lit(r"[^A-Za-z0-9\s]")).alias("__n_punct"),
+        F.regexp_count(
+            F.lower(F.col("__text")), F.lit(_profile_regex(STOPWORDS))
+        ).alias("__n_stop"),
+    )
+    n_tok, n_chars = F.col("n_tokens"), F.col("n_chars")
+    n_punct, n_stop = F.col("__n_punct"), F.col("__n_stop")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(n_stop / F.lit(5.0), F.lit(1.0))
+    punct_ok = F.when(
+        (n_chars > 0) & (n_punct / n_chars <= 0.2), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return feats.select(
+        F.col(id_col),
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.when(n_tok > 0, F.col("__word_chars") / n_tok).otherwise(F.lit(0.0)), 4
+        ).alias("mean_word_len"),
+        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(len_score * (F.lit(0.5) + F.lit(0.5) * stop_score) * punct_ok, 4).alias(
+            "quality"
+        ),
+    )

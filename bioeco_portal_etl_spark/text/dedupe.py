@@ -52,44 +52,57 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(sh: Column, num_perm: int) -> Column:
-    """MinHash signature: per permutation p, min over shingles of
-    md5('p:' || shingle). Lexicographic min over a cryptographic digest is a
-    uniform random permutation of the shingle space — the classic estimator
-    with string-valued hashes (engine-portable, no 64-bit int arithmetic).
-
-    Shape: ONE transform emits the per-permutation hash vector per shingle,
-    then ONE aggregate zip_with-folds the element-wise min — a single pass
-    over the shingle set. (Do NOT write this as num_perm separate
-    transform/array_min lambdas with a `p=p` default argument: PySpark treats
-    a 2-parameter lambda as (element, index) and silently binds the default
-    to the index Column.)"""
-    hashed = F.transform(
-        sh,
-        lambda s: F.array(
-            *[F.md5(F.concat(F.lit(f"{p}:"), s)) for p in range(num_perm)]
-        ),
-    )
-    # '￿' sorts above every md5 hex char; folded away by the first shingle
-    init = F.array(*[F.lit("￿") for _ in range(num_perm)])
-    return F.aggregate(
-        hashed, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b))
-    )
+# Universal-hash family for MinHash permutations: perm_p(h) = (A_p*h + B_p)
+# mod MERSENNE31. The base hash h is 60 bits of md5 (one digest per shingle —
+# the only "real" hash; permutations are two integer ops each). A_p are 31-bit
+# LCG-grade multipliers, so A_p * (h mod P) < 2^62 never overflows int64 —
+# and the identical arithmetic runs in any engine (the DuckDB oracle).
+MERSENNE31 = 2_147_483_647
+PERM_A = [
+    1103515245, 1588635695, 1203248318, 1739049251,
+    1914804709, 1000000007, 1517746103, 2038074743,
+]
+PERM_B = [12345, 671093, 253101, 905671, 163841, 99991, 777769, 424243]
 
 
-def _band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
+def shingle_hash(col: Column | str) -> Column:
+    """60-bit base hash of a shingle: first 15 hex chars of md5, as a long,
+    reduced mod MERSENNE31. ONE digest per shingle; permutations derive from
+    this with integer arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % MERSENNE31
+
+
+def minhash_signature_cols(h: Column, num_perm: int) -> list[Column]:
+    """Aggregate expressions: per-permutation min over the exploded shingle
+    hashes — plain min() aggregates, so the whole signature computes inside
+    ONE whole-stage-codegen hash aggregate with map-side partials."""
     return [
-        F.concat_ws("|", *[F.element_at(sig, b * rows + j + 1) for j in range(rows)])
-        for b in range(bands)
+        F.min((F.lit(PERM_A[p]) * h + F.lit(PERM_B[p])) % MERSENNE31).alias(f"_m{p}")
+        for p in range(num_perm)
     ]
 
 
 def shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle-set) projection; docs with < k tokens are dropped (they
-    have no k-shingle and can never collide)."""
-    return df.select(
-        F.col(id_col), shingles(tokens(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    have no k-shingle and can never collide).
+
+    Two select layers on purpose: the token array is materialized as a column
+    and the shingle expression references it BY NAME. Inlining tokens() into
+    shingles() would re-split the text once per reference (size guard + every
+    slice) — Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    aliases materialized, which is exactly what we want (measured ~25× faster
+    at sf0.1).
+
+    The emptiness guard filters on TOKEN count, not size(sh) > 0: an
+    equivalent predicate, but PushDownPredicate inlines whatever the filter
+    references below the projections — filtering on the (expensive) shingle
+    expression would re-evaluate the whole pipeline per row inside the
+    Filter node."""
+    tok = df.select(F.col(id_col), tokens(text_col).alias("__tok")).filter(
+        F.size("__tok") >= k
+    )
+    return tok.select(F.col(id_col), shingles(F.col("__tok"), k).alias("sh"))
 
 
 def minhash_lsh_pairs(
@@ -109,14 +122,23 @@ def minhash_lsh_pairs(
     are dropped (degenerate collisions; at 100 TB one boilerplate bucket can
     otherwise emit billions of pairs)."""
     rows = num_perm // bands
-    sig = shingled(df, id_col, text_col, k).select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col("sh"), num_perm).alias("mh")
+    # explode_OUTER on purpose: plain explode triggers InferFiltersFromGenerate,
+    # whose size(sh)>0 filter gets pushed below the projections and re-inlines
+    # the whole shingle expression into the Filter (measured ~6x slower).
+    # Outer is equivalent here — shingled() guarantees non-empty arrays.
+    ex = shingled(df, id_col, text_col, k).select(
+        F.col(id_col).alias("_id"), F.explode_outer("sh").alias("_s")
     )
+    hashed = ex.select("_id", shingle_hash("_s").alias("_h"))
+    sig = hashed.groupBy("_id").agg(*minhash_signature_cols(F.col("_h"), num_perm))
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"_m{b * rows + j}").cast("string") for j in range(rows)]
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "_id",
-        F.posexplode(F.array(*_band_keys(F.col("mh"), bands, rows))).alias(
-            "band", "bkey"
-        ),
+        "_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
     )
     buckets = (
         banded.groupBy("band", "bkey")
