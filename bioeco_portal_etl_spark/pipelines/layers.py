@@ -1,0 +1,91 @@
+"""Spatial-layer materialization — SURVEY.md §3 entry point 2 (K1/K2).
+
+The reference walks 35 imperative call sites writing one shapefile directory
+per program (notebooks/index.Rmd:401-587) and tracks coverage by MUTATING a
+``has_shapefile`` column from inside writer functions (`<<-`,
+index.Rmd:427,482,501). Re-expressed as dataflow:
+
+  1. a LAYER-SOURCE table (identifier, geometry_wkt, attrs...) — whatever
+     subset of programs has geometry, from any of the reference's source
+     kinds (geojson column, site CSVs, gathered shapefiles, tracks);
+  2. ``write_layers``: ONE distributed grouped write — repartition by
+     identifier, each executor partition writes its groups' .shp/.shx/.dbf;
+  3. ``has_shapefile`` DERIVED as a semi-join of programs against the layer
+     table (pure dataflow, no mutation);
+  4. ``write_empty_layers`` for the remainder (K2: the reference emits a
+     valid zero-feature layer for 372 of 627 programs).
+
+Scale: the shuffle is one hash partition on identifier; writes stream from
+executors (foreachPartition), so layer export parallelism = partition count,
+with no driver materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from bioeco_portal_etl_spark.geo.shapefile import write_shapefile
+
+
+def write_layers(
+    layers: DataFrame,
+    out_dir: str,
+    id_col: str = "identifier",
+    wkt_col: str = "geometry_wkt",
+    attr_cols: list[str] | None = None,
+) -> None:
+    """K1: write ``{out_dir}/{identifier}/{identifier}.shp`` per identifier.
+
+    Features for one identifier are grouped inside a partition (repartition
+    on the key guarantees no identifier spans partitions) and sorted by WKT
+    for deterministic record order."""
+    attr_cols = attr_cols or []
+    cols = [id_col, wkt_col, *attr_cols]
+
+    def write_partition(rows):
+        by_id: dict[str, list] = {}
+        for r in rows:
+            by_id.setdefault(r[id_col], []).append(r)
+        for ident, feats in by_id.items():
+            feats.sort(key=lambda r: (r[wkt_col] is None, r[wkt_col] or ""))
+            base = os.path.join(out_dir, ident, ident)
+            write_shapefile(
+                base,
+                [(r[wkt_col], {c: r[c] for c in attr_cols}) for r in feats],
+                field_names=attr_cols,
+            )
+
+    layers.select(*cols).repartition(F.col(id_col)).foreachPartition(write_partition)
+
+
+def with_has_shapefile(
+    programs: DataFrame, layers: DataFrame, id_col: str = "identifier"
+) -> DataFrame:
+    """Derive has_shapefile as membership in the layer table — replaces the
+    reference's global-mutation bookkeeping with a broadcast semi-join."""
+    written = layers.select(F.col(id_col)).distinct().withColumn(
+        "__has", F.lit(True)
+    )
+    joined = programs.join(F.broadcast(written), id_col, "left")
+    return joined.withColumn(
+        "has_shapefile", F.coalesce(F.col("__has"), F.lit(False))
+    ).drop("__has")
+
+
+def write_empty_layers(
+    programs: DataFrame, out_dir: str, id_col: str = "identifier"
+) -> None:
+    """K2: a valid zero-feature layer for every program with
+    has_shapefile == False (the GeoNode import step requires one per
+    program)."""
+    missing = programs.filter(~F.col("has_shapefile")).select(id_col)
+
+    def write_partition(rows):
+        for r in rows:
+            ident = r[id_col]
+            write_shapefile(os.path.join(out_dir, ident, ident), [], ["identifier"])
+
+    missing.repartition(F.col(id_col)).foreachPartition(write_partition)
