@@ -1,0 +1,80 @@
+"""Source-layer tests (SURVEY.md §2.1): TSV, Excel gating, REST payload
+parsing, directory listing, and the data-driven source registry."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bioeco_portal_etl_spark.sources.files import list_files, read_excel, read_tsv
+from bioeco_portal_etl_spark.sources.registry import SourceSpec, read_source
+from bioeco_portal_etl_spark.sources.rest import json_payload_to_df
+
+
+def test_read_tsv(spark, tmp_path):
+    p = tmp_path / "coords.tsv"
+    p.write_text("x\ty\n500000\t4427757\n501000\t4428000\n")
+    df = read_tsv(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2 and rows[0].x == 500000
+
+
+def test_excel_gated(spark, tmp_path):
+    """S4 is a pandas bridge; without an xlsx engine it must fail with
+    guidance, not crash cryptically."""
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(b"not really an xlsx")
+    with pytest.raises((NotImplementedError, ValueError, ImportError)):
+        read_excel(spark, str(p))
+
+
+def test_rest_payload_parse(spark):
+    """S7: nested JSON payload -> rows via spark.read.json (fetch injected —
+    the HTTP hop is an external contract, like the reference's GeoNode API)."""
+    payload = {
+        "layers": [
+            {"pk": 11, "name": "coral_watch", "title": "Coral Watch"},
+            {"pk": 12, "name": "seagrass_net", "title": "Seagrass Net"},
+        ],
+        "total": 2,
+    }
+    df = json_payload_to_df(spark, payload, array_field="layers")
+    rows = {r.name: r.pk for r in df.collect()}
+    assert rows == {"coral_watch": 11, "seagrass_net": 12}
+
+
+def test_list_files(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "x.shp").write_text("")
+    (tmp_path / "b.shp").write_text("")
+    (tmp_path / "c.txt").write_text("")
+    found = list_files(str(tmp_path), "*.shp")
+    assert [f.split("/")[-1] for f in found] == ["x.shp", "b.shp"] or len(found) == 2
+
+
+def test_registry_csv_with_coord_sanity(spark, tmp_path):
+    """EP2 registry: per-file coordinate columns + Latitude<=90 filter
+    (index.Rmd:435) + WKT point construction."""
+    p = tmp_path / "sites.csv"
+    p.write_text(
+        "SITE,MID_LATITUDE,MID_LONGITUDE\n"
+        "s1,41.5,2.5\n"
+        "s2,95.0,1.0\n"  # out of range -> filtered
+        "s3,-33.9,18.4\n"
+    )
+    spec = SourceSpec(
+        name="prog_x", kind="csv", path=str(p),
+        lon_col="MID_LONGITUDE", lat_col="MID_LATITUDE",
+        options={"multi_line": False},
+    )
+    df = read_source(spark, spec)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.geometry_wkt for r in rows} == {"POINT (2.5 41.5)", "POINT (18.4 -33.9)"}
+    assert all(r.source_name == "prog_x" for r in rows)
+
+
+def test_registry_unknown_kind(spark):
+    with pytest.raises(ValueError):
+        read_source(spark, SourceSpec(name="x", kind="nope"))
