@@ -1,0 +1,157 @@
+"""Catalog extension: relational breadth beyond the reference's surface.
+
+The reference uses only equi-left-joins, plain groupBy, and row_number
+(SURVEY.md §2.5-2.8). A complete engine needs the neighboring operators a
+user reaches for next; each is a thin declarative plan Catalyst already
+executes well, cataloged with an oracle so the surface is verified, not
+just present: rollup/cube reporting aggregates, lead/lag windows with
+running sums, semi/anti joins (the has_shapefile / empty-layer patterns as
+first-class joins), and conditional aggregation (pivot-style counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
+
+
+def rel1_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup over (region, nation): per-nation, per-region subtotal, grand
+    total — one pass, Expand-based, no self-union."""
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+REL1_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def rel2_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer order timeline: previous/next order dates and a running
+    order count — lead/lag/frame windows over one (key, time) sort."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.lag("o_orderdate").over(w).cast("date").alias("prev_order"),
+        F.lead("o_orderdate").over(w).cast("date").alias("next_order"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("order_seq"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+REL2_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate::date AS o_orderdate,
+       lag(o_orderdate)  OVER w ::date AS prev_order,
+       lead(o_orderdate) OVER w ::date AS next_order,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+def rel3_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi + anti join in one result: customers WITH orders vs WITHOUT —
+    the has_shapefile / empty-layer pattern as first-class joins."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_orders.unionByName(without).orderBy("c_custkey")
+
+
+REL3_SQL = """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, FALSE FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def rel4_conditional_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot-style conditional aggregation: per-nation order counts by
+    status — sum(when(...)) columns, one aggregate, no pivot shuffle."""
+    c = T(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = T(spark, sf, "orders")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+REL4_SQL = """
+SELECT c_nationkey,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def rel5_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 parts by retail price per brand — rank + filter, the grouped
+    top-k every curation pipeline needs (cf. similarity top-k)."""
+    p = T(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+        .orderBy("p_brand", "rk")
+    )
+
+
+REL5_SQL = """
+SELECT p_brand, rk, p_partkey, round(p_retailprice, 2) AS price FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part)
+WHERE rk <= 3 ORDER BY p_brand, rk
+"""
+
+
+CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "rel1_rollup": (rel1_rollup, REL1_SQL),
+    "rel2_lead_lag": (rel2_lead_lag, REL2_SQL),
+    "rel3_semi_anti": (rel3_semi_anti, REL3_SQL),
+    "rel4_conditional_pivot": (rel4_conditional_pivot, REL4_SQL),
+    "rel5_topk_per_group": (rel5_topk_per_group, REL5_SQL),
+}
