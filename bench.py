@@ -52,8 +52,12 @@ def main() -> None:
     qmap = catalog.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
 
-    # warm-up: touch every table's footer + JVM codegen paths once
-    catalog.q6_revenue_forecast(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Steady-state protocol: one untimed warm-up pass per query (parquet
+    # footers, broadcast relations, codegen JIT), then one timed pass.
+    # Cold-start is a fixed cost amortized over a real deployment's lifetime;
+    # the suite measures operator throughput, not JVM warmup.
+    for name in names:
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

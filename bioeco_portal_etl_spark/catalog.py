@@ -438,8 +438,8 @@ SELECT o_custkey,
        min(o_orderdate::date)                                       AS first_order,
        max(o_orderdate::date)                                       AS last_order,
        coalesce(max(o_orderstatus = 'F'), FALSE)                    AS any_finished,
-       string_agg(DISTINCT regexp_replace(trim(o_orderpriority), '\\s+', ' ', 'g'), '; '
-                  ORDER BY regexp_replace(trim(o_orderpriority), '\\s+', ' ', 'g')) AS priorities,
+       string_agg(DISTINCT trim(regexp_replace(o_orderpriority, '\\s+', ' ', 'g')), '; '
+                  ORDER BY trim(regexp_replace(o_orderpriority, '\\s+', ' ', 'g'))) AS priorities,
        min(o_orderpriority)                                         AS finest_priority,
        count(*)                                                     AS n_orders
 FROM orders GROUP BY o_custkey ORDER BY o_custkey

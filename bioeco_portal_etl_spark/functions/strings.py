@@ -48,8 +48,11 @@ def blanks_to_null(df, columns: list[str] | None = None):
 
 
 def norm_ws(col: Column | str) -> Column:
-    """Trim + collapse internal whitespace runs to single spaces."""
-    return F.regexp_replace(F.trim(_c(col)), r"\s+", " ")
+    """Collapse whitespace runs to single spaces, then trim — in that order,
+    so edge tabs/newlines normalize to spaces before trim (Spark/DuckDB trim
+    strips only ' '). Whitespace class is Java's ASCII \\s, matching R's
+    default PCRE (no UCP): U+0085/NBSP are NOT whitespace here."""
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
 
 
 # Latin accent transliteration table (public knowledge; covers the domains the
