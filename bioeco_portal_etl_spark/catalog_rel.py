@@ -148,7 +148,55 @@ WHERE rk <= 3 ORDER BY p_brand, rk
 """
 
 
+def p3_blanks_to_null(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: mutate_all(~na_if(., '')) — blank strings to null across string
+    columns (index.Rmd:64). Empty-string clerks are planted via substring."""
+    from bioeco_portal_etl_spark.functions.strings import blanks_to_null
+
+    c = T(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("")).otherwise(F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return blanks_to_null(c).orderBy("c_custkey")
+
+
+P3_SQL = """
+SELECT c_custkey,
+       nullif(CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_name END, '') AS name,
+       c_mktsegment AS segment
+FROM customer ORDER BY c_custkey
+"""
+
+
+def p4_flag_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """P4: regex-matched boolean conversion — non-null -> TRUE over matching
+    columns (index.Rmd:99) and the =='x' EuroSea variant (:171)."""
+    from bioeco_portal_etl_spark.operators.projection import flag_columns, flag_columns_eq
+
+    p = T(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") > 25, F.col("p_type")).alias("eov_any"),
+        F.when(F.col("p_size") % 3 == 0, F.lit("x"))
+        .when(F.col("p_size") % 3 == 1, F.lit("y"))
+        .alias("eov_x"),
+    )
+    flagged = flag_columns_eq(flag_columns(p, r"^eov_any$"), r"^eov_x$", "x")
+    return flagged.orderBy("p_partkey")
+
+
+P4_SQL = """
+SELECT p_partkey,
+       (CASE WHEN p_size > 25 THEN p_type END) IS NOT NULL AS eov_any,
+       coalesce(trim(CASE WHEN p_size % 3 = 0 THEN 'x'
+                          WHEN p_size % 3 = 1 THEN 'y' END) = 'x', FALSE) AS eov_x
+FROM part ORDER BY p_partkey
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "p3_blanks_to_null": (p3_blanks_to_null, P3_SQL),
+    "p4_flag_columns": (p4_flag_columns, P4_SQL),
     "rel1_rollup": (rel1_rollup, REL1_SQL),
     "rel2_lead_lag": (rel2_lead_lag, REL2_SQL),
     "rel3_semi_anti": (rel3_semi_anti, REL3_SQL),

@@ -30,6 +30,36 @@ from pyspark.sql import DataFrame
 from bioeco_portal_etl_spark.geo.shapefile import write_shapefile
 
 
+def layer_table_from_geojson(
+    programs: DataFrame,
+    id_col: str = "identifier",
+    geojson_col: str = "geometry_geojson",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """EP2 step 1 (index.Rmd:401-416): programs with an embedded GeoJSON
+    FeatureCollection column -> one layer row per feature with WKT geometry.
+
+    Composition: from_json + posexplode (geo/geojson) -> pandas-UDF WKT
+    rendering on geometry-bearing rows only -> homogeneity filter comes from
+    the caller via geom_type (A5/F5, the mixed-collection skip rule)."""
+    from bioeco_portal_etl_spark.geo.geojson import (
+        explode_feature_collection,
+        geojson_to_wkt,
+    )
+
+    attr_cols = attr_cols or []
+    feats = explode_feature_collection(programs, geojson_col)
+    return (
+        feats.filter(F.col("geometry_json").isNotNull())
+        .select(
+            F.col(id_col),
+            geojson_to_wkt("geometry_json").alias("geometry_wkt"),
+            *[F.col(c) for c in attr_cols],
+        )
+        .filter(F.col("geometry_wkt").isNotNull())
+    )
+
+
 def write_layers(
     layers: DataFrame,
     out_dir: str,

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Scale probe: time representative operators at 1x and Nx sf0.1 (the Nx
+input is the same parquet unioned N times with perturbed keys — no extra
+storage; row counts scale, key cardinalities scale, value distributions
+hold). A near-linear ratio (≈N on a fixed-core box) means no superlinear
+cliff — the shuffle/agg strategy survives the scale-up; superlinear growth
+flags an operator to redesign BEFORE it meets 100 TB.
+
+Usage: python scripts/scale_probe.py [N]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from bioeco_portal_etl_spark.session import get_spark  # noqa: E402
+from bioeco_portal_etl_spark.sources.files import read_parquet_table  # noqa: E402
+from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled(df, n, key_cols):
+    """Union n copies with shifted keys so group/join cardinality scales too."""
+    out = None
+    for i in range(n):
+        part = df
+        for k in key_cols:
+            part = part.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = read_parquet_table(spark, SF_DIR, "lineitem")
+    orders = read_parquet_table(spark, SF_DIR, "orders")
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+
+    def q1(df):
+        return (
+            df.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        )
+
+    def join_agg(li_df, o_df):
+        return (
+            li_df.join(o_df, li_df.l_orderkey == o_df.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        )
+
+    cases = {
+        "scan_agg_q1": (lambda s: q1(li if s == 1 else scaled(li, s, ["l_orderkey"]))),
+        "join_agg": (
+            lambda s: join_agg(
+                li if s == 1 else scaled(li, s, ["l_orderkey"]),
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+            )
+        ),
+        "minhash_lsh": (
+            lambda s: minhash_lsh_pairs(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]), "doc_id", "text"
+            )
+        ),
+    }
+
+    results = {}
+    for name, mk in cases.items():
+        for s in (1, n):
+            mk(s).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            mk(s).write.format("noop").mode("overwrite").save()
+            results[f"{name}@{s}x"] = round(time.perf_counter() - t0, 2)
+        results[f"{name}_ratio"] = round(
+            results[f"{name}@{n}x"] / max(results[f"{name}@1x"], 1e-9), 1
+        )
+    print(json.dumps({"n": n, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
