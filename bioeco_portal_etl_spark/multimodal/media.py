@@ -71,3 +71,87 @@ def decode_image(payload: bytes):  # pragma: no cover - explicit stub
         "image decode requires PIL/opencv; wire the codec here and keep the "
         "mapInPandas batch contract of decode_media_metadata"
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, thumb binary, thumb_width long, thumb_height long"
+)
+
+
+def resize_media(df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage: (media_id, payload) -> thumbnail payload + dims.
+
+    The real implementation decodes, resamples, re-encodes inside the batch
+    loop (PIL.thumbnail / cv2.resize). STUB: emits a deterministic byte
+    slice with proportionally-scaled fake dims so the Spark-side contract —
+    binary-in/binary-out schema, Arrow batch shape, size reduction — is real
+    and testable."""
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w, h = n % 640 + 16, n // 7 % 480 + 16
+            scale = (max_dim / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": pdf["payload"].map(lambda b: b[: max_dim * max_dim // 8]),
+                    "thumb_width": (w * scale).astype("int64"),
+                    "thumb_height": (h * scale).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx long, frame binary"
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage: one payload row -> up to ``max_frames`` frame
+    rows (fan-out inside mapInPandas — the video-decode batch shape).
+
+    The real implementation seeks keyframes (pyav/ffmpeg). STUB: fixed-stride
+    byte windows stand in for frames; row fan-out, ordering column, and
+    binary schema are the real contract."""
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = min(max(len(payload) // every_n_bytes, 1), max_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    blobs.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": blobs})
+
+    return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, feature array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stage: payload -> fixed-dim float vector
+    (the embedding-model batch shape; numpy-vectorized inside the batch).
+
+    STUB featurizer: byte-histogram over ``dim`` buckets, L1-normalized —
+    deterministic, vectorized, and shaped exactly like a real encoder
+    output (array<float> ready for similarity/knn)."""
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                out.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": out})
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)

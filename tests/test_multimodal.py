@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: binary payload columns through mapInPandas
+stages — metadata decode, resize, frame sampling (fan-out), feature
+extraction. Codecs are stubbed; schemas, batch shapes, fan-out, and
+determinism are the real contracts under test."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bioeco_portal_etl_spark.multimodal.media import (
+    attach_payload,
+    decode_media_metadata,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from bioeco_portal_etl_spark.similarity.knn import cosine_topk
+from bioeco_portal_etl_spark.sources.files import read_parquet_table
+from tests.conftest import SF_SMOKE
+
+
+def _payloads(spark, n=20):
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").limit(n)
+    return attach_payload(docs, "doc_id", "text")
+
+
+def test_payload_is_binary(spark):
+    df = _payloads(spark)
+    assert dict(df.dtypes)["payload"] == "binary"
+    row = df.orderBy("media_id").first()
+    assert isinstance(row.payload, bytearray | bytes)
+
+
+def test_resize_bounds_and_determinism(spark):
+    out = resize_media(_payloads(spark), max_dim=64).orderBy("media_id")
+    rows = out.collect()
+    assert all(r.thumb_width <= 64 and r.thumb_height <= 64 for r in rows)
+    assert all(len(r.thumb) <= 64 * 64 // 8 for r in rows)
+    again = resize_media(_payloads(spark), max_dim=64).orderBy("media_id").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_frame_sampling_fan_out(spark):
+    frames = sample_frames(_payloads(spark), every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("last")
+    )
+    rows = per_doc.collect()
+    assert all(1 <= r.n <= 4 and r.last == r.n - 1 for r in rows)
+    f = frames.orderBy("media_id", "frame_idx").first()
+    assert len(f.frame) <= 64
+
+
+def test_features_feed_similarity_search(spark):
+    """The stub featurizer's output is shaped like a real encoder's: plug it
+    straight into the ANN operator (array<float> contract end-to-end)."""
+    feats = extract_features(_payloads(spark), dim=16)
+    assert dict(feats.dtypes)["feature"] == "array<float>"
+    sums = feats.select(
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("s")
+    ).collect()
+    assert all(abs(r.s - 1.0) < 1e-5 for r in sums)  # L1-normalized
+    queries = feats.filter(F.col("media_id") < 3)
+    topk = cosine_topk(feats, queries, "feature", "media_id", k=3)
+    got = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
