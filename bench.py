@@ -38,8 +38,12 @@ BENCH_QUERIES = [
     "tx3_quality",
     "td1_exact_dedupe",
     "td2_minhash_lsh",
+    "td4_jaccard_pairs",
     "ts1_cosine_topk",
+    "ts3_ivf_topk",
     "w1_tumbling",
+    "x1_salted_agg",
+    "rel5_topk_per_group",
 ]
 
 

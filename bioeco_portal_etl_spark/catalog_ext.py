@@ -255,6 +255,95 @@ WHERE floor(({_DUCK_COS}) * 10000) >= {TD5_THRESHOLD_E4}
 ORDER BY id_a, id_b
 """
 
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}.e[i] * {b}.e[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def ts3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: centroids = vec_id < 8 (deterministic stand-in for k-means
+    output), nprobe=2, k=5 — the clustered scale path."""
+    from bioeco_portal_etl_spark.similarity.ivf import ivf_topk
+
+    e = T(spark, sf, "embeddings")
+    return ivf_topk(
+        e,
+        _query_vectors(spark, sf),
+        e.filter(F.col("vec_id") < 8),
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=2,
+    ).orderBy("query_id", "rank")
+
+
+_CA_DOT = _DUCK_DOT.format(a="x", b="c")
+_P_DOT = _DUCK_DOT.format(a="pr", b="a")
+TS3_SQL = f"""
+WITH {_DUCK_VEC},
+cent AS (SELECT vec_id AS cell_id, e, nrm FROM n WHERE vec_id < 8),
+ca AS (
+  SELECT x.vec_id AS cid, x.e AS xe, x.nrm AS xn, c.cell_id,
+         floor(
+           list_reduce(list_transform(range(1, 65), i -> x.e[i] * c.e[i]),
+                       (a, b) -> a + b) / (x.nrm * c.nrm) * 10000)::BIGINT AS c_score
+  FROM n x CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c_score DESC, cell_id) AS rk
+  FROM ca
+),
+assigned AS (SELECT cell_id, cid, xe, xn FROM ranked WHERE rk = 1),
+probes AS (SELECT cell_id, cid AS q_id, xe AS qe, xn AS qn FROM ranked WHERE cid < 10 AND rk <= 2),
+p AS (
+  SELECT pr.q_id AS query_id, a.cid AS match_id,
+         floor(
+           list_reduce(list_transform(range(1, 65), i -> pr.qe[i] * a.xe[i]),
+                       (x, y) -> x + y) / (pr.qn * a.xn) * 10000)::BIGINT AS score_e4
+  FROM probes pr JOIN assigned a USING (cell_id)
+  WHERE pr.q_id <> a.cid
+)
+SELECT query_id, match_id, score_e4, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_e4 DESC, match_id) AS rank
+  FROM p)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def x1_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew machinery in the verified surface: two-phase salted aggregation
+    over lineitem's 3-value returnflag (a genuinely hot-keyed groupBy) —
+    results must equal the direct aggregate (the oracle runs the direct
+    form). DECIMAL sums make the two-phase reassociation exact."""
+    from bioeco_portal_etl_spark.operators.skew import salted_agg
+
+    l = T(spark, sf, "lineitem")
+    out = salted_agg(
+        l.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        ["l_returnflag"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+                F.sum("sum_qty"),
+            ),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        buckets=16,
+    )
+    return out.orderBy("l_returnflag")
+
+
+X1_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       sum(l_quantity::DECIMAL(18,6)) AS sum_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -436,6 +525,8 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "td5_embedding_neardup": (td5_embedding_neardup, TD5_SQL),
     "ts1_cosine_topk": (ts1_cosine_topk, TS1_SQL),
     "ts2_lsh_bucket_topk": (ts2_lsh_bucket_topk, TS2_SQL),
+    "ts3_ivf_topk": (ts3_ivf_topk, TS3_SQL),
+    "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),
     "tx3_quality": (tx3_quality, TX3_SQL),
