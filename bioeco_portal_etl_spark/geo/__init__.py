@@ -7,6 +7,7 @@ pandas UDFs (no shapely/pyproj in this environment — WKT assembly and the
 UTM->WGS84 inverse Mercator math are implemented directly; both are public
 textbook formulas)."""
 
+from bioeco_portal_etl_spark.geo.shapefile import read_shapefile, write_shapefile
 from bioeco_portal_etl_spark.geo.wkt import (
     geom_type,
     linestring_agg,
@@ -14,4 +15,11 @@ from bioeco_portal_etl_spark.geo.wkt import (
     point_wkt,
 )
 
-__all__ = ["geom_type", "linestring_agg", "multipoint_agg", "point_wkt"]
+__all__ = [
+    "geom_type",
+    "linestring_agg",
+    "multipoint_agg",
+    "point_wkt",
+    "read_shapefile",
+    "write_shapefile",
+]

@@ -16,10 +16,13 @@ from bioeco_portal_etl_spark.operators.projection import (
     patch,
     select_rename,
 )
+from bioeco_portal_etl_spark.operators.skew import salted_agg, with_salt
 from bioeco_portal_etl_spark.operators.union import union_by_name
 from bioeco_portal_etl_spark.operators.unpivot import unpivot_flags
 
 __all__ = [
+    "salted_agg",
+    "with_salt",
     "bool_any",
     "distinct_concat",
     "ordinal_min",

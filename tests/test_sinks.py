@@ -83,6 +83,20 @@ def test_replace_set_partitioned_sqlite(spark, tmp_path):
     assert rows == [(0, "a"), (0, "b"), (1, "c"), (99, "keep")]
 
 
+def test_csv_write_roundtrip(spark, tmp_path):
+    """K3: CSV write (eov_to_keywords.Rmd:47 backup export) — single-file
+    coalesce, header, read-back parity."""
+    out = str(tmp_path / "links_csv")
+    df = spark.createDataFrame(
+        [(11, 1), (11, 2), (12, 1)], "layer_id int, eov_id int"
+    )
+    df.coalesce(1).write.option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted((r.layer_id, r.eov_id) for r in back.collect()) == [
+        (11, 1), (11, 2), (12, 1),
+    ]
+
+
 def test_sql_update_script(spark):
     """K8: null sentinel renders unquoted; values render quoted."""
     df = spark.createDataFrame([("x", "A"), (None, "B")], "v string, k string")
