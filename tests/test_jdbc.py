@@ -1,0 +1,67 @@
+"""Real JDBC scan/sink tests (SURVEY.md §2.1 S8, §2.2 K7) against embedded
+Apache Derby — the JDBC driver that ships inside Spark's JVM, so the actual
+``spark.read.jdbc`` / ``df.write.jdbc`` code paths run, not a stand-in."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bioeco_portal_etl_spark.sources.jdbc import read_jdbc_query, read_jdbc_table
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_jdbc_write_overwrite_and_read_table(spark, derby_url):
+    """K7 overwrite + S8 table scan round-trip."""
+    df = spark.createDataFrame(
+        [(1, "phytoplankton"), (2, "seagrass")], "id int, short_name string"
+    )
+    df.write.jdbc(derby_url, "eovs", mode="overwrite")
+    # overwrite again with different content — K7 semantics
+    df2 = spark.createDataFrame([(3, "zooplankton")], "id int, short_name string")
+    df2.write.jdbc(derby_url, "eovs", mode="overwrite")
+    back = read_jdbc_table(spark, derby_url, "eovs")
+    assert [(r.id, r.short_name) for r in back.collect()] == [(3, "zooplankton")]
+
+
+def test_jdbc_query_pushdown(spark, derby_url):
+    """S8 query-pushdown scan: the join/filter runs database-side
+    (eov_to_keywords.Rmd:44 pattern)."""
+    links = spark.createDataFrame(
+        [(11, 1), (11, 2), (12, 1)], "layer_id int, eov_id int"
+    )
+    dim = spark.createDataFrame(
+        [(1, "phyto"), (2, "seagrass")], "id int, name string"
+    )
+    links.write.jdbc(derby_url, "links", mode="overwrite")
+    dim.write.jdbc(derby_url, "eov_dim", mode="overwrite")
+    # Derby uppercases unquoted identifiers; Spark created them quoted
+    # lowercase, so the pushdown query quotes them too.
+    q = (
+        'SELECT l."layer_id" AS "layer_id", e."name" AS "name" FROM links l '
+        'LEFT JOIN eov_dim e ON l."eov_id" = e."id" WHERE l."layer_id" = 11'
+    )
+    got = read_jdbc_query(spark, derby_url, q)
+    rows = sorted((r.layer_id, r.name) for r in got.collect())
+    assert rows == [(11, "phyto"), (11, "seagrass")]
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    """S8 scale path: partitioned parallel scan (numPartitions connections,
+    range-split on the partition column)."""
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).cast("int").alias("v")
+    )
+    df.write.jdbc(derby_url, "wide", mode="overwrite")
+    back = read_jdbc_table(
+        spark, derby_url, "wide",
+        partition_column="k", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
