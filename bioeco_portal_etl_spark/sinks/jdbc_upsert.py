@@ -123,3 +123,53 @@ def replace_set_partitioned(
             conn.close()
 
     df.select(*cols).foreachPartition(write_partition)
+
+
+def stage_and_merge(
+    df: DataFrame,
+    jdbc_url: str,
+    target_table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    staging_table: str | None = None,
+    jdbc_properties: dict[str, str] | None = None,
+    quote: str = '"',
+) -> None:
+    """K5 at scale: bulk-stage the new state via ``df.write.jdbc`` (parallel
+    executor connections), then ONE server-side ``MERGE INTO`` from staging
+    to target. Beats per-row upserts by orders of magnitude at 100 TB — the
+    database applies the delta set-at-a-time, and Spark never round-trips
+    row results.
+
+    The MERGE statement runs on the driver through the JVM's DriverManager
+    (same classpath as the JDBC write — no extra Python DB driver needed).
+    ANSI MERGE syntax (Postgres 15+/Derby/Oracle/MSSQL); swap the statement
+    for INSERT..ON CONFLICT on older Postgres.
+    """
+    staging = staging_table or f"{target_table}_stage"
+    df.select(*key_cols, *update_cols).write.jdbc(
+        jdbc_url, staging, mode="overwrite", properties=jdbc_properties or {}
+    )
+
+    def q(c: str) -> str:
+        return f"{quote}{c}{quote}"
+
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in update_cols)
+    cols = ", ".join(q(c) for c in [*key_cols, *update_cols])
+    vals = ", ".join(f"s.{q(c)}" for c in [*key_cols, *update_cols])
+    merge = (
+        f"MERGE INTO {target_table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate(merge)
+        stmt.close()
+        conn.commit()
+    finally:
+        conn.close()

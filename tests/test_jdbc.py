@@ -65,3 +65,25 @@ def test_jdbc_partitioned_read(spark, derby_url):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 100
     assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_stage_and_merge_upsert(spark, derby_url):
+    """K5 scale path: bulk stage + one server-side MERGE — updates existing
+    keys, inserts new ones, leaves unrelated rows untouched."""
+    from bioeco_portal_etl_spark.sinks.jdbc_upsert import stage_and_merge
+
+    base = spark.createDataFrame(
+        [(1, "old-title"), (2, "keep-me")], "id int, title string"
+    )
+    base.write.jdbc(derby_url, "resources", mode="overwrite")
+    delta = spark.createDataFrame(
+        [(1, "new-title"), (3, "brand-new")], "id int, title string"
+    )
+    stage_and_merge(delta, derby_url, "resources", ["id"], ["title"])
+    back = read_jdbc_table(spark, derby_url, "resources")
+    rows = dict((r.id, r.title) for r in back.collect())
+    assert rows == {1: "new-title", 2: "keep-me", 3: "brand-new"}
+    # idempotent under re-run (task-retry safety)
+    stage_and_merge(delta, derby_url, "resources", ["id"], ["title"])
+    back2 = read_jdbc_table(spark, derby_url, "resources")
+    assert dict((r.id, r.title) for r in back2.collect()) == rows
