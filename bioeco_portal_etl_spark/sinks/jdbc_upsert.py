@@ -134,6 +134,7 @@ def stage_and_merge(
     staging_table: str | None = None,
     jdbc_properties: dict[str, str] | None = None,
     quote: str = '"',
+    drop_staging: bool = True,
 ) -> None:
     """K5 at scale: bulk-stage the new state via ``df.write.jdbc`` (parallel
     executor connections), then ONE server-side ``MERGE INTO`` from staging
@@ -141,21 +142,40 @@ def stage_and_merge(
     database applies the delta set-at-a-time, and Spark never round-trips
     row results.
 
-    The MERGE statement runs on the driver through the JVM's DriverManager
-    (same classpath as the JDBC write — no extra Python DB driver needed).
-    ANSI MERGE syntax (Postgres 15+/Derby/Oracle/MSSQL); swap the statement
-    for INSERT..ON CONFLICT on older Postgres.
+    Contract:
+      - the delta is deduplicated on ``key_cols`` before staging (standard
+        MERGE errors if one target row matches multiple source rows);
+      - ``target_table``/``staging_table`` are interpolated VERBATIM — pass
+        the exact spelling (with quoting if needed) your database resolves;
+        Spark's JDBC dialects typically create tables unquoted;
+      - each run uses a unique staging name by default (concurrent runs
+        against the same target cannot clobber each other's staging), and
+        drops it afterwards unless ``drop_staging=False``;
+      - credentials in ``jdbc_properties`` are used for BOTH the staging
+        write and the driver-side MERGE connection;
+      - the MERGE runs on a plain auto-commit connection (no explicit
+        commit — pgJDBC rejects commit() under autoCommit). ANSI MERGE
+        syntax with an UNQUALIFIED update-target list (Postgres 15+ rejects
+        ``SET t.col``); for older Postgres swap in INSERT..ON CONFLICT.
+      - driver classpath: works out of the box for drivers on Spark's system
+        classpath (e.g. Derby). For jars added via --jars/--packages, pass
+        ``jdbc_properties={"driver": "org.postgresql.Driver", ...}`` so the
+        driver is registered through Spark's DriverRegistry first
+        (DriverManager alone cannot see Spark's mutable classloader).
     """
-    staging = staging_table or f"{target_table}_stage"
-    df.select(*key_cols, *update_cols).write.jdbc(
-        jdbc_url, staging, mode="overwrite", properties=jdbc_properties or {}
+    import uuid
+
+    props = dict(jdbc_properties or {})
+    staging = staging_table or f"{target_table}_stage_{uuid.uuid4().hex[:12]}"
+    df.select(*key_cols, *update_cols).dropDuplicates(key_cols).write.jdbc(
+        jdbc_url, staging, mode="overwrite", properties=props
     )
 
     def q(c: str) -> str:
         return f"{quote}{c}{quote}"
 
     on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
-    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in update_cols)
+    sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in update_cols)
     cols = ", ".join(q(c) for c in [*key_cols, *update_cols])
     vals = ", ".join(f"s.{q(c)}" for c in [*key_cols, *update_cols])
     merge = (
@@ -165,11 +185,21 @@ def stage_and_merge(
     )
 
     jvm = df.sparkSession._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+    if "driver" in props:
+        jvm.org.apache.spark.sql.execution.datasources.jdbc.DriverRegistry.register(
+            props["driver"]
+        )
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, jprops)
     try:
         stmt = conn.createStatement()
-        stmt.executeUpdate(merge)
-        stmt.close()
-        conn.commit()
+        try:
+            stmt.executeUpdate(merge)
+            if drop_staging:
+                stmt.executeUpdate(f"DROP TABLE {staging}")
+        finally:
+            stmt.close()
     finally:
         conn.close()
