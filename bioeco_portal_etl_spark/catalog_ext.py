@@ -255,12 +255,6 @@ WHERE floor(({_DUCK_COS}) * 10000) >= {TD5_THRESHOLD_E4}
 ORDER BY id_a, id_b
 """
 
-_DUCK_DOT = (
-    "list_reduce(list_transform(range(1, 65), i -> {a}.e[i] * {b}.e[i]),"
-    " (x, y) -> x + y)"
-)
-
-
 def ts3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: centroids = vec_id < 8 (deterministic stand-in for k-means
     output), nprobe=2, k=5 — the clustered scale path."""
@@ -278,8 +272,6 @@ def ts3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-_CA_DOT = _DUCK_DOT.format(a="x", b="c")
-_P_DOT = _DUCK_DOT.format(a="pr", b="a")
 TS3_SQL = f"""
 WITH {_DUCK_VEC},
 cent AS (SELECT vec_id AS cell_id, e, nrm FROM n WHERE vec_id < 8),
@@ -450,11 +442,18 @@ def mm1_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-MM1_SQL = """
+from bioeco_portal_etl_spark.multimodal.media import (  # noqa: E402
+    FAKE_DIM_OFF,
+    FAKE_H_DIV,
+    FAKE_H_MOD,
+    FAKE_W_MOD,
+)
+
+MM1_SQL = f"""
 SELECT doc_id AS media_id,
-       octet_length(encode(text)) AS n_bytes,
-       octet_length(encode(text)) % 640 + 16 AS width,
-       octet_length(encode(text)) // 7 % 480 + 16 AS height,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       octet_length(encode(coalesce(text, ''))) % {FAKE_W_MOD} + {FAKE_DIM_OFF} AS width,
+       octet_length(encode(coalesce(text, ''))) // {FAKE_H_DIV} % {FAKE_H_MOD} + {FAKE_DIM_OFF} AS height,
        'fake-rgb' AS media_format
 FROM documents ORDER BY media_id
 """
@@ -500,7 +499,7 @@ def w3_session(spark: SparkSession, sf: str) -> DataFrame:
 
 W3_SQL = """
 WITH x AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                       >= INTERVAL '30 minutes'
@@ -508,7 +507,7 @@ WITH x AS (
   FROM events),
 y AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM x)
 SELECT min(ts) AS session_start, user_id, count(*) AS n_events,

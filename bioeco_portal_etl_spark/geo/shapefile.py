@@ -75,15 +75,23 @@ def parse_wkt(wkt: str | None):
     return st, [_parse_coord_list(r) for r in rings]
 
 
+def _fnum(x: float) -> str:
+    """Shortest exact rendering: ints without '.0', floats via repr (round-
+    trip exact). %g would truncate to 6 significant digits — a multi-metre
+    error on UTM-scale coordinates — and emit scientific notation."""
+    i = int(x)
+    return str(i) if x == i else repr(x)
+
+
 def to_wkt(shape_type: int, parts: list[list[tuple[float, float]]]) -> str | None:
     def fmt(p):
-        return ", ".join(f"{x:g} {y:g}" for x, y in p)
+        return ", ".join(f"{_fnum(x)} {_fnum(y)}" for x, y in p)
 
     if shape_type == SHAPE_NULL or not parts:
         return None
     if shape_type == SHAPE_POINT:
         (x, y), = parts[0]
-        return f"POINT ({x:g} {y:g})"
+        return f"POINT ({_fnum(x)} {_fnum(y)})"
     if shape_type == SHAPE_MULTIPOINT:
         return f"MULTIPOINT ({fmt(parts[0])})"
     if shape_type == SHAPE_POLYLINE:

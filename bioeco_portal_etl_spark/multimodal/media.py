@@ -30,16 +30,20 @@ MEDIA_META_SCHEMA = (
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test-harness payload: utf-8 bytes of a text column as the opaque blob
-    (stands in for image bytes; deterministic so oracles can re-derive it)."""
+    (stands in for image bytes; deterministic so oracles can re-derive it).
+    Null text -> empty payload (never a null blob — every downstream stub
+    calls len(payload); mirrors content_hash's coalesce convention)."""
     return df.select(
         F.col(id_col).alias("media_id"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8").alias("payload"),
     )
 
 
-def _fake_dims(n_bytes: int) -> tuple[int, int]:
-    # Deterministic stand-in for a real header parse; mirrored in oracle SQL.
-    return n_bytes % 640 + 16, (n_bytes // 7) % 480 + 16
+# Deterministic stand-in for a real header parse. Single source of truth for
+# BOTH the pandas stages below and the MM1 oracle SQL (catalog_ext builds the
+# SQL from these constants): width = n % W_MOD + DIM_OFF,
+# height = n // H_DIV % H_MOD + DIM_OFF.
+FAKE_W_MOD, FAKE_H_DIV, FAKE_H_MOD, FAKE_DIM_OFF = 640, 7, 480, 16
 
 
 def decode_media_metadata(df: DataFrame) -> DataFrame:
@@ -56,8 +60,8 @@ def decode_media_metadata(df: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": n,
-                    "width": n % 640 + 16,
-                    "height": n // 7 % 480 + 16,
+                    "width": n % FAKE_W_MOD + FAKE_DIM_OFF,
+                    "height": n // FAKE_H_DIV % FAKE_H_MOD + FAKE_DIM_OFF,
                     "media_format": "fake-rgb",
                 }
             )
@@ -91,7 +95,8 @@ def resize_media(df: DataFrame, max_dim: int = 64) -> DataFrame:
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             n = pdf["payload"].map(len)
-            w, h = n % 640 + 16, n // 7 % 480 + 16
+            w = n % FAKE_W_MOD + FAKE_DIM_OFF
+            h = n // FAKE_H_DIV % FAKE_H_MOD + FAKE_DIM_OFF
             scale = (max_dim / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
             yield pd.DataFrame(
                 {

@@ -26,10 +26,15 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, buckets: int = 16) -> DataFrame:
-    """Uniform row salt derived from the whole row (no RNG — deterministic
-    and retry-stable, unlike F.rand under task re-execution)."""
+    """Row salt from monotonically_increasing_id — spreads IDENTICAL rows
+    across buckets too (a row-content hash would send 100M copies of one
+    boilerplate row to a single salt, defeating the split). Salt placement
+    never affects results: the merge phase re-aggregates across salts, so
+    per-attempt id stability is irrelevant to correctness."""
+    if SALT_COL in df.columns:
+        raise ValueError(f"input already has a {SALT_COL!r} column")
     return df.withColumn(
-        SALT_COL, F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(buckets))
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )
 
 

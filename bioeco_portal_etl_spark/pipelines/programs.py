@@ -170,7 +170,16 @@ def combine(initial: DataFrame, eurosea: DataFrame) -> DataFrame:
         initial.withColumn("source", F.lit("survey")),
         eurosea.withColumn("source", F.lit("eurosea")),
     )
-    order = [F.col("source"), F.col("name"), F.col("organization").asc_nulls_last()]
+    # Total order: (source, name, organization) + a full-row hash tiebreak so
+    # rows tied on all three keys (same-name survey rows) still order
+    # deterministically under any partitioning. Rows identical in EVERY
+    # column remain tied — but then either assignment yields the same output.
+    order = [
+        F.col("source"),
+        F.col("name"),
+        F.col("organization").asc_nulls_last(),
+        F.xxhash64(*[F.col(c) for c in u.columns]),
+    ]
     u = u.withColumn("id", F.row_number().over(Window.orderBy(*order)))
     u = u.withColumn("identifier", make_identifier(F.col("name")))
     return make_unique(u, "identifier", [F.col("id").asc()])

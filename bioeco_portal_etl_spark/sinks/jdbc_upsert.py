@@ -197,9 +197,14 @@ def stage_and_merge(
         stmt = conn.createStatement()
         try:
             stmt.executeUpdate(merge)
-            if drop_staging:
-                stmt.executeUpdate(f"DROP TABLE {staging}")
         finally:
+            # drop staging on success AND failure — a failed MERGE must not
+            # leak a uniquely-named full delta copy per retry
+            if drop_staging:
+                try:
+                    stmt.executeUpdate(f"DROP TABLE {staging}")
+                except Exception:
+                    pass  # connection may be unusable after the merge error
             stmt.close()
     finally:
         conn.close()

@@ -95,9 +95,13 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_columns(path):
-        # ns -> µs truncation matches DuckDB's ns->TIMESTAMP conversion.
-        # MUST be integer division: floor(col/1000) routes through double
-        # (53-bit mantissa) and rounds epoch-nanos off by ±1 µs.
+        # ns -> µs integer division matching DuckDB's parquet ns->TIMESTAMP
+        # conversion, which TRUNCATES TOWARD ZERO (verified empirically:
+        # -1500 ns reads back as -1 µs, -1 ns as 0 — NOT floor). `div` has
+        # exactly that semantics. floor(col/1000) would be wrong twice over:
+        # double routing (53-bit mantissa, ±1 µs at epoch scale) and floor
+        # direction for pre-1970 nanos. Regression-pinned in
+        # tests/test_sources.py::test_nanos_conversion_matches_duckdb.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 

@@ -35,6 +35,11 @@ def _make_dedupe_fn(state_ttl_ms: int | None):
     def _dedupe_fn(
         key, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry: evict — re-saving here would resurrect the state
+            # forever and defeat the bound on growth.
+            state.remove()
+            return
         seen = set(state.get[0]) if state.exists else set()
         out = []
         for pdf in batches:

@@ -64,3 +64,18 @@ def test_features_feed_similarity_search(spark):
     topk = cosine_topk(feats, queries, "feature", "media_id", k=3)
     got = topk.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in got)
+
+
+def test_null_text_payloads_do_not_crash(spark):
+    """Null text -> empty payload through every stage (the oracle side
+    coalesces identically)."""
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id long, text string"
+    )
+    payloads = attach_payload(docs, "doc_id", "text")
+    meta = {r.media_id: r.n_bytes for r in decode_media_metadata(payloads).collect()}
+    assert meta == {1: 9, 2: 0}
+    assert resize_media(payloads).count() == 2
+    assert extract_features(payloads).count() == 2
+    frames = sample_frames(payloads)
+    assert frames.filter(F.col("media_id") == 2).count() == 1  # min 1 frame

@@ -78,3 +78,34 @@ def test_registry_csv_with_coord_sanity(spark, tmp_path):
 def test_registry_unknown_kind(spark):
     with pytest.raises(ValueError):
         read_source(spark, SourceSpec(name="x", kind="nope"))
+
+
+def test_nanos_conversion_matches_duckdb(spark, tmp_path):
+    """ns->us conversion must match DuckDB's parquet reader, which TRUNCATES
+    TOWARD ZERO (empirical: -1500 ns -> -1 us, -1 ns -> 0) — pre-1970 nanos
+    are where floor vs truncate diverge."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    path = tmp_path / "ts.parquet"
+    nanos = [-1500, -1000, -1, 0, 999, 1500, 1_700_000_000_123_456_789]
+    table = pa.table({"ts": pa.array(nanos, pa.timestamp("ns"))})
+    pq.write_table(table, str(path))
+
+    got = [
+        r.ts
+        for r in read_parquet_table(spark, str(tmp_path), "ts")
+        .orderBy("ts")
+        .collect()
+    ]
+    con = duckdb.connect()
+    exp = [
+        r[0]
+        for r in con.execute(
+            f"SELECT ts FROM '{path}' ORDER BY ts"
+        ).fetchall()
+    ]
+    assert got == exp
