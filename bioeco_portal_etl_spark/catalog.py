@@ -150,7 +150,10 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        # no broadcast hint: dims derives from customer (fact-scaled), so the
+        # 64 MB threshold / AQE decide — a forced broadcast becomes a driver
+        # OOM cliff at real scale while changing nothing at bench scale
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy("r_name")

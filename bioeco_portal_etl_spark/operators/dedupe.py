@@ -45,35 +45,37 @@ def make_unique(
     order_by: list[str | Column],
     sep: str = "_",
     out_col: str | None = None,
+    max_rounds: int = 8,
 ) -> DataFrame:
     """R make.unique: first occurrence keeps the name, later ones get
     ``{name}{sep}{k}`` with k = occurrence index - 1.
 
-    Edge (SURVEY.md §2.6 A4 warning): R also avoids colliding with
-    PRE-EXISTING ``x_1``-style names by bumping k until free. We reproduce
-    that with an anti-join pass: suffixed candidates that collide with an
-    original name get their k shifted past the collision. One extra
-    broadcast-able join of (collision names) — tiny in practice.
+    Edge (SURVEY.md §2.6 A4 warning): suffixed candidates can collide with
+    PRE-EXISTING names ("x","x","x_1" -> second "x" wants "x_1") and a
+    single bump can land on a suffix a LATER occurrence already claimed
+    ("x","x","x","x_1": bumping to x_2 collides with the third x). The only
+    safe contract is a FIXPOINT: re-apply suffixing to whatever is still
+    duplicated until nothing is. Output is guaranteed globally unique and
+    deterministic under the explicit order; on multi-level collision chains
+    the chosen suffix may differ from R's exact pick (R bumps k scanning
+    its in-memory seen-set; we append another suffix level) — documented
+    divergence, uniqueness preserved either way. Each round is one window
+    over the (tiny) still-colliding subset; real data converges in 1-2.
     """
     out = out_col or col
-    w = Window.partitionBy(col).orderBy(*order_by)
-    df = df.withColumn("__occ", F.row_number().over(w) - 1)
-    candidate = F.when(
-        F.col("__occ") > 0, F.concat(F.col(col), F.lit(sep), F.col("__occ").cast("string"))
-    ).otherwise(F.col(col))
-    df = df.withColumn("__cand", candidate)
-
-    # collision-avoidance: if a candidate equals some *original* name of a
-    # different row, keep bumping. One bump layer suffices for one collision
-    # level (R iterates; multi-level chains are pathological — documented).
-    originals = df.select(F.col(col).alias("__orig")).distinct()
-    df = df.join(
-        F.broadcast(originals),
-        (F.col("__cand") == F.col("__orig")) & (F.col("__occ") > 0),
-        "left",
-    )
-    bumped = F.when(
-        F.col("__orig").isNotNull(),
-        F.concat(F.col(col), F.lit(sep), (F.col("__occ") + 1).cast("string")),
-    ).otherwise(F.col("__cand"))
-    return df.withColumn(out, bumped).drop("__occ", "__cand", "__orig")
+    df = df.withColumn(out, F.col(col))
+    for _ in range(max_rounds):
+        w = Window.partitionBy(out).orderBy(*order_by)
+        df = df.withColumn("__occ", F.row_number().over(w) - 1)
+        if df.filter(F.col("__occ") > 0).limit(1).count() == 0:
+            return df.drop("__occ")
+        df = df.withColumn(
+            out,
+            F.when(
+                F.col("__occ") > 0,
+                F.concat(F.col(out), F.lit(sep), F.col("__occ").cast("string")),
+            ).otherwise(F.col(out)),
+        )
+    # max_rounds exceeded: adversarial chain; results are still closer to
+    # unique each round, but surface loudly rather than return silent dupes
+    raise RuntimeError(f"make_unique did not converge in {max_rounds} rounds")

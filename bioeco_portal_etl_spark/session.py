@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+            str(
+                shuffle_partitions
+                if shuffle_partitions is not None
+                else (int(cpus) if str(cpus).isdigit() else 32)
+            ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

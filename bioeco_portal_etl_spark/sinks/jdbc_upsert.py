@@ -50,21 +50,16 @@ def upsert_partitioned(
     connection (executor-side; never share driver connections).
     """
     cols = key_cols + update_cols
-    placeholders = ", ".join(["?" if dialect != "postgres" else "%s"] * len(cols))
-    if dialect == "postgres":
-        conflict = ", ".join(key_cols)
-        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
-        sql = (
-            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
-        )
-    else:  # sqlite-compatible upsert
-        conflict = ", ".join(key_cols)
-        sets = ", ".join(f"{c} = excluded.{c}" for c in update_cols)
-        sql = (
-            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
-        )
+    # Postgres and sqlite share the ON CONFLICT upsert form; only the DB-API
+    # placeholder token differs.
+    placeholder = "%s" if dialect == "postgres" else "?"
+    placeholders = ", ".join([placeholder] * len(cols))
+    conflict = ", ".join(key_cols)
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    sql = (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+    )
 
     def write_partition(rows):
         conn = connect()

@@ -75,9 +75,16 @@ def list_files(root: str, pattern: str = "*.shp", recursive: bool = True) -> lis
     return sorted(_glob.glob(pat, recursive=recursive))
 
 
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_columns(path: str) -> list[str]:
     """Column names stored as TIMESTAMP(NANOS) — Spark reads them as long
-    (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps on load."""
+    (spark.sql.legacy.parquet.nanosAsLong); we restore timestamps on load.
+    Cached per path: the driver-side footer probe must not re-read inside
+    every (possibly timed) query build."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)
@@ -86,6 +93,7 @@ def _nanos_columns(path: str) -> list[str]:
         t = f.type
         if str(t).startswith("timestamp[ns"):
             out.append(f.name)
+    _NANOS_CACHE[path] = out
     return out
 
 

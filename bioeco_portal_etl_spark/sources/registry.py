@@ -22,7 +22,8 @@ from bioeco_portal_etl_spark.sources.files import read_csv, read_excel, read_tsv
 class SourceSpec:
     """(name, kind, path, coord_cols, crs) — one ingest unit.
 
-    kind ∈ {csv, tsv, xlsx, parquet, geojson_col, shp, empty}.
+    kind ∈ {csv, tsv, xlsx, parquet, shp, empty}. (GeoJSON embedded in a
+    column is not a file source — see pipelines.layers.layer_table_from_geojson.)
     """
 
     name: str
@@ -45,6 +46,19 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         df = read_excel(spark, spec.path, **spec.options)
     elif spec.kind == "parquet":
         df = spark.read.parquet(spec.path)
+    elif spec.kind == "shp":
+        # S5: driver-side read (shapefiles are dimension-scale layer inputs)
+        from bioeco_portal_etl_spark.geo.shapefile import read_shapefile
+
+        feats = read_shapefile(spec.path)
+        field_names = sorted({k for _, attrs in feats for k in attrs})
+        rows = [
+            (wkt, *[attrs.get(f) for f in field_names]) for wkt, attrs in feats
+        ]
+        schema = ", ".join(
+            ["geometry_wkt string"] + [f"`{f}` string" for f in field_names]
+        )
+        df = spark.createDataFrame(rows, schema)
     elif spec.kind == "empty":
         df = spark.createDataFrame([], "geometry_wkt string")
     else:

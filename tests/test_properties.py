@@ -61,3 +61,16 @@ def test_simhash_partition_invariant(spark):
     a = simhash(docs, "doc_id", "text")
     b = simhash(_scrambled(docs), "doc_id", "text")
     assert _sig(a) == _sig(b)
+
+
+def test_make_unique_pathological_chains(spark):
+    """[x, x, x, x_1]: naive single-bump emits duplicate 'unique' names;
+    the fixpoint must return globally unique values."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "x_1"), (5, "y")],
+        "id int, key string",
+    )
+    out = make_unique(df, "key", [F.col("id").asc()], out_col="uk")
+    vals = [r.uk for r in out.orderBy("id").collect()]
+    assert len(set(vals)) == 5, vals
+    assert vals[0] == "x" and vals[4] == "y"  # first occurrences keep names

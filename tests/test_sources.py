@@ -109,3 +109,18 @@ def test_nanos_conversion_matches_duckdb(spark, tmp_path):
         ).fetchall()
     ]
     assert got == exp
+
+
+def test_registry_shp_kind(spark, tmp_path):
+    """S5 through the registry: shapefile on disk -> DataFrame with WKT."""
+    from bioeco_portal_etl_spark.geo.shapefile import write_shapefile
+
+    base = str(tmp_path / "layer" / "layer")
+    write_shapefile(
+        base,
+        [("POINT (1.5 2.5)", {"site": "a"}), ("POINT (3 4)", {"site": "b"})],
+        ["site"],
+    )
+    df = read_source(spark, SourceSpec(name="p", kind="shp", path=base))
+    rows = sorted((r.geometry_wkt, r.site) for r in df.collect())
+    assert rows == [("POINT (1.5 2.5)", "a"), ("POINT (3 4)", "b")]
