@@ -48,7 +48,7 @@ from bioeco_portal_etl_spark.text.dedupe import (
     ngram_jaccard_pairs,
     simhash,
 )
-from bioeco_portal_etl_spark.text.tokenize import duck_shingles, duck_tokens
+from bioeco_portal_etl_spark.text.tokenize import duck_shingles, duck_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -430,6 +430,146 @@ SELECT doc_id,
 FROM sh ORDER BY doc_id
 """
 
+def tx5_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Text normalization for curation: strip HTML-ish tags, collapse
+    whitespace, trim — the canonical pre-tokenization cleanup chain (pure
+    regexp_replace, scan-stage codegen)."""
+    d = T(spark, sf, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"<[^>]{1,100}>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", cleaned.alias("text_clean")).orderBy("doc_id")
+
+
+TX5_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '<[^>]{1,100}>', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS text_clean
+FROM documents ORDER BY doc_id
+"""
+
+# PII patterns (public-knowledge regex shapes; conservative by design —
+# a real pipeline layers a validator behind the regex hit).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{1,3}[-. ]?\(?\d{2,3}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def tx6_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: redact email/phone/IP patterns, count hits — the
+    standard pre-release curation pass. Patterns are injected into synthetic
+    positions so the operator path is exercised even on clean fixtures."""
+    d = T(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+    )
+    n_email = F.regexp_count(dirty, F.lit(PII_EMAIL))
+    n_ip = F.regexp_count(dirty, F.lit(PII_IP))
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        F.substring(redacted, -40, 40).alias("tail_redacted"),
+    ).orderBy("doc_id")
+
+
+TX6_SQL = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{PII_IP}')) AS n_ip,
+       CASE WHEN length(r) > 40 THEN substr(r, length(r) - 39, 40) ELSE r END AS tail_redacted
+FROM (SELECT doc_id, t,
+             regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{PII_IP}', '<IP>', 'g') AS r
+      FROM dirty)
+ORDER BY doc_id
+"""
+
+
+def tx7_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus statistics: top-25 word bigrams — explode + hash agg + top-k,
+    the vocabulary/contamination-audit shape (partial aggregation carries
+    (bigram, count) not rows)."""
+    d = T(spark, sf, "documents")
+    tok = d.select(tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    big = tok.select(
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
+
+
+TX7_SQL = f"""
+WITH tk AS (
+  SELECT {duck_tokens('text')} AS t FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM tk WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
+def tx8_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact length quantiles per source — the length-filter calibration
+    query (exact percentile: single pass, mergeable sketch-free at this
+    cardinality; at 100 TB swap for approx_percentile and drop the oracle
+    to rows-only)."""
+    d = T(spark, sf, "documents")
+    q = F.percentile(F.col("n_chars").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.floor(F.element_at(q, 1) * 100).cast("long").alias("p25_e2"),
+            F.floor(F.element_at(q, 2) * 100).cast("long").alias("p50_e2"),
+            F.floor(F.element_at(q, 3) * 100).cast("long").alias("p75_e2"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TX8_SQL = """
+SELECT source,
+       floor(quantile_cont(n_chars::DOUBLE, 0.25) * 100)::BIGINT AS p25_e2,
+       floor(quantile_cont(n_chars::DOUBLE, 0.50) * 100)::BIGINT AS p50_e2,
+       floor(quantile_cont(n_chars::DOUBLE, 0.75) * 100)::BIGINT AS p75_e2,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -530,6 +670,10 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tx2_language_id": (tx2_language_id, TX2_SQL),
     "tx3_quality": (tx3_quality, TX3_SQL),
     "tx4_fingerprint": (tx4_fingerprint, TX4_SQL),
+    "tx5_normalize": (tx5_normalize, TX5_SQL),
+    "tx6_pii_redact": (tx6_pii_redact, TX6_SQL),
+    "tx7_top_bigrams": (tx7_top_bigrams, TX7_SQL),
+    "tx8_length_quantiles": (tx8_length_quantiles, TX8_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),
