@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Local replica of the driver's full gate, in one command:
+
+  1. entry() smoke (rows > 0, stable schema) — what t1 checks at sf0.001;
+  2. every queries() entry vs its oracle_sql() DuckDB result at sf0.01
+     (row count + sorted columns + order-insensitive value hash) — t2;
+  3. bench timings at the requested SF (optional, --bench).
+
+Exit code 0 = everything matches. Usage:
+  python scripts/validate.py [--sf-dir /root/testdata/sf0.01] [--bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tests.oracle import compare, spark_signature  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--bench", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from bioeco_portal_etl_spark.session import get_spark
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", str(REPO / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    spark = get_spark(app_name="validate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n, cols, _ = spark_signature(mod.entry(spark))
+    entry_ok = n > 0 and bool(cols)
+    print(f"entry: rows={n} cols={cols} -> {'OK' if entry_ok else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    fails = []
+    for name, fn in queries.items():
+        if name not in oracles:
+            rn, rc, _ = spark_signature(fn(spark, args.sf_dir))
+            status = "rows-only" if rn >= 0 and rc else "FAIL"
+        else:
+            r = compare(fn(spark, args.sf_dir), con, oracles[name])
+            status = (
+                "OK"
+                if r["rows_match"] and r["cols_match"] and r["hash_match"]
+                else f"FAIL {r}"
+            )
+        if status.startswith("FAIL"):
+            fails.append(name)
+        print(f"{name}: {status}")
+
+    summary = {
+        "entry_ok": entry_ok,
+        "n_queries": len(queries),
+        "n_oracles": len(oracles),
+        "fails": fails,
+    }
+    print(json.dumps(summary))
+
+    if args.bench:
+        import subprocess
+
+        subprocess.run([sys.executable, str(REPO / "bench.py")], check=True)
+
+    return 0 if entry_ok and not fails else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
