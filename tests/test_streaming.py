@@ -8,6 +8,7 @@ and via the batch DataFrame path that the DuckDB oracle already validates.
 from __future__ import annotations
 
 import pytest
+from datetime import datetime
 
 from bioeco_portal_etl_spark.sources.files import read_parquet_table
 from bioeco_portal_etl_spark.streaming.windows import (
@@ -50,3 +51,65 @@ def test_session_stream_equals_batch(spark, event_dir):
     q.awaitTermination(120)
     streamed = spark.table("session_mem")
     assert _sig(streamed) == _sig(batch)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: an event arriving
+    after the watermark has passed its window's close is DROPPED; the batch
+    path (no watermark) still counts it. This is the state-eviction contract
+    that bounds streaming memory at scale."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    d = str(tmp_path / "late_events")
+    on_time = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 5), user_id=1,
+            event_type="click", value=1.0, props=None),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 23, 50), user_id=1,
+            event_type="click", value=1.0, props=None),
+    ]
+    late = [
+        # watermark after file 1 ≈ 23:50 - 2h = 21:50 -> the 10:00-11:00
+        # window is long closed; this event must be discarded
+        Row(event_id=3, ts=datetime(2024, 1, 1, 10, 20), user_id=1,
+            event_type="click", value=1.0, props=None),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table("late_mem").count() >= 1:
+                break  # 10:00 window finalized after watermark passed it
+            _time.sleep(1)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (str(r.window_start), r.n_events) for r in spark.table("late_mem").collect()
+    }
+    # the 10:00 window finalized with ONE event; the late arrival was dropped
+    assert ("2024-01-01 10:00:00", 1) in streamed
+    batch_df = spark.read.parquet(d)
+    batch = {
+        (str(r.window_start), r.n_events)
+        for r in tumbling_counts(batch_df).collect()
+    }
+    assert ("2024-01-01 10:00:00", 2) in batch  # batch sees all three rows
