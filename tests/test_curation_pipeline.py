@@ -1,0 +1,75 @@
+"""End-to-end curation pipeline: planted dirty/duplicate documents must fall
+out at the right funnel stage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bioeco_portal_etl_spark.pipelines.curation import (
+    annotate_documents,
+    curate_documents,
+    normalize_documents,
+)
+from bioeco_portal_etl_spark.sources.files import read_parquet_table
+from tests.conftest import SF_SMOKE
+
+BASE_TEXT = (
+    "the data of a table is the value and the scan of a row is the part "
+    "of a query and the join of a batch is the merge of a stream"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE_TEXT),
+        (2, BASE_TEXT),  # exact duplicate of 1 -> exact-dedupe stage
+        (3, BASE_TEXT + " with one extra tail clause appended here"),  # near-dup
+        (4, "<p>" + BASE_TEXT + "</p>"),  # normalizes to exact dup of 1
+        (5, "tiny"),  # under min_tokens
+        (6, "zz qq xx vv ww yy kk jj"),  # no stopwords -> low quality + 'und'
+        (7, "the quick brown fox jumps over the lazy dog and runs to the hills "
+            "while the sun sets over the quiet bay and the boats drift home"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_strips_tags(spark):
+    df = normalize_documents(_corpus(spark))
+    t4 = df.filter(F.col("doc_id") == 4).collect()[0].text
+    assert t4 == BASE_TEXT
+
+
+def test_annotate_shapes(spark):
+    ann = annotate_documents(_corpus(spark))
+    cols = set(ann.columns)
+    assert {"quality", "lang_pred", "fingerprint", "n_tokens"} <= cols
+    assert ann.count() == 7
+
+
+def test_curation_funnel(spark):
+    curated, funnel = curate_documents(
+        _corpus(spark), min_quality=0.05, jaccard_threshold=0.7
+    )
+    ids = sorted(r.doc_id for r in curated.collect())
+    assert funnel["input"] == 7
+    # 5 (too short) and 6 (no stopwords -> 'und' lang + low quality) gated
+    assert funnel["after_filters"] == 5
+    # 1,2,4 identical post-normalization -> keep min id 1
+    assert funnel["after_exact_dedupe"] == 3
+    # 3 is a near-dup of 1 (id_b dropped); 7 is genuinely different
+    assert funnel["after_near_dedupe"] == 2
+    assert ids == [1, 7]
+
+
+def test_curation_on_synthetic_corpus(spark):
+    """Smoke at fixture scale: the funnel is monotone and nothing crashes."""
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    curated, funnel = curate_documents(docs, min_quality=0.0, min_tokens=1)
+    assert (
+        funnel["input"]
+        >= funnel["after_filters"]
+        >= funnel["after_exact_dedupe"]
+        >= funnel["after_near_dedupe"]
+        > 0
+    )
+    assert curated.count() == funnel["after_near_dedupe"]
