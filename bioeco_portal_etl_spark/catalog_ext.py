@@ -351,9 +351,9 @@ def tx1_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 TX1_SQL = rf"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_ws_tokens,
-       len({duck_tokens('text')}) AS n_word_tokens,
-       len(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpe_units
+       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), t -> t <> '')) AS n_ws_tokens,
+       len({duck_tokens("coalesce(text, '')")}) AS n_word_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH}')) AS n_bpe_units
 FROM documents ORDER BY doc_id
 """
 
@@ -394,7 +394,8 @@ def tx3_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TX3_SQL = rf"""
-WITH tk AS (SELECT doc_id, text, {duck_tokens('text')} AS tk FROM documents),
+WITH tk AS (SELECT doc_id, coalesce(text, '') AS text,
+                   {duck_tokens("coalesce(text, '')")} AS tk FROM documents),
 f AS (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -471,15 +472,22 @@ def tx6_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
         ).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 soon")).otherwise(F.lit("")),
     )
     n_email = F.regexp_count(dirty, F.lit(PII_EMAIL))
+    n_phone = F.regexp_count(dirty, F.lit(PII_PHONE))
     n_ip = F.regexp_count(dirty, F.lit(PII_IP))
     redacted = F.regexp_replace(
-        F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
     )
     return d.select(
         "doc_id",
         n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
         n_ip.alias("n_ip"),
         F.substring(redacted, -40, 40).alias("tail_redacted"),
     ).orderBy("doc_id")
@@ -491,14 +499,17 @@ WITH dirty AS (
          text
          || CASE WHEN doc_id % 5 = 0
                  THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END AS t
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 soon' ELSE '' END AS t
   FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phone,
        len(regexp_extract_all(t, '{PII_IP}')) AS n_ip,
        CASE WHEN length(r) > 40 THEN substr(r, length(r) - 39, 40) ELSE r END AS tail_redacted
 FROM (SELECT doc_id, t,
-             regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             regexp_replace(regexp_replace(regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{PII_PHONE}', '<PHONE>', 'g'),
                             '{PII_IP}', '<IP>', 'g') AS r
       FROM dirty)
 ORDER BY doc_id

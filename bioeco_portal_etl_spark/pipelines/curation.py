@@ -40,16 +40,36 @@ def normalize_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, cleaned)
 
 
+ANNOTATION_COLS = (
+    "n_chars", "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+    "quality", "fingerprint", "lang_pred",
+)
+
+
 def annotate_documents(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Quality features + composite score + predicted language + fingerprint,
-    joined back onto the input columns (the joins are on the id — broadcast
-    at dim scale, co-partitioned hash join at corpus scale)."""
-    q = quality_table(df, id_col, text_col)
-    fp = fingerprint_table(df, id_col, text_col)
-    lang = df.select(F.col(id_col), language_id(text_col).alias("lang_pred"))
-    return df.join(q, id_col).join(fp, id_col).join(lang, id_col)
+    joined back onto the input columns in ONE id-join (the annotation side
+    computes all families off a single projection; broadcast at dim scale,
+    co-partitioned hash join at corpus scale).
+
+    Input columns whose names collide with annotations (e.g. a raw-source
+    ``n_chars``) are dropped first — the recomputed post-normalization
+    values are the authoritative ones; keeping both would leave an ambiguous
+    duplicate column."""
+    clashes = [c for c in ANNOTATION_COLS if c in df.columns]
+    base = df.drop(*clashes)
+    src = base.select(F.col(id_col), F.col(text_col))
+    ann = (
+        quality_table(src, id_col, text_col)
+        .join(fingerprint_table(src, id_col, text_col), id_col)
+        .join(
+            src.select(F.col(id_col), language_id(text_col).alias("lang_pred")),
+            id_col,
+        )
+    )
+    return base.join(ann, id_col)
 
 
 def curate_documents(
@@ -66,7 +86,11 @@ def curate_documents(
 
     The funnel dict is materialized eagerly (one count per stage) — that is
     the operational contract of a curation run: you always report how many
-    documents each gate removed."""
+    documents each gate removed. Stage boundaries are persisted so each
+    count (and the returned frame) reuses upstream work instead of
+    re-running the scan+annotate+dedupe pipeline per action; the returned
+    DataFrame keeps its final stage persisted — callers at true scale
+    should write it out and then spark.catalog.clearCache()."""
     funnel = {"input": df.count()}
 
     norm = normalize_documents(df, text_col)
@@ -76,18 +100,20 @@ def curate_documents(
         F.col("lang_pred").isin(*allowed_langs)
         & (F.col("quality") >= min_quality)
         & (F.col("n_tokens").between(min_tokens, max_tokens))
-    )
+    ).persist()
     funnel["after_filters"] = filtered.count()
 
     exact = exact_dedupe(filtered, id_col, text_col).filter(~F.col("is_duplicate"))
-    kept_exact = filtered.join(exact.select(id_col), id_col, "left_semi")
+    kept_exact = filtered.join(exact.select(id_col), id_col, "left_semi").persist()
     funnel["after_exact_dedupe"] = kept_exact.count()
+    filtered.unpersist()
 
     pairs = ngram_jaccard_pairs(
         kept_exact, id_col, text_col, threshold=jaccard_threshold
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    curated = kept_exact.join(drop, id_col, "left_anti")
+    curated = kept_exact.join(drop, id_col, "left_anti").persist()
     funnel["after_near_dedupe"] = curated.count()
+    kept_exact.unpersist()
 
     return curated, funnel

@@ -54,9 +54,13 @@ def ivf_topk(
     id_col: str,
     k: int = 5,
     nprobe: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF top-k: corpus assigned to nearest cell; each query probes its
-    ``nprobe`` nearest cells and ranks candidates by cosine."""
+    ``nprobe`` nearest cells and ranks candidates by cosine.
+
+    ``exclude_self`` assumes query ids share the corpus namespace (see
+    knn.cosine_topk) — pass False for external query tables."""
     cent = with_norm(centroids, vec_col, id_col).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
     )
@@ -71,7 +75,9 @@ def ivf_topk(
         "cell_id",
     )
 
-    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("_cid"))
+    cand = probes.join(assigned, "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("_cid"))
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("_cid").alias("match_id"),

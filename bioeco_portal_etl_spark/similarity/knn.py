@@ -68,16 +68,15 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return out.cast("int")
 
 
-def _scored_pairs(q: DataFrame, c: DataFrame, join_on) -> DataFrame:
+def _scored_pairs(q: DataFrame, c: DataFrame, join_on, exclude_self: bool) -> DataFrame:
     cos = cosine(F.col("q_v"), F.col("_v"), F.col("q_n"), F.col("_n"))
-    return (
-        q.join(c, join_on)
-        .filter(F.col("q_id") != F.col("_cid"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("_cid").alias("match_id"),
-            score_e4(cos).alias("score_e4"),
-        )
+    joined = q.join(c, join_on)
+    if exclude_self:
+        joined = joined.filter(F.col("q_id") != F.col("_cid"))
+    return joined.select(
+        F.col("q_id").alias("query_id"),
+        F.col("_cid").alias("match_id"),
+        score_e4(cos).alias("score_e4"),
     )
 
 
@@ -94,15 +93,25 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(
-    df: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force top-k: broadcast the (small) query set against every
-    candidate, rank by cosine. One narrow broadcast join + one window."""
+    candidate, rank by cosine. One narrow broadcast join + one window.
+
+    ``exclude_self`` assumes queries and candidates share an ID NAMESPACE
+    (queries are a corpus subset — the catalog's usage). Pass False when the
+    query set is an external table whose ids may coincidentally collide with
+    corpus ids, or the colliding candidate silently vanishes from top-k."""
     cand = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
     q = with_norm(queries, vec_col, id_col).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
     )
-    return _topk(_scored_pairs(F.broadcast(q), cand, F.lit(True)), k)
+    return _topk(_scored_pairs(F.broadcast(q), cand, F.lit(True), exclude_self), k)
 
 
 def lsh_bucket_topk(
@@ -112,18 +121,19 @@ def lsh_bucket_topk(
     id_col: str,
     k: int = 5,
     bits: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates and queries bucketed by sign-bit LSH;
     each query scores only its own bucket (single-probe). Recall trades off
     with 2^bits; multi-probe = union over neighboring buckets (not needed for
-    the oracle surface)."""
+    the oracle surface). See cosine_topk for the exclude_self contract."""
     cand = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
     cand = cand.withColumn("bucket", sign_bucket(F.col("_v"), bits))
     q = with_norm(queries, vec_col, id_col).select(
         F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
     )
     q = q.withColumn("bucket", sign_bucket(F.col("q_v"), bits))
-    return _topk(_scored_pairs(F.broadcast(q), cand, "bucket"), k)
+    return _topk(_scored_pairs(F.broadcast(q), cand, "bucket", exclude_self), k)
 
 
 def embedding_neardup_pairs(

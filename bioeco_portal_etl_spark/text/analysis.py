@@ -59,9 +59,33 @@ def language_id(col: Column | str) -> Column:
     return out
 
 
+# Quality-score thresholds — the ONE definition both the Column API and the
+# DataFrame-level table share (and the TX3 oracle mirrors).
+LEN_SATURATION = 50.0  # tokens at which length score saturates
+STOP_SATURATION = 5.0  # stopword hits at which stop score saturates
+PUNCT_MAX_RATIO = 0.2  # above this punctuation ratio the score halves
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+
+def _nn(col: Column) -> Column:
+    """Null text behaves as empty text — matches content_hash/multimodal
+    convention and keeps counts at 0 instead of Spark's size(null) = -1."""
+    return F.coalesce(col, F.lit(""))
+
+
+def _score_expr(n_tok: Column, n_chars: Column, n_stop: Column, n_punct: Column) -> Column:
+    len_score = F.least(n_tok / F.lit(LEN_SATURATION), F.lit(1.0))
+    stop_score = F.least(n_stop / F.lit(STOP_SATURATION), F.lit(1.0))
+    punct_ok = F.when(
+        (n_chars > 0) & (n_punct / n_chars <= PUNCT_MAX_RATIO), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(len_score * (F.lit(0.5) + F.lit(0.5) * stop_score) * punct_ok, 4)
+
+
 def token_counts(col: Column | str) -> dict[str, Column]:
-    """Whitespace tokens, normalized word tokens, BPE-ish unit count."""
-    c = _c(col)
+    """Whitespace tokens, normalized word tokens, BPE-ish unit count.
+    Null text counts as empty (0s, never -1)."""
+    c = _nn(_c(col))
     return {
         "n_ws_tokens": F.size(ws_tokens(c)),
         "n_word_tokens": F.size(tokens(c)),
@@ -71,14 +95,14 @@ def token_counts(col: Column | str) -> dict[str, Column]:
 
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Gopher-style quality signals, all engine-exact ints or guarded ratios."""
-    c = _c(col)
+    c = _nn(_c(col))
     tok = tokens(c)
     n_tok = F.size(tok)
     n_chars = F.length(c)
     word_chars = F.aggregate(
         tok, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    n_punct = F.regexp_count(c, F.lit(PUNCT_PATTERN))
     n_stop = F.regexp_count(F.lower(c), F.lit(_profile_regex(STOPWORDS)))
     return {
         "n_chars": n_chars,
@@ -97,20 +121,16 @@ def quality_features(col: Column | str) -> dict[str, Column]:
 
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: length saturation × stopword presence ×
-    punctuation sanity. Deliberately simple + deterministic; the per-feature
-    columns are what a real pipeline would threshold on."""
-    c = _c(col)
+    punctuation sanity (shared _score_expr — single source of truth with
+    quality_table)."""
+    c = _nn(_c(col))
     tok = tokens(c)
-    n_tok = F.size(tok)
-    n_chars = F.length(c)
-    n_stop = F.regexp_count(F.lower(c), F.lit(_profile_regex(STOPWORDS)))
-    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(n_stop / F.lit(5.0), F.lit(1.0))
-    punct_ok = F.when(
-        (n_chars > 0) & (n_punct / n_chars <= 0.2), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
-    return F.round(len_score * (F.lit(0.5) + F.lit(0.5) * stop_score) * punct_ok, 4)
+    return _score_expr(
+        F.size(tok),
+        F.length(c),
+        F.regexp_count(F.lower(c), F.lit(_profile_regex(STOPWORDS))),
+        F.regexp_count(c, F.lit(PUNCT_PATTERN)),
+    )
 
 
 def fingerprint(col: Column | str, k: int = 4, width: int = 16) -> Column:
@@ -149,8 +169,10 @@ def fingerprint_table(
 
 def quality_table(df, id_col: str, text_col: str):
     """DataFrame-level quality features + composite score, computing the
-    token array and every regexp count exactly once (layered selects)."""
-    c = _c(text_col)
+    token array and every regexp count exactly once (layered selects). Score
+    formula comes from the shared _score_expr — one source of truth with
+    quality_score and the TX3 oracle. Null text counts as empty."""
+    c = _nn(_c(text_col))
     tok = df.select(F.col(id_col), c.alias("__text"), tokens(c).alias("__tok"))
     feats = tok.select(
         F.col(id_col),
@@ -159,18 +181,13 @@ def quality_table(df, id_col: str, text_col: str):
         F.aggregate(F.col("__tok"), F.lit(0), lambda acc, t: acc + F.length(t)).alias(
             "__word_chars"
         ),
-        F.regexp_count(F.col("__text"), F.lit(r"[^A-Za-z0-9\s]")).alias("__n_punct"),
+        F.regexp_count(F.col("__text"), F.lit(PUNCT_PATTERN)).alias("__n_punct"),
         F.regexp_count(
             F.lower(F.col("__text")), F.lit(_profile_regex(STOPWORDS))
         ).alias("__n_stop"),
     )
     n_tok, n_chars = F.col("n_tokens"), F.col("n_chars")
     n_punct, n_stop = F.col("__n_punct"), F.col("__n_stop")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    stop_score = F.least(n_stop / F.lit(5.0), F.lit(1.0))
-    punct_ok = F.when(
-        (n_chars > 0) & (n_punct / n_chars <= 0.2), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
     return feats.select(
         F.col(id_col),
         "n_chars",
@@ -184,7 +201,5 @@ def quality_table(df, id_col: str, text_col: str):
         F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0)), 4).alias(
             "stopword_ratio"
         ),
-        F.round(len_score * (F.lit(0.5) + F.lit(0.5) * stop_score) * punct_ok, 4).alias(
-            "quality"
-        ),
+        _score_expr(n_tok, n_chars, n_stop, n_punct).alias("quality"),
     )

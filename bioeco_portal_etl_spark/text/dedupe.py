@@ -121,6 +121,16 @@ def minhash_lsh_pairs(
     sorted bucket membership -> distinct. Buckets larger than ``max_bucket``
     are dropped (degenerate collisions; at 100 TB one boilerplate bucket can
     otherwise emit billions of pairs)."""
+    if num_perm > len(PERM_A):
+        raise ValueError(
+            f"num_perm={num_perm} exceeds the {len(PERM_A)}-entry hash family; "
+            "extend PERM_A/PERM_B with more 31-bit multipliers"
+        )
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by bands={bands} "
+            "(permutations would be silently dropped)"
+        )
     rows = num_perm // bands
     # explode_OUTER on purpose: plain explode triggers InferFiltersFromGenerate,
     # whose size(sh)>0 filter gets pushed below the projections and re-inlines
