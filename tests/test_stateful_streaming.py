@@ -88,3 +88,50 @@ def test_running_counts_final_state_matches_batch(spark, doc_stream_dir, tmp_pat
     )
     assert bad.count() == 0
     assert w_latest.count() == batch.count()
+
+
+def test_streaming_dedupe_ttl_evicts_state(spark, tmp_path):
+    """With a short TTL, state must be REMOVED on timeout: after expiry the
+    same content hash is re-emitted (fresh state), proving eviction ran
+    instead of the resurrect-forever bug. Uses a processingTime trigger so
+    timeout processing happens between files."""
+    import time as _time
+
+    d = str(tmp_path / "ttlstream")
+    schema = "bucket int, doc_id long, content_hash string"
+    spark.createDataFrame([(0, 1, "h1")], schema).coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        streaming_dedupe(stream, state_ttl_ms=3000)
+        .writeStream.format("memory")
+        .queryName("ttl_mem")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and spark.table("ttl_mem").count() < 1:
+            _time.sleep(0.5)
+        assert spark.table("ttl_mem").count() == 1  # first h1 emitted
+        _time.sleep(6)  # > TTL: bucket 0's state times out
+        # a keep-alive batch lets the engine process the expired timer,
+        # then the same hash arrives again and must be re-emitted
+        spark.createDataFrame([(1, 99, "other")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(3)
+        spark.createDataFrame([(0, 2, "h1")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.table("ttl_mem").filter("content_hash = 'h1'").count()
+            if rows >= 2:
+                break
+            _time.sleep(1)
+        assert rows == 2, "state was not evicted after TTL"
+    finally:
+        q.stop()
