@@ -20,8 +20,10 @@ from bioeco_portal_etl_spark import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return catalog.q5_region_revenue(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the canonical-entities composite
+    (union-by-name + slugify + make-unique + deterministic id — the
+    reference's EP1 pipeline shape). Driver checks rows>0, stable schema."""
+    return catalog.queries()["p0_canonical_entities"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

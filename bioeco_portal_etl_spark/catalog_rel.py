@@ -19,6 +19,72 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
 
 
+def p0_canonical_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP composite: the reference's canonical-table pipeline shape
+    (SURVEY.md §3 EP1 step 6) in one oracle-checked query — union-by-name
+    with null fill (U1) over two differently-shaped sources, slug identity
+    (P12/P13), make-unique suffixing over NATURAL heavy collisions (A4:
+    brand+type repeats across parts), and a deterministic id (P18)."""
+    from bioeco_portal_etl_spark.functions.strings import make_identifier
+    from bioeco_portal_etl_spark.operators.dedupe import make_unique
+    from bioeco_portal_etl_spark.operators.union import union_by_name
+    from pyspark.sql import Window
+
+    parts = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("src_id"),
+        F.concat_ws(" ", "p_brand", "p_type").alias("name"),
+        F.lit("part").alias("entity"),
+        F.round("p_retailprice", 2).alias("value"),
+    )
+    sups = T(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("src_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("entity"),
+    )
+    u = union_by_name(parts, sups)
+    u = u.withColumn("identifier", make_identifier(F.col("name")))
+    u = make_unique(u, "identifier", [F.col("entity"), F.col("src_id").asc()])
+    w = Window.orderBy("entity", "src_id")
+    return u.withColumn("id", F.row_number().over(w)).select(
+        "id", "entity", "src_id", "identifier", "name", "value"
+    ).orderBy("entity", "src_id")
+
+
+P0_SQL = r"""
+WITH u AS (
+  SELECT p_partkey AS src_id, p_brand || ' ' || p_type AS name,
+         'part' AS entity, round(p_retailprice, 2) AS value
+  FROM part
+  UNION ALL
+  SELECT s_suppkey, s_name, 'supplier', NULL FROM supplier
+),
+slug AS (
+  SELECT *,
+         regexp_replace(
+           regexp_replace(
+             trim(regexp_replace(lower(name), '[()":'',&/.;]', '', 'g')),
+             '[\s\-–]+', '_', 'g'),
+           '[()":'',&/.;]', '', 'g') AS s
+  FROM u
+),
+short AS (
+  SELECT *, CASE WHEN length(s) > 58
+                 THEN substr(s, 1, 29) || substr(s, length(s) - 28, 29)
+                 ELSE s END AS base
+  FROM slug
+),
+occs AS (
+  SELECT *, row_number() OVER (PARTITION BY base ORDER BY entity, src_id) - 1 AS occ
+  FROM short
+)
+SELECT row_number() OVER (ORDER BY entity, src_id) AS id,
+       entity, src_id,
+       CASE WHEN occ > 0 THEN base || '_' || occ ELSE base END AS identifier,
+       name, value
+FROM occs ORDER BY entity, src_id
+"""
+
+
 def rel1_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Rollup over (region, nation): per-nation, per-region subtotal, grand
     total — one pass, Expand-based, no self-union."""
@@ -195,6 +261,7 @@ FROM part ORDER BY p_partkey
 
 
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "p0_canonical_entities": (p0_canonical_entities, P0_SQL),
     "p3_blanks_to_null": (p3_blanks_to_null, P3_SQL),
     "p4_flag_columns": (p4_flag_columns, P4_SQL),
     "rel1_rollup": (rel1_rollup, REL1_SQL),
