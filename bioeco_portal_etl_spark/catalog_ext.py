@@ -304,6 +304,27 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def ts4_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative algorithm entry (genuinely non-SQL-expressible — driver-
+    looped Lloyd's iterations; the driver records a rows-only check): fit
+    k-means centroids, then run IVF top-k against the FITTED centroids —
+    the production ANN configuration (ts3 uses injected centroids so its
+    query-time semantics stay fully oracle-checked)."""
+    from bioeco_portal_etl_spark.similarity.ivf import ivf_topk
+    from bioeco_portal_etl_spark.similarity.kmeans import fit_kmeans
+
+    e = T(spark, sf, "embeddings")
+    centroids, _ = fit_kmeans(e, "embedding", "vec_id", k=8, max_iter=3)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "vec_id long, embedding array<float>",
+    )
+    q = _query_vectors(spark, sf)
+    return ivf_topk(
+        e, q, cent_df, "embedding", "vec_id", k=5, nprobe=2, exclude_self=True
+    ).orderBy("query_id", "rank")
+
+
 def x1_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew machinery in the verified surface: two-phase salted aggregation
     over lineitem's 3-value returnflag (a genuinely hot-keyed groupBy) —
@@ -676,6 +697,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "ts1_cosine_topk": (ts1_cosine_topk, TS1_SQL),
     "ts2_lsh_bucket_topk": (ts2_lsh_bucket_topk, TS2_SQL),
     "ts3_ivf_topk": (ts3_ivf_topk, TS3_SQL),
+    "ts4_kmeans_ivf": (ts4_kmeans_ivf, None),  # iterative -> rows-only check
     "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),

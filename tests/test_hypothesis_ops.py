@@ -90,3 +90,36 @@ def test_wkt_parse_format_roundtrip(points):
     mp = "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in points) + ")"
     st2, parts2 = parse_wkt(mp)
     assert to_wkt(st2, parts2) == mp
+
+
+@given(
+    st.lists(
+        st.sampled_from(["x", "y", "x_1", "x_2", "y_1", "zz"]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_make_unique_properties(spark, keys):
+    """Contract properties over adversarial suffix-colliding inputs:
+    (1) output globally unique; (2) first occurrence of each key keeps its
+    name; (3) keys unique in the input that no suffixing can collide with
+    are unchanged."""
+    from bioeco_portal_etl_spark.operators.dedupe import make_unique
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id int, key string"
+    )
+    out = {
+        r.id: r.uk
+        for r in make_unique(df, "key", [F.col("id").asc()], out_col="uk").collect()
+    }
+    vals = [out[i] for i in range(len(keys))]
+    assert len(set(vals)) == len(vals)  # unique
+    seen = set()
+    for i, k in enumerate(keys):
+        if k not in seen:
+            assert vals[i] == k  # first occurrence keeps its name
+            seen.add(k)
+    if keys.count("zz") == 1:
+        assert vals[keys.index("zz")] == "zz"
