@@ -689,9 +689,11 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
+from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
 _CATALOG.update(CATALOG_REL)
+_CATALOG.update(CATALOG_TPCH)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
