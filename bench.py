@@ -25,6 +25,10 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_forecast",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
     "a1_grouped_merge",
     "a2_dedupe_keep_first",
     "a4_make_unique",

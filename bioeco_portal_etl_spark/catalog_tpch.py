@@ -115,7 +115,7 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     agg = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))).alias("promo"),
             F.sum(rev).alias("total"),
@@ -157,7 +157,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     back broadcast."""
     p = T(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
     l = T(spark, sf, "lineitem")
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    lp = l.join(p, l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     thr = lp.groupBy("l_partkey").agg(
@@ -167,7 +167,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
             * 0.2
         ).alias("qty_thr")
     )
-    small = lp.join(F.broadcast(thr), "l_partkey").filter(
+    small = lp.join(thr, "l_partkey").filter(
         F.col("l_quantity") < F.col("qty_thr")
     )
     return small.agg(
@@ -206,8 +206,8 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_custkey",
@@ -241,7 +241,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
     stage; Catalyst still prunes part to the 3 referenced columns."""
     l = T(spark, sf, "lineitem")
     p = T(spark, sf, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     branch = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))

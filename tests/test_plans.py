@@ -84,3 +84,44 @@ def test_mm1_projects_payload_away(spark):
     assert [f.name for f in df.schema.fields] == [
         "media_id", "n_bytes", "width", "height", "media_format",
     ]
+
+
+def test_q4_semi_join_not_fanout(spark):
+    """EXISTS compiles to a LeftSemi hash join carrying the non-equi
+    shipdate condition — no inner-join fan-out, no post-join distinct."""
+    plan = _physical(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    oscan = [ln for ln in plan.splitlines() if "FileScan" in ln and "o_orderdate" in ln]
+    assert oscan  # date window pushed to the orders scan
+
+
+def test_q17_single_fact_scan_family(spark):
+    """Decorrelated correlated-subquery: the per-part threshold is an
+    aggregate joined back, not a per-row subquery (no SubqueryExec in the
+    physical plan); brand filter pushed to the part scan."""
+    plan = _physical(spark, "q17_small_qty_revenue")
+    assert "Subquery" not in plan
+    pscan = [ln for ln in plan.splitlines() if "FileScan" in ln and "p_brand" in ln]
+    assert pscan and "Brand#13" in pscan[0]
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """NOT EXISTS -> LeftAnti; the global average is a broadcast one-row
+    side, never recomputed per customer; recent-orders filter pushed to
+    the orders scan below the anti join."""
+    plan = _physical(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    oscan = [ln for ln in plan.splitlines() if "FileScan" in ln and "o_orderdate" in ln]
+    assert oscan
+
+
+def test_q19_disjunction_stays_one_stage(spark):
+    """The OR-of-ANDs predicate lives in the join stage (single codegen
+    span over join+filter+partial agg) and part is pruned to the three
+    referenced columns."""
+    plan = _physical(spark, "q19_disjunctive_pred")
+    pscan = [ln for ln in plan.splitlines() if "FileScan" in ln and "p_brand" in ln][0]
+    assert "p_name" not in pscan and "p_retailprice" not in pscan
+    assert "partial_" in plan
