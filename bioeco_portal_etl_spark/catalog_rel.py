@@ -260,6 +260,93 @@ FROM part ORDER BY p_partkey
 """
 
 
+def rel6_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom temporal operator (operators/asof.py): for each error event,
+    the latest click at-or-before it per user — one union + window pass,
+    no point-in-time self-join. Oracle: DuckDB's native ASOF LEFT JOIN,
+    proving the composition reproduces real as-of semantics. Right side
+    deduped to one row per (user, ts) with a max-event_id tiebreak so both
+    engines resolve ties identically."""
+    from bioeco_portal_etl_spark.operators.asof import asof_join
+
+    e = T(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"), "value")
+    )
+    out = asof_join(
+        errors, clicks, "user_id", "ts", "ts", ["click_id", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.round("asof_value", 2).alias("click_value"),
+    ).orderBy("event_id")
+
+
+REL6_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value FROM events
+  WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.ts AS click_ts, c.click_id, round(c.value, 2) AS click_value
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+def rel7_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom temporal operator (operators/asof.py): clicks within ±5 min
+    of each error per user, via 3-bucket candidate equi-join + exact
+    filter — no per-key cross product. Oracle: DuckDB evaluates the raw
+    inequality join, proving the binning loses no pairs."""
+    from bioeco_portal_etl_spark.operators.asof import range_join_binned
+
+    e = T(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    pairs = range_join_binned(errors, clicks, "user_id", "err_ts", "click_ts", 300.0)
+    return (
+        pairs.groupBy("err_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.sum(F.col("click_value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .orderBy("err_id")
+    )
+
+
+REL7_SQL = """
+SELECT e.event_id AS err_id, e.user_id, count(*) AS n_nearby,
+       sum(CAST(c.value AS DECIMAL(18,6))) AS sum_value
+FROM events e
+JOIN events c ON c.user_id = e.user_id AND c.event_type = 'click'
+            AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "p0_canonical_entities": (p0_canonical_entities, P0_SQL),
     "p3_blanks_to_null": (p3_blanks_to_null, P3_SQL),
@@ -269,4 +356,6 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel3_semi_anti": (rel3_semi_anti, REL3_SQL),
     "rel4_conditional_pivot": (rel4_conditional_pivot, REL4_SQL),
     "rel5_topk_per_group": (rel5_topk_per_group, REL5_SQL),
+    "rel6_asof_join": (rel6_asof_join, REL6_SQL),
+    "rel7_range_join": (rel7_range_join, REL7_SQL),
 }
