@@ -1,0 +1,51 @@
+"""Stream-stream interval join — the unified batch/streaming join face.
+
+Structured Streaming can join two live streams only when the condition
+bounds how long each side's state must be kept: an equi-key plus an
+event-time interval. ``interval_join`` builds exactly that condition from
+plain columns, so the SAME function drives:
+
+- batch: an ordinary theta-join (Catalyst picks the strategy), which is
+  also the semantic oracle for ``operators/asof.range_join_binned`` —
+  tests triangulate streamed ≡ batch ≡ binned;
+- streaming: both inputs watermarked by the caller, inner join in append
+  mode; Spark derives the state-retention horizon from the interval
+  bounds + watermarks and evicts rows that can no longer match.
+
+Scale notes: state is proportional to (watermark + interval) × input
+rate per key — bounded by construction. The join shuffles both streams
+on the key; skewed keys behave like any keyed stateful op (salt upstream
+if one key dominates)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Inner join of rows with the same ``on`` key where
+    ``left_ts + lower_s <= right_ts <= left_ts + upper_s`` (bounds
+    inclusive; negative ``lower_s`` looks backward). All non-key columns
+    must be disjoint, as with any Spark join."""
+    if lower_s > upper_s:
+        raise ValueError(f"lower_s {lower_s} > upper_s {upper_s}")
+    overlap = {c for c in left.columns if c in right.columns and c != on}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    lo = F.expr(f"INTERVAL {int(lower_s * 1e6)} MICROSECOND")
+    hi = F.expr(f"INTERVAL {int(upper_s * 1e6)} MICROSECOND")
+    cond = (
+        (left[on] == right[on])
+        & (right[right_ts] >= left[left_ts] + lo)
+        & (right[right_ts] <= left[left_ts] + hi)
+    )
+    return left.join(right, cond).drop(right[on])
