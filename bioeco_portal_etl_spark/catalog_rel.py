@@ -347,6 +347,39 @@ ORDER BY e.event_id
 """
 
 
+def rel8_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-JSON column extraction (SURVEY.md §1.2: the reference carries
+    JSON payloads in string columns — GeoJSON FeatureCollections, API
+    fixtures). Spark-first: ``from_json`` with an explicit schema (typed,
+    codegen-friendly, one parse) rather than per-path string functions;
+    the parsed struct feeds a plain aggregate. Oracle: DuckDB
+    json_extract."""
+    e = T(spark, sf, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REL8_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "p0_canonical_entities": (p0_canonical_entities, P0_SQL),
     "p3_blanks_to_null": (p3_blanks_to_null, P3_SQL),
@@ -358,4 +391,5 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel5_topk_per_group": (rel5_topk_per_group, REL5_SQL),
     "rel6_asof_join": (rel6_asof_join, REL6_SQL),
     "rel7_range_join": (rel7_range_join, REL7_SQL),
+    "rel8_json_props": (rel8_json_props, REL8_SQL),
 }
