@@ -22,6 +22,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from bioeco_portal_etl_spark.session import get_spark  # noqa: E402
 from bioeco_portal_etl_spark.sources.files import read_parquet_table  # noqa: E402
+from bioeco_portal_etl_spark.operators.asof import asof_join  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -46,6 +47,7 @@ def main() -> None:
     li = read_parquet_table(spark, SF_DIR, "lineitem")
     orders = read_parquet_table(spark, SF_DIR, "orders")
     docs = read_parquet_table(spark, SF_DIR, "documents")
+    events = read_parquet_table(spark, SF_DIR, "events")
 
     def q1(df):
         return (
@@ -61,6 +63,16 @@ def main() -> None:
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         )
 
+    def asof_case(s):
+        e = events if s == 1 else scaled(events, s, ["user_id"])
+        errors = e.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join(errors, clicks, "user_id", "ts", "ts", ["value"])
+
     cases = {
         "scan_agg_q1": (lambda s: q1(li if s == 1 else scaled(li, s, ["l_orderkey"]))),
         "join_agg": (
@@ -69,6 +81,7 @@ def main() -> None:
                 orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
             )
         ),
+        "asof_join": asof_case,
         "minhash_lsh": (
             lambda s: minhash_lsh_pairs(
                 docs if s == 1 else scaled(docs, s, ["doc_id"]), "doc_id", "text"

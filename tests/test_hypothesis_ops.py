@@ -123,3 +123,43 @@ def test_make_unique_properties(spark, keys):
             seen.add(k)
     if keys.count("zz") == 1:
         assert vals[keys.index("zz")] == "zz"
+
+
+@given(
+    st.lists(  # left events: (id, key, time-offset µs)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(  # right events: (key, time-offset µs, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1]),  # asof contract: right unique per (key, ts)
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_reference_model(spark, lefts, rights):
+    """asof_join ≡ an obvious per-row python scan: latest right row with
+    rts <= lts per key, over adversarial tiny instants (dense ties)."""
+    from datetime import datetime, timedelta
+
+    from bioeco_portal_etl_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + timedelta(microseconds=us)) for i, (k, us) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, base + timedelta(microseconds=us), v) for k, us, v in rights],
+        "user_id long, ts timestamp, value long",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    for i, (k, us) in enumerate(lefts):
+        cands = [(rus, v) for rk, rus, v in rights if rk == k and rus <= us]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, us, cands)
