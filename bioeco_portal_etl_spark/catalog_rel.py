@@ -347,6 +347,37 @@ ORDER BY e.event_id
 """
 
 
+def rel9_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Full grouping-sets lattice over (returnflag, linestatus): per-cell,
+    both marginals, grand total in ONE Expand-based pass (4× input rows
+    through the partial agg, one shuffle — vs 4 scans self-unioned).
+    grouping_id distinguishes real nulls from subtotal rows."""
+    l = T(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+REL9_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def rel8_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """Nested-JSON column extraction (SURVEY.md §1.2: the reference carries
     JSON payloads in string columns — GeoJSON FeatureCollections, API
@@ -392,4 +423,5 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel6_asof_join": (rel6_asof_join, REL6_SQL),
     "rel7_range_join": (rel7_range_join, REL7_SQL),
     "rel8_json_props": (rel8_json_props, REL8_SQL),
+    "rel9_cube": (rel9_cube, REL9_SQL),
 }

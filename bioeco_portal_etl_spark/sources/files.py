@@ -53,6 +53,21 @@ def read_tsv(spark: SparkSession, path: str, schema=None, **kw) -> DataFrame:
     return read_csv(spark, path, schema=schema, sep="\t", multi_line=False, **kw)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None, multi_line: bool = False
+) -> DataFrame:
+    """JSON-lines scan (one object per line — the splittable lake form; the
+    reference's JSON surface is API payloads and GeoJSON strings, SURVEY.md
+    §2.1 S6/S7). Pass an explicit schema in production: inference scans the
+    data twice and infers from whatever sample it sees — a 100 TB footgun.
+    ``multi_line=True`` reads whole-file JSON arrays (NOT splittable; one
+    file = one task — keep for small fixture files only)."""
+    reader = spark.read.option("multiLine", multi_line)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_excel(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
     """S4: Excel via a pandas driver-side bridge (files are dimension-scale).
     Gated — raises with guidance when no xlsx engine is installed."""

@@ -7,7 +7,12 @@ import json
 
 import pytest
 
-from bioeco_portal_etl_spark.sources.files import list_files, read_excel, read_tsv
+from bioeco_portal_etl_spark.sources.files import (
+    list_files,
+    read_excel,
+    read_jsonl,
+    read_tsv,
+)
 from bioeco_portal_etl_spark.sources.registry import SourceSpec, read_source
 from bioeco_portal_etl_spark.sources.rest import json_payload_to_df
 
@@ -18,6 +23,27 @@ def test_read_tsv(spark, tmp_path):
     df = read_tsv(spark, str(p))
     rows = df.collect()
     assert len(rows) == 2 and rows[0].x == 500000
+
+
+def test_read_jsonl_explicit_schema(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "tags": ["x", "y"]}\n'
+        '{"id": 2, "name": null, "tags": []}\n'
+        '{"id": 3, "name": "c"}\n'  # missing field -> null, not an error
+    )
+    df = read_jsonl(
+        spark, str(p), schema="id long, name string, tags array<string>"
+    )
+    rows = {r.id: (r.name, r.tags) for r in df.collect()}
+    assert rows == {1: ("a", ["x", "y"]), 2: (None, []), 3: ("c", None)}
+
+
+def test_read_jsonl_multiline_array(spark, tmp_path):
+    p = tmp_path / "arr.json"
+    p.write_text('[{"id": 1}, {"id": 2}]')
+    df = read_jsonl(spark, str(p), schema="id long", multi_line=True)
+    assert sorted(r.id for r in df.collect()) == [1, 2]
 
 
 def test_excel_gated(spark, tmp_path):
