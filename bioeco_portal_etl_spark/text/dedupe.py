@@ -113,8 +113,13 @@ def minhash_lsh_pairs(
     num_perm: int = 8,
     bands: int = 4,
     max_bucket: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via MinHash + LSH banding.
+
+    ``shingles`` lets a caller inject an already-built (and typically
+    persisted) ``shingled()`` frame so a two-phase pipeline computes the
+    shingle projection once (see ngram_jaccard_pairs).
 
     Plan: scan -> shingle/signature (codegen) -> explode ``bands`` band keys
     -> ONE groupBy(band, key) shuffle -> in-reducer pair expansion over the
@@ -136,7 +141,8 @@ def minhash_lsh_pairs(
     # whose size(sh)>0 filter gets pushed below the projections and re-inlines
     # the whole shingle expression into the Filter (measured ~6x slower).
     # Outer is equivalent here — shingled() guarantees non-empty arrays.
-    ex = shingled(df, id_col, text_col, k).select(
+    sh_df = shingles if shingles is not None else shingled(df, id_col, text_col, k)
+    ex = sh_df.select(
         F.col(id_col).alias("_id"), F.explode_outer("sh").alias("_s")
     )
     hashed = ex.select("_id", shingle_hash("_s").alias("_h"))
@@ -185,8 +191,13 @@ def ngram_jaccard_pairs(
     The candidate set is linear-ish in n (LSH), so the exact set intersection
     runs on candidates only — the standard two-phase near-dedup. Sizes are
     emitted as ints (engine-exact); jaccard is their ratio."""
-    cand = minhash_lsh_pairs(df, id_col, text_col, k=k, **lsh_kw)
-    sh = shingled(df, id_col, text_col, k)
+    # One shingle projection feeds all three consumers (minhash + both
+    # rescore sides). Persisted because Spark re-executes shared subtrees
+    # per consumer; storage is LRU-evictable (MEMORY_AND_DISK) and scales
+    # as O(corpus tokens) — at true scale this stage is instead written to
+    # a parquet staging table (same materialize-once principle).
+    sh = shingled(df, id_col, text_col, k).persist()
+    cand = minhash_lsh_pairs(df, id_col, text_col, k=k, shingles=sh, **lsh_kw)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     scored = (

@@ -67,8 +67,13 @@ def test_td2_no_expression_reinlining(spark):
     token-count filter, jaccard side if present)."""
     plan = _optimized(spark, "td2_minhash_lsh")
     assert plan.count("split(") <= 3
+    # td4 materializes ONE persisted shingle stage feeding minhash + both
+    # rescore sides: every split() occurrence must live inside the cached
+    # subtree's description (InMemoryRelation), never in a live operator.
     plan4 = _optimized(spark, "td4_jaccard_pairs")
-    assert plan4.count("split(") <= 6  # two shingle branches (pairs + scores)
+    assert "InMemoryRelation" in plan4
+    live = plan4.split("InMemoryRelation")[0]  # operators above the cache
+    assert live.count("split(") == 0
 
 
 def test_ts1_broadcasts_queries(spark):
