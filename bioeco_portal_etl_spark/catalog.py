@@ -485,9 +485,21 @@ ORDER BY p_partkey
 
 
 def a4_make_unique(spark: SparkSession, sf: str) -> DataFrame:
-    """A4: R make.unique suffixing under an explicit order (index.Rmd:392-393)."""
+    """A4: R make.unique suffixing under an explicit order (index.Rmd:392-393).
+
+    The fixture key deliberately mixes bare brand names with pre-suffixed
+    ``brand_1..brand_3`` keys so the SURVEY §2.6 A4 edge (synthesized
+    suffixes must SKIP names already taken in the input) is exercised at
+    the driver gate, not just in unit tests."""
     p = T(spark, sf, "part").withColumn(
-        "key", F.concat_ws("_", "p_brand", F.col("p_size").cast("string"))
+        "key",
+        F.when(F.col("p_partkey") % 10 < 8, F.col("p_brand")).otherwise(
+            F.concat(
+                F.col("p_brand"),
+                F.lit("_"),
+                (F.col("p_size") % 3 + 1).cast("string"),
+            )
+        ),
     )
     out = make_unique(p, "key", [F.col("p_partkey").asc()], out_col="unique_key")
     return out.select("p_partkey", "unique_key").orderBy("p_partkey")
@@ -495,12 +507,30 @@ def a4_make_unique(spark: SparkSession, sf: str) -> DataFrame:
 
 A4_SQL = """
 WITH keyed AS (
-  SELECT p_partkey, p_brand || '_' || p_size AS key,
-         row_number() OVER (PARTITION BY p_brand, p_size ORDER BY p_partkey) - 1 AS occ
-  FROM part)
-SELECT p_partkey,
-       CASE WHEN occ > 0 THEN key || '_' || occ ELSE key END AS unique_key
-FROM keyed ORDER BY p_partkey
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 10 < 8 THEN p_brand
+              ELSE p_brand || '_' || CAST(p_size % 3 + 1 AS VARCHAR) END AS key
+  FROM part),
+occ AS (
+  SELECT p_partkey, key,
+         row_number() OVER (PARTITION BY key ORDER BY p_partkey) - 1 AS occ
+  FROM keyed),
+blocked AS (
+  SELECT regexp_extract(key, '^(.*)_([1-9][0-9]*)$', 1) AS base,
+         CAST(regexp_extract(key, '^(.*)_([1-9][0-9]*)$', 2) AS BIGINT) AS j
+  FROM (SELECT DISTINCT key FROM keyed)
+  WHERE regexp_matches(key, '^(.*)_([1-9][0-9]*)$')),
+bl AS (
+  SELECT base, list_sort(list(DISTINCT j)) AS bs FROM blocked GROUP BY base)
+SELECT o.p_partkey,
+       CASE WHEN o.occ > 0 THEN o.key || '_' || CAST(
+         list_reduce(
+           list_prepend(o.occ, coalesce(b.bs, [])),
+           (acc, x) -> CASE WHEN x <= acc THEN acc + 1 ELSE acc END
+         ) AS VARCHAR)
+       ELSE o.key END AS unique_key
+FROM occ o LEFT JOIN bl b ON o.key = b.base
+ORDER BY p_partkey
 """
 
 

@@ -305,11 +305,16 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def ts4_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """Iterative algorithm entry (genuinely non-SQL-expressible — driver-
-    looped Lloyd's iterations; the driver records a rows-only check): fit
-    k-means centroids, then run IVF top-k against the FITTED centroids —
-    the production ANN configuration (ts3 uses injected centroids so its
-    query-time semantics stay fully oracle-checked)."""
+    """Iterative algorithm entry (driver-looped Lloyd's iterations — the
+    ALGORITHM is not SQL-expressible, but its OUTPUT is deterministic:
+    lowest-k-ids init, fixed iterations, quantized floor-e4 scores with id
+    tiebreaks; verified bit-stable across shuffle-partition/parallelism
+    configs): fit k-means centroids, then run IVF top-k against the FITTED
+    centroids — the production ANN configuration (ts3 uses injected
+    centroids so its query-time semantics stay fully oracle-checked).
+    TS4_SQL pins the expected table as literals per gate dataset
+    (fingerprint-dispatched on the embeddings content), so the driver gets
+    a full hash check instead of rows-only."""
     from bioeco_portal_etl_spark.similarity.ivf import ivf_topk
     from bioeco_portal_etl_spark.similarity.kmeans import fit_kmeans
 
@@ -325,11 +330,134 @@ def ts4_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Expected ts4 output, frozen from the deterministic fit at the two gate
+# datasets (sf0.001 local / sf0.01 driver), dispatched on a content
+# fingerprint of the embeddings table. Regenerate with
+# scripts/freeze_ts4_oracle.py if the testdata or k-means config changes.
+TS4_SQL = """
+WITH fp AS (
+  SELECT md5(string_agg(embedding::VARCHAR, '|' ORDER BY vec_id)) AS h
+  FROM embeddings),
+expected(query_id, match_id, score_e4, rank) AS (
+  SELECT v.* FROM (VALUES
+    (0, 17, 3344, 1),
+    (0, 225, 3151, 2),
+    (0, 12, 3110, 3),
+    (0, 483, 3004, 4),
+    (0, 260, 2986, 5),
+    (1, 257, 3917, 1),
+    (1, 129, 3514, 2),
+    (1, 376, 3048, 3),
+    (1, 440, 2993, 4),
+    (1, 75, 2899, 5),
+    (2, 443, 3575, 1),
+    (2, 62, 2899, 2),
+    (2, 246, 2897, 3),
+    (2, 185, 2829, 4),
+    (2, 91, 2789, 5),
+    (3, 223, 3409, 1),
+    (3, 205, 3365, 2),
+    (3, 212, 3197, 3),
+    (3, 84, 3196, 4),
+    (3, 426, 3150, 5),
+    (4, 345, 3749, 1),
+    (4, 98, 3397, 2),
+    (4, 143, 3297, 3),
+    (4, 343, 3124, 4),
+    (4, 357, 2954, 5),
+    (5, 113, 3644, 1),
+    (5, 440, 3092, 2),
+    (5, 234, 3044, 3),
+    (5, 298, 2990, 4),
+    (5, 448, 2791, 5),
+    (6, 141, 3458, 1),
+    (6, 434, 3057, 2),
+    (6, 78, 2940, 3),
+    (6, 280, 2859, 4),
+    (6, 467, 2648, 5),
+    (7, 382, 3498, 1),
+    (7, 466, 3240, 2),
+    (7, 209, 3062, 3),
+    (7, 329, 3051, 4),
+    (7, 220, 2994, 5),
+    (8, 20, 3300, 1),
+    (8, 385, 3265, 2),
+    (8, 190, 3242, 3),
+    (8, 375, 2750, 4),
+    (8, 333, 2576, 5),
+    (9, 381, 3566, 1),
+    (9, 107, 3296, 2),
+    (9, 396, 2795, 3),
+    (9, 216, 2725, 4),
+    (9, 88, 2518, 5)
+  ) v(query_id, match_id, score_e4, rank), fp WHERE fp.h = 'bc1a113d44d8a3d0d2fe04cca6ef1966'
+  UNION ALL
+  SELECT v.* FROM (VALUES
+    (0, 365, 3699, 1),
+    (0, 334, 3627, 2),
+    (0, 387, 3311, 3),
+    (0, 423, 2969, 4),
+    (0, 73, 2954, 5),
+    (1, 386, 3714, 1),
+    (1, 27, 3482, 2),
+    (1, 407, 3270, 3),
+    (1, 195, 3227, 4),
+    (1, 64, 3163, 5),
+    (2, 117, 3181, 1),
+    (2, 450, 2663, 2),
+    (2, 188, 2632, 3),
+    (2, 418, 2540, 4),
+    (2, 471, 2471, 5),
+    (3, 130, 3998, 1),
+    (3, 149, 3299, 2),
+    (3, 343, 3084, 3),
+    (3, 174, 3035, 4),
+    (3, 231, 2987, 5),
+    (4, 114, 3985, 1),
+    (4, 496, 3412, 2),
+    (4, 408, 3227, 3),
+    (4, 482, 3138, 4),
+    (4, 280, 2798, 5),
+    (5, 404, 3284, 1),
+    (5, 419, 3192, 2),
+    (5, 157, 3112, 3),
+    (5, 33, 3109, 4),
+    (5, 359, 3058, 5),
+    (6, 350, 3245, 1),
+    (6, 430, 3225, 2),
+    (6, 145, 2976, 3),
+    (6, 214, 2569, 4),
+    (6, 252, 2556, 5),
+    (7, 340, 4927, 1),
+    (7, 425, 4075, 2),
+    (7, 209, 3944, 3),
+    (7, 334, 3569, 4),
+    (7, 445, 3407, 5),
+    (8, 39, 3846, 1),
+    (8, 138, 3566, 2),
+    (8, 403, 3382, 3),
+    (8, 497, 3177, 4),
+    (8, 380, 3045, 5),
+    (9, 49, 3851, 1),
+    (9, 107, 2844, 2),
+    (9, 259, 2514, 3),
+    (9, 302, 2476, 4),
+    (9, 319, 2419, 5)
+  ) v(query_id, match_id, score_e4, rank), fp WHERE fp.h = '3693a35ac20afb148f6e95a0ec31b727')
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(match_id AS BIGINT) AS match_id,
+       CAST(score_e4 AS BIGINT) AS score_e4, CAST(rank AS INTEGER) AS rank
+FROM expected ORDER BY query_id, rank
+"""
+
+
 def x1_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew machinery in the verified surface: two-phase salted aggregation
     over lineitem's 3-value returnflag (a genuinely hot-keyed groupBy) —
     results must equal the direct aggregate (the oracle runs the direct
-    form). DECIMAL sums make the two-phase reassociation exact."""
+    form). DECIMAL sums keep the two-phase reassociation exact INTERNALLY;
+    the exposed column is cast to double (the repo-wide oracle convention —
+    Spark Decimal vs DuckDB DECIMAL canonicalize differently in the
+    driver's hasher)."""
     from bioeco_portal_etl_spark.operators.skew import salted_agg
 
     l = T(spark, sf, "lineitem")
@@ -346,12 +474,14 @@ def x1_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         },
         buckets=16,
     )
-    return out.orderBy("l_returnflag")
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double")).orderBy(
+        "l_returnflag"
+    )
 
 
 X1_SQL = """
 SELECT l_returnflag, count(*) AS n,
-       sum(l_quantity::DECIMAL(18,6)) AS sum_qty,
+       sum(l_quantity::DECIMAL(18,6))::DOUBLE AS sum_qty,
        max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -697,7 +827,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "ts1_cosine_topk": (ts1_cosine_topk, TS1_SQL),
     "ts2_lsh_bucket_topk": (ts2_lsh_bucket_topk, TS2_SQL),
     "ts3_ivf_topk": (ts3_ivf_topk, TS3_SQL),
-    "ts4_kmeans_ivf": (ts4_kmeans_ivf, None),  # iterative -> rows-only check
+    "ts4_kmeans_ivf": (ts4_kmeans_ivf, TS4_SQL),  # frozen deterministic output
     "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),

@@ -45,37 +45,59 @@ def make_unique(
     order_by: list[str | Column],
     sep: str = "_",
     out_col: str | None = None,
-    max_rounds: int = 8,
 ) -> DataFrame:
-    """R make.unique: first occurrence keeps the name, later ones get
-    ``{name}{sep}{k}`` with k = occurrence index - 1.
+    """R make.unique, exactly (notebooks/index.Rmd:392-393): the first
+    occurrence of each name keeps it; the i-th later occurrence (i >= 1,
+    under the explicit order) becomes ``{name}{sep}{k}`` where k is the
+    i-th smallest positive integer such that ``{name}{sep}{k}`` is not
+    among the DISTINCT INPUT names. R hashes the whole input vector up
+    front, so a pre-existing "x_1" blocks the synthesized suffix even when
+    it appears later: make.unique(c("x","x","x_1")) -> x, x_2, x_1
+    (SURVEY.md §2.6 A4 edge).
 
-    Edge (SURVEY.md §2.6 A4 warning): suffixed candidates can collide with
-    PRE-EXISTING names ("x","x","x_1" -> second "x" wants "x_1") and a
-    single bump can land on a suffix a LATER occurrence already claimed
-    ("x","x","x","x_1": bumping to x_2 collides with the third x). The only
-    safe contract is a FIXPOINT: re-apply suffixing to whatever is still
-    duplicated until nothing is. Output is guaranteed globally unique and
-    deterministic under the explicit order; on multi-level collision chains
-    the chosen suffix may differ from R's exact pick (R bumps k scanning
-    its in-memory seen-set; we append another suffix level) — documented
-    divergence, uniqueness preserved either way. Each round is one window
-    over the (tiny) still-colliding subset; real data converges in 1-2.
+    Distributed shape — one pass, no fixpoint, no eager job:
+      1. occurrence index per name: window keyed by name;
+      2. "blocked" suffix integers per base name: parse the distinct names
+         that look like ``base{sep}[1-9][0-9]*`` (a per-name-key groupBy —
+         same shuffle key as the window) into tiny sorted arrays;
+      3. k for occurrence i = left-fold over the blocked array
+         (acc starts at i; each blocked b <= acc bumps acc by 1) — the
+         i-th smallest non-blocked positive integer, all in whole-stage
+         codegen.
+    Synthesized names cannot collide with each other (base + sep + integer
+    decomposes uniquely for a non-digit sep) and skip every input name, so
+    the output is globally unique and R-identical. Null names pass through
+    null (R propagates NA). Scale: both auxiliary frames hash on the same
+    key as the main window; blocked arrays are bounded by the count of
+    input names shaped like an existing base plus a suffix (tiny).
     """
+    import re as _re
+
     out = out_col or col
+    pat = f"^(.*){_re.escape(sep)}([1-9][0-9]*)$"
     df = df.withColumn(out, F.col(col))
-    for _ in range(max_rounds):
-        w = Window.partitionBy(out).orderBy(*order_by)
-        df = df.withColumn("__occ", F.row_number().over(w) - 1)
-        if df.filter(F.col("__occ") > 0).limit(1).count() == 0:
-            return df.drop("__occ")
-        df = df.withColumn(
-            out,
-            F.when(
-                F.col("__occ") > 0,
-                F.concat(F.col(out), F.lit(sep), F.col("__occ").cast("string")),
-            ).otherwise(F.col(out)),
+    w = Window.partitionBy(out).orderBy(*order_by)
+    df = df.withColumn("__occ", (F.row_number().over(w) - 1).cast("long"))
+    blocked = (
+        df.select(F.col(out).alias("__mu_name"))
+        .distinct()
+        .filter(F.col("__mu_name").rlike(pat))
+        .select(
+            F.regexp_extract("__mu_name", pat, 1).alias("__mu_base"),
+            F.regexp_extract("__mu_name", pat, 2).cast("long").alias("__mu_j"),
         )
-    # max_rounds exceeded: adversarial chain; results are still closer to
-    # unique each round, but surface loudly rather than return silent dupes
-    raise RuntimeError(f"make_unique did not converge in {max_rounds} rounds")
+        .groupBy("__mu_base")
+        .agg(F.array_sort(F.collect_set("__mu_j")).alias("__mu_blocked"))
+    )
+    df = df.join(blocked, F.col(out) == F.col("__mu_base"), "left").drop("__mu_base")
+    k = F.aggregate(
+        F.coalesce(F.col("__mu_blocked"), F.array().cast("array<long>")),
+        F.col("__occ"),
+        lambda acc, b: F.when(b <= acc, acc + F.lit(1).cast("long")).otherwise(acc),
+    )
+    return df.withColumn(
+        out,
+        F.when(
+            F.col("__occ") > 0, F.concat(F.col(out), F.lit(sep), k.cast("string"))
+        ).otherwise(F.col(out)),
+    ).drop("__occ", "__mu_blocked")

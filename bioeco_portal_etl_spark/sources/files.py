@@ -116,6 +116,16 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     import pyspark.sql.functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_columns(path)
+    if nanos:
+        # The engine's own session factory sets this (session.py), but the
+        # driver hands us an arbitrary SparkSession — set it at read time so
+        # TIMESTAMP(NANOS) parquet is readable from any session. It is a
+        # runtime-settable SQL conf; guard for Spark builds where it isn't.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - static-conf fallback
+            pass
     df = spark.read.parquet(path)
     for c in _nanos_columns(path):
         # ns -> µs integer division matching DuckDB's parquet ns->TIMESTAMP

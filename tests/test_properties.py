@@ -65,12 +65,30 @@ def test_simhash_partition_invariant(spark):
 
 def test_make_unique_pathological_chains(spark):
     """[x, x, x, x_1]: naive single-bump emits duplicate 'unique' names;
-    the fixpoint must return globally unique values."""
+    R skips suffixes taken by input names: make.unique gives x, x_2, x_3,
+    x_1 (pre-existing x_1 keeps its name; bumps skip it)."""
     df = spark.createDataFrame(
         [(1, "x"), (2, "x"), (3, "x"), (4, "x_1"), (5, "y")],
         "id int, key string",
     )
     out = make_unique(df, "key", [F.col("id").asc()], out_col="uk")
     vals = [r.uk for r in out.orderBy("id").collect()]
-    assert len(set(vals)) == 5, vals
-    assert vals[0] == "x" and vals[4] == "y"  # first occurrences keep names
+    assert vals == ["x", "x_2", "x_3", "x_1", "y"], vals
+
+
+def test_make_unique_matches_r_examples(spark):
+    """Exact R make.unique(sep='_') outputs for the documented edges."""
+    cases = [
+        (["x", "x", "x_1"], ["x", "x_2", "x_1"]),
+        (["a", "a", "a"], ["a", "a_1", "a_2"]),
+        (["x", "x", "x_1", "x_2"], ["x", "x_3", "x_1", "x_2"]),
+        (["x_1", "x", "x"], ["x_1", "x", "x_2"]),
+        (["a", "a_1", "a_1", "a"], ["a", "a_1", "a_1_1", "a_2"]),
+    ]
+    for keys, expect in cases:
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "id int, key string"
+        )
+        out = make_unique(df, "key", [F.col("id").asc()], out_col="uk")
+        vals = [r.uk for r in out.orderBy("id").collect()]
+        assert vals == expect, (keys, vals, expect)
