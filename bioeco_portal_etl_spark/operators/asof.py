@@ -47,7 +47,12 @@ def asof_join(
     union-window formulation would otherwise pick the row latest in the
     sort, which is only deterministic given an explicit tiebreak.
     Unmatched (no earlier right row, or outside ``tolerance_s``) leaves
-    the payload columns null, like a left join."""
+    the payload columns null, like a left join.
+
+    The whole right payload travels as ONE struct through a single
+    ``last(ignorenulls)`` — carrying columns independently would let a
+    NULL in the matched row's payload fall back to an OLDER right row for
+    that column only, silently mixing columns from different right rows."""
     for c in right_cols:
         if c in left.columns:
             raise ValueError(f"right col {c!r} collides with a left column")
@@ -55,15 +60,15 @@ def asof_join(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(r.schema["__rts"].dataType).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     # right rows sort BEFORE a left row at the same instant -> "at or before"
@@ -78,30 +83,20 @@ def asof_join(
     filled = carried.select(
         "__side",
         "__l",
-        F.last("__rts", ignorenulls=True).over(w).alias("__match_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 1)
     if tolerance_s is not None:
-        in_tol = (
-            F.col("__match_ts").isNotNull()
-            & (
-                F.unix_micros(F.col("__l")[left_ts]) - F.unix_micros(F.col("__match_ts"))
-                <= int(tolerance_s * 1_000_000)
-            )
+        in_tol = F.col("__m").isNotNull() & (
+            F.unix_micros(F.col("__l")[left_ts]) - F.unix_micros(F.col("__m.__rts"))
+            <= int(tolerance_s * 1_000_000)
         )
         filled = filled.select(
-            "__side",
-            "__l",
-            F.when(in_tol, F.col("__match_ts")).alias("__match_ts"),
-            *[F.when(in_tol, F.col(c)).alias(c) for c in right_cols],
+            "__side", "__l", F.when(in_tol, F.col("__m")).alias("__m")
         )
     return filled.select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
-        F.col("__match_ts").alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col("__m.__rts").alias(f"{prefix}ts"),
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

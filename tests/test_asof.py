@@ -71,6 +71,30 @@ def test_asof_tight_tolerance_drops_all_but_exact(spark, frames):
     assert out[3].asof_value == 300.0
 
 
+def test_asof_null_payload_not_backfilled_from_older_row(spark):
+    """When the MATCHED right row carries NULLs in some payload columns,
+    the output must inherit those NULLs — not fall back per-column to an
+    older right row (the struct-carry contract; per-column last(ignorenulls)
+    would silently mix columns from different right rows)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:10:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:01:00"), 100.0, "old"),
+            (10, _ts("2024-01-01 00:09:00"), None, "new"),  # matched row
+        ],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    (row,) = asof_join(
+        left, right, "user_id", "ts", "ts", ["value", "tag"]
+    ).collect()
+    assert row.asof_ts == _ts("2024-01-01 00:09:00")
+    assert row.asof_tag == "new"
+    assert row.asof_value is None  # NOT 100.0 from the older row
+
+
 def test_asof_rejects_column_collision(spark, frames):
     left, right = frames
     with pytest.raises(ValueError):
