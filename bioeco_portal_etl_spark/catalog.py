@@ -259,8 +259,10 @@ FROM documents ORDER BY doc_id
 
 
 def p8_p9_year_dates(spark: SparkSession, sf: str) -> DataFrame:
-    """P8 year-precision date parse + P9 lubridate end-of-year boundary
-    semantics (index.Rmd:103-104; 'active'/'current' -> null)."""
+    """P8 year-precision date parse + P9 lubridate end-of-year semantics
+    (index.Rmd:103-104; 'active'/'current' -> null): ceiling_date on Date
+    class uses change_on_boundary=TRUE, so end year Y -> Y-12-31 (pinned
+    against the published run in test_reference_golden_counts.py)."""
     o = T(spark, sf, "orders")
     year_str = F.when(F.col("o_orderstatus") == "O", F.lit("active")).otherwise(
         F.year("o_orderdate").cast("string")
@@ -277,7 +279,7 @@ P8_SQL = """
 SELECT o_orderkey,
        CASE WHEN o_orderstatus = 'O' THEN NULL ELSE make_date(year(o_orderdate)::int, 1, 1) END AS start_date,
        CASE WHEN o_orderstatus = 'O' THEN NULL
-            ELSE make_date(year(o_orderdate)::int, 1, 1) - INTERVAL 1 DAY END::date            AS end_date
+            ELSE make_date(year(o_orderdate)::int, 12, 31) END::date AS end_date
 FROM orders ORDER BY o_orderkey
 """
 
@@ -640,6 +642,55 @@ FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def g9_union_points_geojson(spark: SparkSession, sf: str) -> DataFrame:
+    """G3/A1e: per-group point union serialized as GeoJSON — the reference's
+    sfc_geojson(st_union(...)) (index.Rmd:332). The fixture forces all three
+    output shapes: groups ≡0 (mod 7) have only null coords (empty
+    GeometryCollection), groups ≡3 collapse to one shared point (Point),
+    the rest emit MultiPoint."""
+    from bioeco_portal_etl_spark.geo.geojson import union_points_geojson_agg
+
+    c = T(spark, sf, "customer")
+    grp = F.col("c_custkey") % 97
+    lon_m = (F.pmod(F.col("c_custkey") * 7, F.lit(360)) - 180).cast("long")
+    lat_m = (F.pmod(F.col("c_custkey") * 13, F.lit(180)) - 90).cast("long")
+    lon_1 = (F.pmod(grp * 7, F.lit(360)) - 180).cast("long")
+    lat_1 = (F.pmod(grp * 13, F.lit(180)) - 90).cast("long")
+    lon = F.when(grp % 7 == 3, lon_1).when(grp % 7 != 0, lon_m)
+    lat = F.when(grp % 7 == 3, lat_1).when(grp % 7 != 0, lat_m)
+    return (
+        c.groupBy(grp.alias("grp"))
+        .agg(union_points_geojson_agg(lon, lat).alias("geometry_geojson"))
+        .orderBy("grp")
+    )
+
+
+G9_SQL = """
+WITH pts AS (
+  SELECT c_custkey % 97 AS grp,
+         CASE WHEN (c_custkey % 97) % 7 = 0 THEN NULL
+              WHEN (c_custkey % 97) % 7 = 3 THEN
+                '[' || ((c_custkey % 97) * 7 % 360 - 180) || ',' ||
+                ((c_custkey % 97) * 13 % 180 - 90) || ']'
+              ELSE '[' || (c_custkey * 7 % 360 - 180) || ',' ||
+                   (c_custkey * 13 % 180 - 90) || ']' END AS pt
+  FROM customer),
+g AS (
+  SELECT grp,
+         list_sort(list(DISTINCT pt) FILTER (WHERE pt IS NOT NULL)) AS ps
+  FROM pts GROUP BY grp)
+SELECT grp,
+       CASE WHEN ps IS NULL OR len(ps) = 0
+              THEN '{"type":"GeometryCollection","geometries":[]}'
+            WHEN len(ps) = 1
+              THEN '{"type":"Point","coordinates":' || ps[1] || '}'
+            ELSE '{"type":"MultiPoint","coordinates":[' ||
+                 list_aggregate(ps, 'string_agg', ',') || ']}'
+       END AS geometry_geojson
+FROM g ORDER BY grp
+"""
+
+
 def g7_linestring_track(spark: SparkSession, sf: str) -> DataFrame:
     """G7: ordered positions -> LINESTRING per order (index.Rmd:549-552)."""
     l = T(spark, sf, "lineitem")
@@ -714,6 +765,7 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g2_multipoint_union": (g2_multipoint_union, G2_SQL),
     "g5_geom_type": (g5_geom_type, G5_SQL),
     "g7_linestring_track": (g7_linestring_track, G7_SQL),
+    "g9_union_points_geojson": (g9_union_points_geojson, G9_SQL),
 }
 
 

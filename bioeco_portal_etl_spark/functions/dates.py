@@ -4,13 +4,15 @@ Reference parity:
   - year_to_date -> notebooks/index.Rmd:103,182 (parse_date_time(orders="y"))
   - end_of_year  -> notebooks/index.Rmd:104,183 (ceiling_date(., "year") - days(1))
 
-P9 boundary semantics (SURVEY.md §2.3): lubridate's ceiling_date with
-change_on_boundary=FALSE returns a Jan-1 input unchanged, so the reference's
-"end of year" of a year-precision date is actually **Dec 31 of year N-1 ... +364
-days later**?  No: year_to_date always produces Jan 1 of the year, ceiling to
-year boundary returns the same Jan 1, minus one day = **Dec 31 of year-1**.
-We reproduce that observed behavior in ``end_of_year`` and expose the intended
-semantics as ``end_of_year_intent``.
+P9 boundary semantics (SURVEY.md §2.3): lubridate's ``ceiling_date`` rounds
+**Date-class** inputs with change_on_boundary=TRUE (a Date represents the
+whole day, so Jan 1's year-ceiling is the NEXT Jan 1). year_to_date always
+produces Jan 1 of the year, so the reference's end-of-year is **Dec 31 of
+the SAME year** — confirmed against the published run (docs/index.html:
+ACCOBAMS end year 2018 -> 2018-12-31; pinned in
+tests/test_reference_golden_counts.py). The change_on_boundary=FALSE
+reading (Dec 31 of year-1) is wrong for Dates and kept only as
+``end_of_year_datetime_boundary`` for POSIXct-style callers.
 """
 
 from __future__ import annotations
@@ -34,17 +36,21 @@ def year_to_date(col: Column | str) -> Column:
 
 
 def end_of_year(col: Column | str) -> Column:
-    """Reference-observed semantics: a date already on the Jan-1 boundary
-    ceilings to itself, minus 1 day => Dec 31 of the PREVIOUS year."""
+    """Reference semantics (lubridate ceiling_date on Date class,
+    change_on_boundary=TRUE): ceiling to the NEXT year boundary, minus one
+    day => Dec 31 of the SAME year."""
+    d = _c(col)
+    return F.to_date(F.concat(F.year(d).cast("string"), F.lit("-12-31")))
+
+
+def end_of_year_datetime_boundary(col: Column | str) -> Column:
+    """The POSIXct-style boundary (change_on_boundary=FALSE): a Jan-1 input
+    ceilings to itself, minus one day => Dec 31 of the PREVIOUS year. Not
+    what the reference's Date-class flow does — kept for callers porting
+    date-time (not Date) ceiling logic."""
     d = _c(col)
     on_boundary = (F.month(d) == 1) & (F.dayofmonth(d) == 1)
     ceil = F.when(on_boundary, d).otherwise(
         F.to_date(F.concat((F.year(d) + 1).cast("string"), F.lit("-01-01")))
     )
     return F.date_sub(ceil, 1)
-
-
-def end_of_year_intent(col: Column | str) -> Column:
-    """Intended semantics: Dec 31 of the SAME year."""
-    d = _c(col)
-    return F.to_date(F.concat(F.year(d).cast("string"), F.lit("-12-31")))

@@ -125,6 +125,50 @@ def geojson_geom_type(col: Column | str) -> Column:
     return pandas_udf(_type_conv, "string")(c)
 
 
+def union_points_geojson_agg(lon: Column | str, lat: Column | str) -> Column:
+    """Aggregate: the group's point union serialized as compact GeoJSON —
+    the reference's ``sfc_geojson(st_union(geometry_sfc))`` at
+    notebooks/index.Rmd:332 (A1e in its GeoJSON form; multipoint_agg is the
+    same union in WKT). Pure built-ins, whole-stage codegen.
+
+    Shape mirrors sf/geojsonsf: one distinct point -> ``Point``, several ->
+    ``MultiPoint``, none (all coords null) -> empty ``GeometryCollection``.
+    Members are de-duplicated (st_union collapses duplicates) and sorted
+    canonically for partition-invariant output (the reference inherits
+    union's internal order — documented divergence, same member set)."""
+    lon_c, lat_c = _col(lon), _col(lat)
+    pair = F.when(
+        lon_c.isNotNull() & lat_c.isNotNull(),
+        F.format_string("[%s,%s]", lon_c.cast("string"), lat_c.cast("string")),
+    )
+    pts = F.array_sort(F.array_distinct(F.collect_list(pair)))
+    return (
+        F.when(
+            F.size(pts) == 0,
+            F.lit('{"type":"GeometryCollection","geometries":[]}'),
+        )
+        .when(
+            F.size(pts) == 1,
+            F.concat(
+                F.lit('{"type":"Point","coordinates":'),
+                F.element_at(pts, 1),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"type":"MultiPoint","coordinates":['),
+                F.array_join(pts, ","),
+                F.lit("]}"),
+            )
+        )
+    )
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def point_geojson(lon: Column | str, lat: Column | str) -> Column:
     """G3 for the common case: point -> compact GeoJSON string, pure built-ins."""
     lon_c = F.col(lon) if isinstance(lon, str) else lon

@@ -57,13 +57,13 @@ from bioeco_portal_etl_spark.sinks.sqlscript import sql_update_script
 FREQUENCY_LEVELS = [
     "sub_daily",
     "daily",
-    "weekly",
     "monthly",
     "quarterly",
-    "twice_yearly",
-    "yearly",
-    "every_2_5_years",
-    "every_6_10_years",
+    "twice_per_year",
+    "annually",
+    "every_2_to_5_years",
+    "every_6_to_10_years",
+    "every_10_years_or_more",
     "opportunistically",
 ]
 
@@ -72,11 +72,11 @@ INITIAL_FREQ_MAP = {
     "Daily": "daily",
     "Monthly (12x per year)": "monthly",
     "Quarterly (4x per year)": "quarterly",
-    "2x per year": "twice_yearly",
-    "1x per year": "yearly",
-    "1x every 2 to 5 years": "every_2_5_years",
-    "1x every 6-10 years": "every_6_10_years",
-    "1x every >10 years": "every_6_10_years",
+    "2x per year": "twice_per_year",
+    "1x per year": "annually",
+    "1x every 2 to 5 years": "every_2_to_5_years",
+    "1x every 6-10 years": "every_6_to_10_years",
+    "1x every >10 years": "every_10_years_or_more",
     "Opportunistically/highly irregular intervals": "opportunistically",
 }
 
@@ -96,11 +96,20 @@ def ingest_survey(
     freq_map: dict[str, str] | None = None,
     eov_pattern: str = r"^eov_",
     url_trunc: int = 200,
+    abstract_col: str | None = None,
+    source: str | None = None,
 ) -> DataFrame:
     """EP1 steps 2-3 (index.Rmd:69-127): project the wide survey, broadcast
     left-join contacts on name, convert EOV flags, truncate urls, parse
-    year-precision dates, recode frequency."""
+    year-precision dates, recode frequency. ``abstract_col`` duplicates a
+    canonical column as ``abstract`` (the reference selects
+    abstract = prog_name); ``source`` stamps the provenance label the
+    reference adds at ingest (index.Rmd:102)."""
     df = blanks_to_null(select_rename(raw, projection))
+    if abstract_col is not None:
+        df = df.withColumn("abstract", F.col(abstract_col))
+    if source is not None:
+        df = df.withColumn("source", F.lit(source))
     df = df.join(F.broadcast(contacts), "name", "left")
     df = flag_columns(df, eov_pattern)
     if "url" in df.columns:
@@ -123,12 +132,19 @@ def ingest_eurosea(
     freq_map: dict[str, str],
     frequency_levels: list[str] | None = None,
     eov_pattern: str = r"^eov_",
+    geometry: str = "wkt",
+    url_trunc: int = 500,
+    source: str | None = None,
 ) -> DataFrame:
     """EP1 steps 4-5 (index.Rmd:135-338): project, drop null names, "x"-flag
     EOVs, split the time range, parse dates, recode frequency (passthrough on
     unmatched), numeric-cast + pair-null coordinates, then the merge
     aggregation per (organization, name): min/max dates, any() flags,
-    distinct-concat urls, ordinal-min frequency, union of points."""
+    distinct-concat urls (truncated to ``url_trunc``, index.Rmd:337),
+    ordinal-min frequency, "org - name" abstract, union of points.
+
+    ``geometry``: "wkt" emits geometry_wkt (MULTIPOINT), "geojson" emits
+    geometry_geojson (sfc_geojson(st_union(...)) parity, index.Rmd:332)."""
     levels = frequency_levels or FREQUENCY_LEVELS
     df = blanks_to_null(select_rename(raw, projection))
     df = df.filter(F.col("name").isNotNull())
@@ -148,28 +164,49 @@ def ingest_eurosea(
     )
     df = pair_null(df, "lat", "lon")
 
+    if geometry == "geojson":
+        from bioeco_portal_etl_spark.geo.geojson import union_points_geojson_agg
+
+        geom_agg = union_points_geojson_agg("lon", "lat").alias("geometry_geojson")
+    else:
+        geom_agg = multipoint_agg("lon", "lat").alias("geometry_wkt")
     eov_cols = [c for c in df.columns if c.startswith("eov_")]
     aggs = [
         F.min("start_date").alias("start_date"),
         F.max("end_date").alias("end_date"),
         *[bool_any(c).alias(c) for c in eov_cols],
-        distinct_concat("url").alias("url"),
+        str_trunc(distinct_concat("url"), url_trunc).alias("url"),
         ordinal_min("temporal_resolution", levels).alias("temporal_resolution"),
-        multipoint_agg("lon", "lat").alias("geometry_wkt"),
+        geom_agg,
     ]
-    return df.groupBy("organization", "name").agg(*aggs)
+    out = df.groupBy("organization", "name").agg(*aggs)
+    # index.Rmd:330 — abstract = concat(org, name, " - ") with NA dropped
+    out = out.withColumn(
+        "abstract", F.concat_ws(" - ", F.col("organization"), F.col("name"))
+    )
+    if source is not None:
+        out = out.withColumn("source", F.lit(source))
+    return out
 
 
-def combine(initial: DataFrame, eurosea: DataFrame) -> DataFrame:
+def combine(
+    initial: DataFrame,
+    eurosea: DataFrame,
+    source_labels: tuple[str, str] = ("survey", "eurosea"),
+) -> DataFrame:
     """EP1 step 6 (index.Rmd:346-393): union by name (null-fill), assign a
-    deterministic id, slugify, and make identifiers unique.
+    deterministic id, init has_shapefile=false (the EP2 spatial flow flips
+    it), slugify, and make identifiers unique. Inputs that already carry a
+    ``source`` column keep it (the reference stamps source at ingest).
 
     The reference's id = row_number over frame order; we order by
     (source, name, organization) — explicit, partition-invariant."""
-    u = union_by_name(
-        initial.withColumn("source", F.lit("survey")),
-        eurosea.withColumn("source", F.lit("eurosea")),
-    )
+    a, b = initial, eurosea
+    if "source" not in a.columns:
+        a = a.withColumn("source", F.lit(source_labels[0]))
+    if "source" not in b.columns:
+        b = b.withColumn("source", F.lit(source_labels[1]))
+    u = union_by_name(a, b)
     # Total order: (source, name, organization) + a full-row hash tiebreak so
     # rows tied on all three keys (same-name survey rows) still order
     # deterministically under any partitioning. Rows identical in EVERY
@@ -181,6 +218,7 @@ def combine(initial: DataFrame, eurosea: DataFrame) -> DataFrame:
         F.xxhash64(*[F.col(c) for c in u.columns]),
     ]
     u = u.withColumn("id", F.row_number().over(Window.orderBy(*order)))
+    u = u.withColumn("has_shapefile", F.lit(False))
     u = u.withColumn("identifier", make_identifier(F.col("name")))
     return make_unique(u, "identifier", [F.col("id").asc()])
 
@@ -198,12 +236,16 @@ def duplicate_identifier_report(combined: DataFrame) -> DataFrame:
 
 
 def users(combined: DataFrame, pk_base: int = 2000) -> DataFrame:
-    """EP3 users staging (index.Rmd:664-674): non-null emails, dedupe by
-    username keep-first (explicit id order), assign pks from pk_base."""
+    """EP3 users staging (index.Rmd:664-671): non-null emails, Django
+    profile shape (first_name / last_name / email / username /
+    is_superuser=false), dedupe by username keep-first (explicit id
+    order), assign pks from pk_base."""
     u = combined.filter(F.col("contact_email").isNotNull()).select(
+        F.col("contact_firstname").alias("first_name"),
+        F.col("contact_lastname").alias("last_name"),
+        F.col("contact_email").alias("email"),
         F.col("contact_email").alias("username"),
-        "contact_firstname",
-        "contact_lastname",
+        F.lit(False).alias("is_superuser"),
         "id",
     )
     first = dedupe_keep_first(u, ["username"], [F.col("id").asc()])

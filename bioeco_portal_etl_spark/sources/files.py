@@ -69,18 +69,37 @@ def read_jsonl(
 
 
 def read_excel(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
-    """S4: Excel via a pandas driver-side bridge (files are dimension-scale).
-    Gated — raises with guidance when no xlsx engine is installed."""
+    """S4: Excel scan (reference read.xlsx, notebooks/index.Rmd:135,547).
+    Driver-side by design — xlsx files are dimension-scale configuration
+    inputs. Uses pandas' xlsx engine when one is installed; otherwise the
+    bundled pure-stdlib reader (sources/xlsx.py), so the path is runnable
+    with no optional dependencies. All-numeric columns arrive as double,
+    everything else as string with blank cells null (R read.xlsx's
+    numeric-or-character column typing)."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as e:  # pragma: no cover - environment dependent
-        raise NotImplementedError(
-            "Excel scan requires openpyxl/xlrd; convert the sheet to CSV and "
-            "use read_csv, or install an engine."
-        ) from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from bioeco_portal_etl_spark.sources.xlsx import read_xlsx_table
+
+        header, body = read_xlsx_table(path, sheet)
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        fields = []
+        for j, name in enumerate(header):
+            vals = [r[j] for r in body if r[j] is not None]
+            numeric = bool(vals) and all(isinstance(v, float) for v in vals)
+            fields.append(
+                StructField(name, DoubleType() if numeric else StringType(), True)
+            )
+        return spark.createDataFrame(body, StructType(fields))
 
 
 def list_files(root: str, pattern: str = "*.shp", recursive: bool = True) -> list[str]:

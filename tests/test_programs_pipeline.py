@@ -137,8 +137,8 @@ def test_initial_preserves_survey_rows_and_cleans(frames):
     assert cw.contact_email == "ann@x.org"
     assert cw.eov_birds is True and cw.eov_fish is False  # NA -> False
     assert str(cw.start_date) == "1990-01-01"
-    # P9 reference-observed boundary: end 2018 -> Dec 31 of 2017
-    assert str(cw.end_date) == "2017-12-31"
+    # P9 Date-class ceiling (change_on_boundary=TRUE): end 2018 -> 2018-12-31
+    assert str(cw.end_date) == "2018-12-31"
     assert cw.temporal_resolution == "daily"
     sn = by_name["Seagrass Net"]
     assert sn.end_date is None  # "active" -> null
@@ -155,7 +155,7 @@ def test_eurosea_merge_aggregation(frames):
     assert set(rows) == {("OrgA", "North Sea Monitor"), ("OrgB", "Coral Watch")}
     g = rows[("OrgA", "North Sea Monitor")]
     assert str(g.start_date) == "1979-01-01"  # min over the group
-    assert str(g.end_date) == "2017-12-31"  # max (2018 -> P9 -> 2017-12-31)
+    assert str(g.end_date) == "2018-12-31"  # max (2018 -> P9 -> 2018-12-31)
     assert g.eov_microbes is True and g.eov_birds is True  # "x"/"x " both count
     assert g.url == "https://a.org; https://b.org"  # sorted distinct concat
     assert g.temporal_resolution == "daily"  # finest mapped level in group
