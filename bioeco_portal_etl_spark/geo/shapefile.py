@@ -156,6 +156,10 @@ def _dbf_bytes(field_names: list[str], rows: list[dict]) -> bytes:
         for name in field_names:
             v = r.get(name)
             s = ("" if v is None else str(v)).encode("utf-8", "replace")[:width]
+            # never split a multi-byte sequence at the width boundary — the
+            # reader decodes errors='replace' and would corrupt the tail;
+            # re-decoding with errors='ignore' drops any dangling prefix
+            s = s.decode("utf-8", "ignore").encode("utf-8")
             body += s.ljust(width, b" ")
     return head + descs + b"\x0d" + body + b"\x1a"
 

@@ -81,6 +81,7 @@ def curate_documents(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     jaccard_threshold: float = 0.8,
+    staging_dir: str | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation pass. Returns (curated DataFrame, funnel counts).
 
@@ -90,7 +91,12 @@ def curate_documents(
     count (and the returned frame) reuses upstream work instead of
     re-running the scan+annotate+dedupe pipeline per action; the returned
     DataFrame keeps its final stage persisted — callers at true scale
-    should write it out and then spark.catalog.clearCache()."""
+    should write it out and then spark.catalog.clearCache().
+
+    ``staging_dir`` routes the near-dedupe's shared shingle stage to a
+    parquet staging table instead of an in-memory persist (the 100 TB
+    path); without it the stage is persisted and unpersisted here once the
+    funnel count has materialized it."""
     funnel = {"input": df.count()}
 
     norm = normalize_documents(df, text_col)
@@ -108,12 +114,20 @@ def curate_documents(
     funnel["after_exact_dedupe"] = kept_exact.count()
     filtered.unpersist()
 
+    handles: list[DataFrame] = []
     pairs = ngram_jaccard_pairs(
-        kept_exact, id_col, text_col, threshold=jaccard_threshold
+        kept_exact,
+        id_col,
+        text_col,
+        threshold=jaccard_threshold,
+        staging_path=f"{staging_dir}/shingles" if staging_dir else None,
+        stage_handles=handles,
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     curated = kept_exact.join(drop, id_col, "left_anti").persist()
     funnel["after_near_dedupe"] = curated.count()
     kept_exact.unpersist()
+    for h in handles:  # shingle stage fully consumed once curated counted
+        h.unpersist()
 
     return curated, funnel

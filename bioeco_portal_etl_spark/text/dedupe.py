@@ -183,6 +183,8 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    staging_path: str | None = None,
+    stage_handles: list[DataFrame] | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates re-scored with EXACT n-gram
@@ -190,13 +192,30 @@ def ngram_jaccard_pairs(
 
     The candidate set is linear-ish in n (LSH), so the exact set intersection
     runs on candidates only — the standard two-phase near-dedup. Sizes are
-    emitted as ints (engine-exact); jaccard is their ratio."""
-    # One shingle projection feeds all three consumers (minhash + both
-    # rescore sides). Persisted because Spark re-executes shared subtrees
-    # per consumer; storage is LRU-evictable (MEMORY_AND_DISK) and scales
-    # as O(corpus tokens) — at true scale this stage is instead written to
-    # a parquet staging table (same materialize-once principle).
-    sh = shingled(df, id_col, text_col, k).persist()
+    emitted as ints (engine-exact); jaccard is their ratio.
+
+    One shingle projection feeds all three consumers (minhash + both rescore
+    sides); Spark re-executes shared subtrees per consumer, so it must be
+    materialized once. Two materialization modes:
+
+    - ``staging_path`` set (the 100 TB path): the shingle stage is WRITTEN
+      to parquet there and re-read — durable, memory-free, resumable, and
+      each consumer gets plain columnar scans with pushdown.
+    - otherwise: ``.persist()`` (MEMORY_AND_DISK, LRU-evictable) — right
+      for interactive/medium scale. The persisted handle is appended to
+      ``stage_handles`` (if passed) so the caller can ``unpersist()`` after
+      materializing the result; with no list given, the cache entry lives
+      until session clearCache (acceptable for one-shot jobs, a leak for
+      per-batch loops — pass the list there)."""
+    if staging_path is not None:
+        shingled(df, id_col, text_col, k).write.mode("overwrite").parquet(
+            staging_path
+        )
+        sh = df.sparkSession.read.parquet(staging_path)
+    else:
+        sh = shingled(df, id_col, text_col, k).persist()
+        if stage_handles is not None:
+            stage_handles.append(sh)
     cand = minhash_lsh_pairs(df, id_col, text_col, k=k, shingles=sh, **lsh_kw)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

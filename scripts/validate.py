@@ -62,7 +62,9 @@ def main() -> int:
     for name, fn in queries.items():
         if name not in oracles:
             rn, rc, _ = spark_signature(fn(spark, args.sf_dir))
-            status = "rows-only" if rn >= 0 and rc else "FAIL"
+            # rows-only gate must FAIL on empty results (rn > 0, not >= 0) —
+            # matching the driver's entry smoke semantics
+            status = "rows-only" if rn > 0 and rc else "FAIL"
         else:
             r = compare(fn(spark, args.sf_dir), con, oracles[name])
             status = (

@@ -73,3 +73,54 @@ def test_curation_on_synthetic_corpus(spark):
         > 0
     )
     assert curated.count() == funnel["after_near_dedupe"]
+
+
+def test_near_dedupe_staging_path_matches_persist_path(spark, tmp_path):
+    """The 100 TB materialization mode: routing the shared shingle stage
+    through a parquet staging table must produce the identical pair set,
+    and the parquet staging files must actually exist."""
+    import os
+
+    from bioeco_portal_etl_spark.text.dedupe import ngram_jaccard_pairs
+
+    docs = normalize_documents(_corpus(spark))
+    mem = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    )
+    staged_dir = str(tmp_path / "shingles")
+    staged = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, staging_path=staged_dir
+        ).collect()
+    )
+    assert staged == mem and staged
+    assert any(f.endswith(".parquet") for f in os.listdir(staged_dir))
+
+
+def test_near_dedupe_stage_handles_enable_unpersist(spark):
+    """Callers looping per batch must be able to release the shingle cache:
+    the persisted handle is surfaced and unpersist() drops its storage."""
+    from bioeco_portal_etl_spark.text.dedupe import ngram_jaccard_pairs
+
+    docs = normalize_documents(_corpus(spark))
+    handles = []
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, stage_handles=handles
+    )
+    pairs.count()
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached
+
+
+def test_curation_funnel_with_staging_dir(spark, tmp_path):
+    curated, funnel = curate_documents(
+        _corpus(spark),
+        min_quality=0.05,
+        jaccard_threshold=0.7,
+        staging_dir=str(tmp_path / "stage"),
+    )
+    assert funnel["after_near_dedupe"] == 2
+    assert sorted(r.doc_id for r in curated.collect()) == [1, 7]

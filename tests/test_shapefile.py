@@ -50,6 +50,21 @@ def test_mixed_layer_and_attr_fidelity(tmp_path):
     assert back[1][1]["depth"] is None
 
 
+def test_long_multibyte_attr_truncates_on_char_boundary(tmp_path):
+    """An attribute overflowing the fixed 80-byte C field must not split a
+    multi-byte UTF-8 character: the round-trip value is a clean prefix of
+    the original, with no replacement characters."""
+    long_val = "Estación de Fotobiología " * 5  # 'ó' is 2 bytes; > 80 bytes
+    feats = [("POINT (1 1)", {"site": long_val})]
+    base = str(tmp_path / "layer" / "layer")
+    write_shapefile(base, feats, ["site"])
+    back = read_shapefile(base)
+    got = back[0][1]["site"]
+    assert "�" not in got
+    assert long_val.startswith(got)
+    assert len(got.encode("utf-8")) <= 80
+
+
 def test_empty_layer_is_valid(tmp_path):
     base = str(tmp_path / "empty" / "empty")
     assert write_shapefile(base, [], ["identifier"]) == 0
