@@ -91,6 +91,68 @@ def write_layers(
     layers.select(*cols).repartition(F.col(id_col)).foreachPartition(write_partition)
 
 
+def layer_eligible_identifiers(
+    programs: DataFrame,
+    id_col: str = "identifier",
+    geojson_col: str = "geometry_geojson",
+) -> DataFrame:
+    """Programs whose embedded GeoJSON exports as a homogeneous shapefile
+    layer (index.Rmd:401-415): non-null, not the literal ``"null"``
+    sentinel, and a SINGLE geometry type — bare Point/MultiPoint/etc.
+    geometries qualify trivially; FeatureCollections qualify when their
+    features share one geometry type (the reference's
+    ``length(unique(st_geometry_type(shape))) == 1`` mixed-geometry skip);
+    (empty) GeometryCollections never qualify (zero parsed features).
+
+    All JVM-side: bare-type dispatch is one get_json_object; the
+    FeatureCollection branch re-uses the from_json+posexplode parse and a
+    count-distinct per program. Validated against the published run —
+    together with EXTERNAL_LAYER_NAMES it reproduces the notebook's 372
+    missing-spatial programs (tests/test_reference_golden_counts.py)."""
+    guarded = programs.filter(
+        F.col(geojson_col).isNotNull() & (F.col(geojson_col) != "null")
+    )
+    t = F.get_json_object(F.col(geojson_col), "$.type")
+    bare = guarded.filter(
+        t.isNotNull() & ~t.isin("FeatureCollection", "GeometryCollection")
+    ).select(id_col)
+    from bioeco_portal_etl_spark.geo.geojson import explode_feature_collection
+
+    feats = explode_feature_collection(
+        guarded.filter(t == "FeatureCollection").select(id_col, geojson_col),
+        geojson_col,
+    )
+    homog = (
+        feats.withColumn("__gt", F.get_json_object("geometry_json", "$.type"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gt").alias("__n_types"))
+        .filter(F.col("__n_types") == 1)
+        .select(id_col)
+    )
+    return bare.union(homog)
+
+
+def with_has_shapefile_from_sources(
+    programs: DataFrame,
+    external_names: list[str] | tuple[str, ...] = (),
+    id_col: str = "identifier",
+    geojson_col: str = "geometry_geojson",
+    name_col: str = "name",
+) -> DataFrame:
+    """EP2 coverage, derived relationally: has_shapefile = (GeoJSON column
+    exports a homogeneous layer) OR (program name is served by an external
+    spatial source — site CSVs, gathered/copied shapefiles, TSV/XLSX
+    tracks; the reference's 34 imperative call sites at
+    index.Rmd:443-462,486,505,513-520,526,542 keyed by name). Replaces the
+    notebook's ``<<-`` mutation bookkeeping with two semi-joins."""
+    eligible = layer_eligible_identifiers(programs, id_col, geojson_col)
+    written = eligible
+    if external_names:
+        ext = programs.filter(F.col(name_col).isin(*external_names)).select(id_col)
+        written = written.union(ext)
+    return with_has_shapefile(programs, written.distinct(), id_col)
+
+
 def with_has_shapefile(
     programs: DataFrame, layers: DataFrame, id_col: str = "identifier"
 ) -> DataFrame:

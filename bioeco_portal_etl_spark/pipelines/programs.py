@@ -159,8 +159,11 @@ def ingest_eurosea(
     df = df.withColumn("temporal_resolution", recode("frequency", freq_map)).drop(
         "frequency"
     )
-    df = df.withColumn("lat", F.trim(F.col("lat")).cast("double")).withColumn(
-        "lon", F.trim(F.col("lon")).cast("double")
+    # try_cast, not cast: R's as.numeric is NA-on-malformed (the real data
+    # holds degree-minute strings like "058;29.422'"); an ANSI session must
+    # not change pipeline semantics
+    df = df.withColumn("lat", F.trim(F.col("lat")).try_cast("double")).withColumn(
+        "lon", F.trim(F.col("lon")).try_cast("double")
     )
     df = pair_null(df, "lat", "lon")
 

@@ -83,6 +83,45 @@ EUROSEA_PROJECTION = {
     "Lon": "lon",
 }
 
+# Programs whose spatial layer comes from an EXTERNAL source rather than the
+# embedded GeoJSON column — the reference's imperative shapefile_from_points /
+# gather_shapefiles / copy_shapefile / TSV / XLSX call sites, keyed by program
+# name (index.Rmd:443-462, 486, 505, 513-520, 526, 542).
+EXTERNAL_LAYER_NAMES = [
+    "Aleutian Islands Benthic Habitat Survey",
+    "Australian continuous plankton recorder survey (AusCPR)",
+    "Cetacean Research Program",
+    "Diversity of the Indo-Pacific Network",
+    "eOceans",
+    "Estacion Costera de Investigaciones Marinas",
+    "Estación de Fotobiologia Playa Unión",
+    "Global ARMS Program",
+    "IMOS ships of opportunity bioacoustics",
+    "Marine Biodiversity and Climate Change",
+    "Movebank",
+    "National Observatory System: Mammals as Ocean Samplers",
+    "Ocean Tracking Network",
+    "Reef Life Survey",
+    "SCAR Southern Ocean Continuous Plankton Recorder Survey",
+    "Service National d'Observation CORAIL",
+    "Synoptic Intertidal Benthic Survey",
+    "Tohoku National Fisheries Institute",
+    "Waddenmozaiek program",
+    "Zooplankton Sample Collectionof Fisheries Research Agency",
+    "Ecological impact monitoring offshore windfarms",
+    "IUCN Marine Mammal Protected Areas Task Force",
+    "Marine breeding birds",
+    "Coastal waters soft bottom fauna",
+    "Abundance and distribution of harbour porpoises",
+    "Coastal hard bottom macroalgae and blue mussel communities",
+    "Offshore soft bottom macrozoobenthos",
+    "Phytoplankton species composition and abundance",
+    "Sea trout",
+    "Zooplankton species composition and abundance",
+    "Basque monitoring network for the ecological status assessment",
+    "Western European Shelf Pelagic Acoustic Survey (WESPAS)",
+]
+
 EUROSEA_FREQ_MAP = {
     "2 x a week since 2005": "weekly",
     "Annual (Sept)": "annually",

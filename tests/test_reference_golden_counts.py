@@ -102,6 +102,22 @@ def test_users_dims(golden):
     assert pks == list(range(2001, 2219))  # 2000 + row_number (index.Rmd:671)
 
 
+def test_missing_spatial_count(golden):
+    """The notebook's EP2 coverage bookkeeping, derived relationally:
+    372 of 627 programs end up without spatial data (index.Rmd:569-575) —
+    has_shapefile = homogeneous embedded GeoJSON OR an external spatial
+    source keyed by program name."""
+    from bioeco_portal_etl_spark.pipelines.layers import (
+        with_has_shapefile_from_sources,
+    )
+
+    flagged = with_has_shapefile_from_sources(
+        golden["combined"], cfg.EXTERNAL_LAYER_NAMES
+    )
+    assert flagged.filter(~F.col("has_shapefile")).count() == 372
+    assert flagged.count() == 627
+
+
 def test_initial_spot_values(golden):
     """First published row (docs/index.html): Abundance… 2003-01-01 /
     quarterly; ACCOBAMS row: ASI, 2018-01-01..2018-12-31, sub_daily."""
