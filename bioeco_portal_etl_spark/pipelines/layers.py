@@ -37,18 +37,32 @@ def layer_table_from_geojson(
     attr_cols: list[str] | None = None,
 ) -> DataFrame:
     """EP2 step 1 (index.Rmd:401-416): programs with an embedded GeoJSON
-    FeatureCollection column -> one layer row per feature with WKT geometry.
+    column -> one layer row per feature with WKT geometry. Handles BOTH
+    column shapes the combined frame carries: FeatureCollections (the
+    contacts survey's ErinSpatialGeoJSON) and bare geometries (the EuroSea
+    flow's sfc_geojson(st_union(...)) Point/MultiPoint strings) —
+    geojson_sf() accepts both (index.Rmd:408).
 
-    Composition: from_json + posexplode (geo/geojson) -> pandas-UDF WKT
-    rendering on geometry-bearing rows only -> homogeneity filter comes from
-    the caller via geom_type (A5/F5, the mixed-collection skip rule)."""
+    Composition: from_json + posexplode (geo/geojson) for collections, a
+    zero-parse passthrough for bare geometries -> pandas-UDF WKT rendering
+    on geometry-bearing rows only -> homogeneity filter comes from the
+    caller via geom_type (A5/F5, the mixed-collection skip rule)."""
     from bioeco_portal_etl_spark.geo.geojson import (
         explode_feature_collection,
         geojson_to_wkt,
     )
 
     attr_cols = attr_cols or []
-    feats = explode_feature_collection(programs, geojson_col)
+    t = F.get_json_object(F.col(geojson_col), "$.type")
+    fc = explode_feature_collection(
+        programs.filter(t == "FeatureCollection"), geojson_col
+    ).select(id_col, "geometry_json", *attr_cols)
+    bare = programs.filter(
+        t.isNotNull() & ~t.isin("FeatureCollection", "GeometryCollection")
+    ).select(
+        id_col, F.col(geojson_col).alias("geometry_json"), *attr_cols
+    )
+    feats = fc.unionByName(bare)
     return (
         feats.filter(F.col("geometry_json").isNotNull())
         .select(

@@ -118,6 +118,38 @@ def test_missing_spatial_count(golden):
     assert flagged.count() == 627
 
 
+def test_real_layers_write_end_to_end(golden, tmp_path):
+    """EP2 on the real data: the 220 GeoJSON-eligible programs (96 bare
+    Point/MultiPoint from EuroSea + 124 homogeneous FeatureCollections
+    from the contacts survey) each materialize a readable shapefile layer
+    via the distributed grouped write."""
+    import os
+
+    from bioeco_portal_etl_spark.geo.shapefile import read_shapefile
+    from bioeco_portal_etl_spark.pipelines.layers import (
+        layer_eligible_identifiers,
+        layer_table_from_geojson,
+        write_layers,
+    )
+
+    combined = golden["combined"]
+    eligible = layer_eligible_identifiers(combined)
+    assert eligible.count() == 220
+    layers = layer_table_from_geojson(
+        combined.join(eligible, "identifier", "left_semi")
+    )
+    out = str(tmp_path / "output")
+    write_layers(layers, out)
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 220
+    # spot-read one layer back: valid shapefile, homogeneous geometry
+    ident = dirs[0]
+    feats = read_shapefile(os.path.join(out, ident, ident))
+    assert feats
+    types = {f[0].split(" ")[0].split("(")[0] for f in feats}
+    assert len(types) == 1
+
+
 def test_initial_spot_values(golden):
     """First published row (docs/index.html): Abundance… 2003-01-01 /
     quarterly; ACCOBAMS row: ASI, 2018-01-01..2018-12-31, sub_daily."""
