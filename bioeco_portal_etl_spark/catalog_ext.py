@@ -818,6 +818,109 @@ FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Decontamination / repetition / splitting (training-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+def td6_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark n-gram overlap (GPT-3/PaLM-style decontamination check):
+    docs 0-19 act as the held-out benchmark; every corpus doc sharing >= 2
+    distinct 3-shingles with a benchmark doc is reported with its overlap
+    count (text/decontam.py — broadcast benchmark shingles, map-side join)."""
+    from bioeco_portal_etl_spark.text.decontam import ngram_overlap_pairs
+
+    d = T(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return ngram_overlap_pairs(
+        corpus, bench, "doc_id", "text", k=3, min_common=2
+    ).orderBy("doc_id", "bench_id")
+
+
+TD6_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingles(duck_tokens('text'), 3)} AS sg FROM documents
+),
+b AS (SELECT doc_id AS bench_id, unnest(sg) AS s FROM sh WHERE doc_id < 20),
+c AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE doc_id >= 20),
+j AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_common
+  FROM c JOIN b USING (s) GROUP BY c.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id, n_common FROM j
+WHERE n_common >= 2 ORDER BY doc_id, bench_id
+"""
+
+
+def tx9_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-token fraction and
+    duplicate-bigram fraction as floor-e4 ints (text/analysis.py
+    repetition_table; Rae et al. 2021 A1.1)."""
+    from bioeco_portal_etl_spark.text.analysis import repetition_table
+
+    d = T(spark, sf, "documents")
+    return repetition_table(d, "doc_id", "text").orderBy("doc_id")
+
+
+TX9_SQL = f"""
+WITH tok AS (SELECT doc_id, {duck_tokens('text')} AS tk FROM documents),
+nz AS (SELECT * FROM tok WHERE len(tk) > 0),
+ex AS (SELECT doc_id, unnest(tk) AS t FROM nz),
+pt AS (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY doc_id, t),
+top AS (SELECT doc_id, max(c) AS maxc, sum(c) AS sumc FROM pt GROUP BY doc_id),
+bgx AS (SELECT doc_id, unnest({duck_shingles('tk', 2, distinct=False)}) AS bg FROM nz),
+bs AS (
+  SELECT doc_id, count(*) AS btotal, count(DISTINCT bg) AS bdistinct
+  FROM bgx GROUP BY doc_id
+)
+SELECT t.doc_id,
+       (10000 * maxc) // sumc AS top_token_ratio_e4,
+       coalesce((10000 * (btotal - bdistinct)) // btotal, 0)::BIGINT
+         AS dup_bigram_ratio_e4
+FROM top t LEFT JOIN bs USING (doc_id) ORDER BY doc_id
+"""
+
+
+# Per-language train fractions for the x2 fixture: hold out more of the
+# rarer strata. Config data, caller-overridable (operators/sampling.py).
+X2_FRACS = {"en": 0.95, "es": 0.8, "de": 0.7}
+X2_DEFAULT = 0.9
+
+
+def x2_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val split: bucket = first 32 bits of
+    md5(doc_id) mod 1e4, per-language threshold (operators/sampling.py).
+    Rerun-/append-/partitioning-stable by construction — and engine-exact,
+    so the assignment itself is oracle-checked (seeded sample() cannot be)."""
+    from bioeco_portal_etl_spark.operators.sampling import stratified_hash_split
+
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    out = stratified_hash_split(
+        d, "doc_id", "lang", X2_FRACS, default_frac=X2_DEFAULT
+    )
+    return out.orderBy("doc_id")
+
+
+_X2_CASES = " ".join(
+    f"WHEN lang = '{s}' THEN {int(f * 10000)}" for s, f in sorted(X2_FRACS.items())
+)
+X2_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         list_reduce(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1)::BIGINT),
+           (a, x) -> a * 16 + x) % 10000 AS bucket,
+         CASE {_X2_CASES} ELSE {int(X2_DEFAULT * 10000)} END AS thr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < thr THEN 'train' ELSE 'val' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -837,6 +940,9 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tx6_pii_redact": (tx6_pii_redact, TX6_SQL),
     "tx7_top_bigrams": (tx7_top_bigrams, TX7_SQL),
     "tx8_length_quantiles": (tx8_length_quantiles, TX8_SQL),
+    "td6_decontamination": (td6_decontamination, TD6_SQL),
+    "tx9_repetition": (tx9_repetition, TX9_SQL),
+    "x2_stratified_split": (x2_stratified_split, X2_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),

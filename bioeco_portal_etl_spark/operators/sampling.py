@@ -1,0 +1,71 @@
+"""Deterministic sampling / dataset splitting — train-pipeline operators
+the reference (a one-shot ETL notebook) never needed, but any corpus
+preparation at scale does: reproducible train/validation assignment that
+is stable under reruns, repartitioning, and incremental appends.
+
+Spark-first shape: the split is a pure COLUMN expression over a content
+hash of the id (md5 -> first 8 hex digits -> integer bucket in [0, 10000)),
+so it runs in whole-stage codegen, needs no shuffle, no RNG state, and the
+same row always lands in the same split in any engine (md5 is
+byte-identical in DuckDB — the oracle runs the same arithmetic).
+`sample(fraction, seed)` by contrast is partition-order sensitive and
+cannot be reproduced by another engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000): first 32 bits of md5(id || salt) mod 1e4.
+    Uniform for any id distribution (sequential ints included)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS).alias(
+        "bucket"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Two-way deterministic split: bucket < train_frac*10000 -> 'train',
+    else 'val'. Rerun-stable and append-stable (new rows never move old
+    rows between splits — the property seeded sample() lacks)."""
+    b = hash_bucket(id_col, salt)
+    thr = int(train_frac * BUCKETS)
+    return df.withColumn(
+        out_col, F.when(b < thr, F.lit("train")).otherwise(F.lit("val"))
+    )
+
+
+def stratified_hash_split(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    train_frac_by_stratum: dict[str, float],
+    default_frac: float = 0.9,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-stratum train fraction (e.g. hold out more of a rare language):
+    the threshold is a CASE over the stratum column; the bucket stays a pure
+    hash of the id, so moving a row between strata never reshuffles other
+    rows' assignments. No shuffle, no sampling pass, no collected stats."""
+    b = hash_bucket(id_col, salt)
+    thr: Column = F.lit(int(default_frac * BUCKETS))
+    for stratum, frac in sorted(train_frac_by_stratum.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * BUCKETS))
+        ).otherwise(thr)
+    return df.withColumn(
+        out_col, F.when(b < thr, F.lit("train")).otherwise(F.lit("val"))
+    )

@@ -82,6 +82,8 @@ def curate_documents(
     max_tokens: int = 100_000,
     jaccard_threshold: float = 0.8,
     staging_dir: str | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_min_common: int = 2,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation pass. Returns (curated DataFrame, funnel counts).
 
@@ -129,5 +131,15 @@ def curate_documents(
     kept_exact.unpersist()
     for h in handles:  # shingle stage fully consumed once curated counted
         h.unpersist()
+
+    if benchmark is not None:
+        from bioeco_portal_etl_spark.text.decontam import decontaminate
+
+        prev = curated
+        curated = decontaminate(
+            prev, benchmark, id_col, text_col, min_common=decontam_min_common
+        ).persist()
+        funnel["after_decontamination"] = curated.count()
+        prev.unpersist()
 
     return curated, funnel

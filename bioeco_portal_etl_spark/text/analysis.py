@@ -203,3 +203,45 @@ def quality_table(df, id_col: str, text_col: str):
         ),
         _score_expr(n_tok, n_chars, n_stop, n_punct).alias("quality"),
     )
+
+
+def repetition_table(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters — the standard "repetitive document" gates a curation pipeline
+    applies alongside quality_table):
+
+      - ``top_token_ratio_e4``: fraction of tokens taken by the single most
+        frequent token (boilerplate / keyword-stuffing detector);
+      - ``dup_bigram_ratio_e4``: fraction of word-bigram OCCURRENCES that
+        are repeats of an already-seen bigram (loop/spam detector).
+
+    Both exposed as floor(ratio*1e4) integers via long division (engine-
+    exact; the oracle runs identical arithmetic). Docs with zero tokens are
+    dropped (no signal — same contract as simhash). Plan: one explode +
+    two hash aggregates keyed by doc (map-side partials), one broadcast-or-
+    shuffle join keyed by doc; no windows, no UDFs."""
+    tok = df.select(F.col(id_col), tokens(text_col).alias("__tok")).filter(
+        F.size("__tok") > 0
+    )
+    ex = tok.select(F.col(id_col), F.explode_outer("__tok").alias("__t"))
+    per_tok = ex.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    top = per_tok.groupBy(id_col).agg(
+        F.max("__c").alias("__maxc"), F.sum("__c").alias("__sumc")
+    )
+    # bigrams with multiplicity (distinct=False): repeats are the signal
+    bg = tok.select(
+        F.col(id_col),
+        F.explode_outer(shingles(F.col("__tok"), 2, distinct=False)).alias("__b"),
+    ).filter(F.col("__b").isNotNull())
+    bstats = bg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__btotal"),
+        F.count_distinct("__b").alias("__bdistinct"),
+    )
+    out = top.join(bstats, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.expr("(10000 * __maxc) div __sumc").alias("top_token_ratio_e4"),
+        F.coalesce(
+            F.expr("(10000 * (__btotal - __bdistinct)) div __btotal"), F.lit(0)
+        ).cast("long").alias("dup_bigram_ratio_e4"),
+    )

@@ -124,3 +124,21 @@ def test_curation_funnel_with_staging_dir(spark, tmp_path):
     )
     assert funnel["after_near_dedupe"] == 2
     assert sorted(r.doc_id for r in curated.collect()) == [1, 7]
+
+
+def test_curation_with_benchmark_decontamination(spark):
+    """A benchmark doc overlapping a surviving corpus doc removes it, with
+    its own funnel stage."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    curated, funnel = curate_documents(
+        _corpus(spark),
+        min_quality=0.05,
+        jaccard_threshold=0.7,
+        benchmark=bench,
+        decontam_min_common=2,
+    )
+    assert "after_decontamination" in funnel
+    assert funnel["after_decontamination"] <= funnel["after_near_dedupe"]

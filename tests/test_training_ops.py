@@ -1,0 +1,103 @@
+"""Training-pipeline operator semantics beyond the oracle gate:
+decontamination (overlap thresholds, removal), stratified hash split
+(determinism, append-stability, per-stratum fractions), repetition
+signals (crafted repetitive vs clean docs)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bioeco_portal_etl_spark.operators.sampling import (
+    hash_split,
+    stratified_hash_split,
+)
+from bioeco_portal_etl_spark.text.analysis import repetition_table
+from bioeco_portal_etl_spark.text.decontam import (
+    decontaminate,
+    ngram_overlap_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_overlap_requires_min_common_distinct_shingles(spark):
+    bench = _docs(spark, [(0, "alpha beta gamma delta")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma epsilon"),  # 2 common 3-shingles? no: 1
+            (11, "alpha beta gamma delta zeta"),  # contains all 2 bench shingles
+            (12, "totally unrelated text here"),
+        ],
+    )
+    pairs = {
+        (r.doc_id, r.bench_id, r.n_common)
+        for r in ngram_overlap_pairs(
+            corpus, bench, "doc_id", "text", k=3, min_common=2
+        ).collect()
+    }
+    # bench shingles: {alpha beta gamma, beta gamma delta}; doc 11 has both
+    assert pairs == {(11, 0, 2)}
+    kept = decontaminate(corpus, bench, "doc_id", "text", k=3, min_common=2)
+    assert sorted(r.doc_id for r in kept.collect()) == [10, 12]
+
+
+def test_overlap_short_docs_cannot_contaminate(spark):
+    bench = _docs(spark, [(0, "one two")])  # < k tokens: no 3-shingle
+    corpus = _docs(spark, [(10, "one two three four")])
+    assert (
+        ngram_overlap_pairs(corpus, bench, "doc_id", "text", k=3, min_common=1)
+        .count()
+        == 0
+    )
+
+
+def test_hash_split_deterministic_and_append_stable(spark):
+    a = _docs(spark, [(i, "x") for i in range(500)])
+    b = _docs(spark, [(i, "x") for i in range(1000)])  # superset
+    sa = {r.doc_id: r.split for r in hash_split(a, "doc_id").collect()}
+    sb = {r.doc_id: r.split for r in hash_split(b, "doc_id").collect()}
+    assert all(sb[i] == sa[i] for i in range(500))  # old rows never move
+    frac = sum(1 for v in sb.values() if v == "train") / 1000
+    assert 0.85 <= frac <= 0.95  # ~0.9 by hash uniformity
+    # salt changes the assignment family
+    ss = {r.doc_id: r.split for r in hash_split(a, "doc_id", salt="v2").collect()}
+    assert any(ss[i] != sa[i] for i in range(500))
+
+
+def test_stratified_split_respects_per_stratum_fractions(spark):
+    rows = [(i, "rare" if i % 10 == 0 else "common") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_hash_split(
+        df, "doc_id", "lang", {"rare": 0.5}, default_frac=0.9
+    )
+    got = out.groupBy("lang", "split").count().collect()
+    stats = {(r.lang, r.split): r["count"] for r in got}
+    rare_total = stats.get(("rare", "train"), 0) + stats.get(("rare", "val"), 0)
+    common_total = stats.get(("common", "train"), 0) + stats.get(
+        ("common", "val"), 0
+    )
+    assert rare_total == 200 and common_total == 1800
+    assert 0.4 <= stats[("rare", "train")] / rare_total <= 0.6
+    assert 0.85 <= stats[("common", "train")] / common_total <= 0.95
+
+
+def test_repetition_signals_separate_spam_from_clean(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "buy buy buy buy buy buy buy buy now"),  # token spam
+            (2, "click here click here click here click here"),  # bigram loop
+            (3, "a genuinely varied sentence with distinct informative words"),
+            (4, ""),  # no tokens -> dropped
+        ],
+    )
+    rows = {r.doc_id: r for r in repetition_table(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].top_token_ratio_e4 == 10000 * 8 // 9
+    # doc 2: bigrams total 7, distinct 2 ('click here', 'here click')
+    assert rows[2].dup_bigram_ratio_e4 == 10000 * 5 // 7
+    assert rows[3].top_token_ratio_e4 <= 1250  # 1/8 of tokens
+    assert rows[3].dup_bigram_ratio_e4 == 0
