@@ -130,3 +130,37 @@ def test_q19_disjunction_stays_one_stage(spark):
     pscan = [ln for ln in plan.splitlines() if "FileScan" in ln and "p_brand" in ln][0]
     assert "p_name" not in pscan and "p_retailprice" not in pscan
     assert "partial_" in plan
+
+
+def test_td6_benchmark_side_broadcasts(spark):
+    """Decontamination must be a map-side join on the corpus: the (tiny)
+    benchmark shingle set broadcasts, the corpus side never shuffles before
+    the pair aggregate."""
+    plan = _physical(spark, "td6_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x2_split_has_no_shuffle(spark):
+    """The hash split is a pure column expression: no Exchange anywhere —
+    the property that makes it free at 100 TB (modulo the fixture's
+    orderBy, which is the display sort, not the operator)."""
+    from pyspark.sql import functions as F
+
+    from bioeco_portal_etl_spark.operators.sampling import stratified_hash_split
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    d = read_parquet_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = stratified_hash_split(d, "doc_id", "lang", {"en": 0.95})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan  # single codegen'd projection over the scan
+
+
+def test_tx9_aggregates_partially_no_window(spark):
+    """Repetition signals are hash aggregates with map-side partials —
+    no window (a window would single-partition nothing here, but the agg
+    form partial-combines, which a collect_list window cannot)."""
+    plan = _physical(spark, "tx9_repetition")
+    assert "partial_" in plan
+    assert "Window" not in plan
