@@ -23,6 +23,10 @@ import pyspark.sql.functions as F  # noqa: E402
 from bioeco_portal_etl_spark.session import get_spark  # noqa: E402
 from bioeco_portal_etl_spark.sources.files import read_parquet_table  # noqa: E402
 from bioeco_portal_etl_spark.operators.asof import asof_join  # noqa: E402
+from bioeco_portal_etl_spark.operators.sampling import (  # noqa: E402
+    stratified_hash_split,
+)
+from bioeco_portal_etl_spark.text.decontam import ngram_overlap_pairs  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -85,6 +89,24 @@ def main() -> None:
         "minhash_lsh": (
             lambda s: minhash_lsh_pairs(
                 docs if s == 1 else scaled(docs, s, ["doc_id"]), "doc_id", "text"
+            )
+        ),
+        # benchmark stays FIXED while the corpus scales — the realistic
+        # decontamination shape (broadcast side must not grow with data)
+        "decontam": (
+            lambda s: ngram_overlap_pairs(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                docs.filter(F.col("doc_id") < 50),
+                "doc_id",
+                "text",
+            )
+        ),
+        "stratified_split": (
+            lambda s: stratified_hash_split(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "lang",
+                {"en": 0.95},
             )
         ),
     }
