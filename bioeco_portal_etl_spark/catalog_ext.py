@@ -921,6 +921,64 @@ FROM b ORDER BY doc_id
 """
 
 
+
+def x3_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-split sequence packing into 256-token bins over 8
+    independent shard streams (operators/sampling.pack_sequences) — the
+    pretraining batch-layout op; sharding keeps the cumulative window
+    parallel (never a global single-partition sort)."""
+    from bioeco_portal_etl_spark.operators.sampling import pack_sequences
+    from bioeco_portal_etl_spark.text.tokenize import tokens
+
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    )
+    return pack_sequences(d, "doc_id", "n_tok", budget=256, shards=8).orderBy(
+        "doc_id"
+    )
+
+
+X3_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({duck_tokens('text')})::BIGINT AS n_tokens,
+         (list_reduce(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef',
+                          substr(md5(doc_id::VARCHAR || 'pack'), i, 1)) - 1)::BIGINT),
+           (a, x) -> a * 16 + x) % 10000) % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS token_start
+  FROM t
+)
+SELECT doc_id, n_tokens, shard, token_start,
+       shard * 4294967296 + token_start // 256 AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
+def x4_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document quota (the per-domain cap of crawl curation):
+    keep the 100 lowest-id docs per source (operators/sampling.
+    cap_per_group — one window on the group key)."""
+    from bioeco_portal_etl_spark.operators.sampling import cap_per_group
+
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", [F.col("doc_id").asc()], 100).orderBy(
+        "doc_id"
+    )
+
+
+X4_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 100
+ORDER BY doc_id
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -943,6 +1001,8 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "td6_decontamination": (td6_decontamination, TD6_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
     "x2_stratified_split": (x2_stratified_split, X2_SQL),
+    "x3_sequence_packing": (x3_sequence_packing, X3_SQL),
+    "x4_source_cap": (x4_source_cap, X4_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),

@@ -69,3 +69,67 @@ def stratified_hash_split(
     return df.withColumn(
         out_col, F.when(b < thr, F.lit("train")).otherwise(F.lit("val"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shards: int = 64,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining layout):
+    documents are laid out as one contiguous token stream and cut into
+    ``budget``-token bins; each document reports its stream offset and the
+    bin its first token lands in.
+
+    Scale shape: packing is SHARDED — a hash of the id picks one of
+    ``shards`` independent streams, so the cumulative sum is a window
+    partitioned by shard (one hash shuffle, per-shard sort), never a
+    global single-partition window. Deterministic: stream order within a
+    shard is the id order, so reruns and engines agree (the oracle runs
+    the identical window arithmetic).
+
+    Output: id, shard, token_start (offset within the shard's stream),
+    bin_id (shard-global: shard * 2^32 + local bin).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(token_count_col).cast("long")
+    shard = (
+        shard_col
+        if shard_col is not None
+        else hash_bucket(id_col, salt="pack") % shards
+    )
+    w = Window.partitionBy("shard").orderBy(F.col(id_col))
+    out = df.select(F.col(id_col), c.alias("n_tokens"), shard.alias("shard"))
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("token_start", (cum - F.col("n_tokens")).cast("long"))
+    return out.withColumn(
+        "bin_id",
+        (F.col("shard").cast("long") * F.lit(2**32))
+        + F.expr(f"token_start div {int(budget)}"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column | str],
+    max_rows: int,
+) -> DataFrame:
+    """Per-group document cap (the per-domain/per-source quota every crawl
+    curation applies): keep the first ``max_rows`` rows of each group under
+    an explicit total order. One window on the group key — same shuffle
+    family as dedupe_keep_first."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

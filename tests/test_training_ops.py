@@ -101,3 +101,50 @@ def test_repetition_signals_separate_spam_from_clean(spark):
     assert rows[2].dup_bigram_ratio_e4 == 10000 * 5 // 7
     assert rows[3].top_token_ratio_e4 <= 1250  # 1/8 of tokens
     assert rows[3].dup_bigram_ratio_e4 == 0
+
+
+def test_pack_sequences_stream_is_contiguous_per_shard(spark):
+    from bioeco_portal_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(300)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=64, shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        pos = 0
+        for r in rows:  # id order == stream order, no gaps, no overlaps
+            assert r.token_start == pos
+            assert r.bin_id == shard * 2**32 + pos // 64
+            pos += r.n_tokens
+
+
+def test_pack_sequences_single_exchange(spark):
+    from bioeco_portal_etl_spark.operators.sampling import pack_sequences
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    d = read_parquet_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.length("text").alias("n_tok")
+    )
+    plan = (
+        pack_sequences(d, "doc_id", "n_tok", budget=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one hash shuffle on shard, nothing else
+
+
+def test_cap_per_group_keeps_first_n_by_order(spark):
+    from bioeco_portal_etl_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", [F.col("doc_id").asc()], 5)
+    got = sorted(r.doc_id for r in out.collect())
+    # first 5 ids of each residue class mod 3
+    expect = sorted(i for i in range(90) if i // 3 < 5)
+    assert got == expect
