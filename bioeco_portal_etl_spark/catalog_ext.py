@@ -979,6 +979,33 @@ ORDER BY doc_id
 """
 
 
+
+def tx10_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per doc by tf-idf (text/analysis.tfidf_top_terms)."""
+    from bioeco_portal_etl_spark.text.analysis import tfidf_top_terms
+
+    d = T(spark, sf, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", top_k=3).orderBy("doc_id", "rank")
+
+
+TX10_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln(n.n_docs::DOUBLE / dft.dfc) * 10000)::BIGINT AS score_e4
+  FROM tf JOIN dft USING (term), n
+)
+SELECT doc_id, term, score_e4, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_e4 DESC, term) AS rank
+  FROM s)
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1000,6 +1027,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tx8_length_quantiles": (tx8_length_quantiles, TX8_SQL),
     "td6_decontamination": (td6_decontamination, TD6_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
+    "tx10_tfidf_top_terms": (tx10_tfidf_top_terms, TX10_SQL),
     "x2_stratified_split": (x2_stratified_split, X2_SQL),
     "x3_sequence_packing": (x3_sequence_packing, X3_SQL),
     "x4_source_cap": (x4_source_cap, X4_SQL),

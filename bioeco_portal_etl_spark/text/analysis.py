@@ -245,3 +245,43 @@ def repetition_table(df, id_col: str, text_col: str):
             F.expr("(10000 * (__btotal - __bdistinct)) div __btotal"), F.lit(0)
         ).cast("long").alias("dup_bigram_ratio_e4"),
     )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3):
+    """Top-k terms per document by tf-idf (tf * ln(N/df)) — the classic
+    keyword-extraction / relevance-weighting op.
+
+    Plan: one explode -> (doc, term, tf) hash aggregate -> term document
+    frequencies (second aggregate over the distinct pairs) -> broadcast
+    join of the (tiny) per-term df and the one-row corpus size -> per-doc
+    top-k window. Scores exposed floor-e4 with a term tiebreak so rankings
+    are engine-exact; ln() is IEEE double in both engines and the e4 floor
+    absorbs any last-ulp libm difference."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n = tok.agg(F.count_distinct(id_col).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dft), "__t")
+        .join(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("__t").alias("term"),
+            F.floor(
+                F.col("__tf")
+                * F.log(F.col("__n").cast("double") / F.col("__df"))
+                * 10000
+            )
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e4"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
