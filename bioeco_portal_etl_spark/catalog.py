@@ -772,10 +772,12 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
+from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
+_CATALOG.update(CATALOG_TPCH2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

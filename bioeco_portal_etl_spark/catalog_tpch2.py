@@ -1,0 +1,532 @@
+"""Catalog extension: the remaining TPC-H plan families (Q2/Q7/Q8/Q9/Q10/
+Q12/Q13/Q15/Q16/Q20/Q21 shapes), adapted to the synthetic schema (no
+partsupp table, no shipmode/commit/receipt columns — each adaptation keeps
+the FAMILY's plan challenge: correlated-min equality re-join, multi-nation
+disjunctive join, market-share conditional ratio, LIKE-filtered profit
+rollup, top-N by aggregate, two-way conditional counts, left-join count
+histogram, scalar-max equality, count-distinct with NOT-IN exclusion,
+nested semi chains, and the EXISTS/NOT-EXISTS self-join).
+
+Same conventions as catalog_tpch.py: written as the plan of record at
+100 TB (semi/anti joins, decorrelated aggregates, broadcast scalars) and
+oracle-checked against DuckDB running the classic subquery formulations.
+Money sums go through decimal(18,6); ratios are floor(x*1e4) longs; every
+ORDER BY carries an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
+
+_DEC = "decimal(18,6)"
+
+
+def _rev() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery -> per-group min + EQUALITY
+    re-join (Q17 is the inequality sibling). Region-filtered suppliers;
+    each nation's minimum-balance supplier(s) survive. The per-nation min
+    is K rows -> broadcast back; no per-row subquery."""
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    mins = sn.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        sn.join(
+            F.broadcast(mins),
+            (sn.s_nationkey == mins.s_nationkey)
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+Q2_SQL = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_acctbal = (
+    SELECT min(s2.s_acctbal) FROM supplier s2
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE r2.r_name = 'EUROPE' AND s2.s_nationkey = s.s_nationkey)
+ORDER BY n_name, s_suppkey
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: the two-nation disjunctive pairing — lineitem joined
+    to BOTH a supplier nation and a customer nation, kept when the pair is
+    (A,B) or (B,A), grouped by (supp_nation, cust_nation, ship year).
+    Nations broadcast twice under different aliases; the pair disjunction
+    rides the joined row (it spans both dimension sides, so it cannot push
+    below either join)."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    n1 = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: market share = conditional fraction within a group —
+    customers restricted to one region, share of one supplier nation's
+    revenue per order year, as floor(share*1e4). One pass: the CASE rides
+    the aggregate (no self-join), region/nation dims broadcast."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sn = s.join(
+        F.broadcast(
+            T(spark, sf, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(sn, l.l_suppkey == sn.s_suppkey)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).alias("nation_rev"),
+        F.sum(_rev()).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.floor(
+            F.col("nation_rev").cast("double")
+            / F.col("total_rev").cast("double")
+            * 10000
+        )
+        .cast("long")
+        .alias("share_e4"),
+    ).orderBy("o_year")
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(floor(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) * 10000)
+            AS BIGINT) AS share_e4
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         sum(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS nation_rev,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA'
+  GROUP BY o_year)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part dim + profit expression rolled up
+    by (supplier nation, year). No partsupp in this schema, so profit =
+    revenue - 0.7*quantity (cost surrogate) — the plan challenge (LIKE
+    pushdown into the dim scan, 4-way join, two-key rollup) is intact."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    s = T(spark, sf, "supplier")
+    p = T(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    n = T(spark, sf, "nation")
+    amount = _rev() - (F.lit(0.7) * F.col("l_quantity")).cast(_DEC)
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+           - CAST(0.7 * l_quantity AS DECIMAL(18,6))) AS profit
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a date
+    window, top 20. The heavy lineitem filter (returnflag) and the orders
+    date window both push to their scans; top-20 is orderBy+limit with a
+    custkey tiebreak (deterministic under ties)."""
+    l = T(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_lateness_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: two-way conditional counts — per line status, how
+    many LATE lines (shipped >60 days after order) carry high vs low order
+    priority. The CASE pair rides one aggregate; the lateness predicate
+    spans the join (line + order columns) so it filters post-join inside
+    the codegen stage."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: customer x filtered-orders LEFT join -> per-customer
+    order count -> histogram of counts. The left join keeps zero-order
+    customers (count 0 bucket); both aggregates are algebraic (map-side
+    partials); no subquery, no distinct."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar MAX + equality join-back.
+    The per-supplier aggregate computes once and feeds both the max scalar
+    (1 row, broadcast) and the equality filter — decimal sums make the
+    equality exact across engines (double sums would be association-
+    dependent and could drop the top supplier)."""
+    l = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = T(spark, sf, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: count DISTINCT suppliers per part attribute triple,
+    excluding a supplier denylist (NOT IN -> LEFT ANTI). partsupp is
+    adapted to the distinct (l_partkey, l_suppkey) pairs of lineitem; the
+    denylist (low-balance suppliers) broadcasts as the anti build side."""
+    l = T(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = T(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size") <= 8)
+    )
+    bad = T(spark, sf, "supplier").filter(F.col("s_acctbal") < 2000).select(
+        "s_suppkey"
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
+        F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%' AND p_size <= 8
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_part_stock_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains -> a semi-join ladder. Suppliers
+    who shipped > 50 units of some 'small%' part during 1996, restricted
+    to one nation: qty aggregate per (supplier, part) -> semi vs the
+    LIKE-filtered part set -> threshold -> distinct suppliers -> semi vs
+    supplier -> nation filter. Every rung keeps left-side cardinality."""
+    l = T(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = T(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    s = T(spark, sf, "supplier")
+    n = T(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    qty = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("shipped"))
+        .filter(F.col("shipped") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 50)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the SAME fact under
+    different aliases — suppliers whose line was the ONLY late one in a
+    finished multi-supplier order. Late = shipped > 90 days after order.
+    Spark-first: the late-lines projection computes once and serves as
+    probe, semi build (other suppliers exist), and anti build (no OTHER
+    late supplier); both builds join on orderkey with a suppkey
+    inequality riding the hash join."""
+    l = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).distinct()
+    late_others = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    ).distinct()
+    cand = late.join(
+        others,
+        (late.l_orderkey == others.o_key) & (late.l_suppkey != others.o_supp),
+        "left_semi",
+    )
+    sole = cand.join(
+        late_others,
+        (cand.l_orderkey == late_others.lo_key)
+        & (cand.l_suppkey != late_others.lo_supp),
+        "left_anti",
+    )
+    s = T(spark, sf, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, numwait FROM (
+  SELECT l1.l_suppkey, count(*) AS numwait
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND o3.o_orderstatus = 'F'
+                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+  GROUP BY l1.l_suppkey)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+CATALOG_TPCH2: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q12_lateness_priority": (q12_lateness_priority, Q12_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q20_part_stock_chain": (q20_part_stock_chain, Q20_SQL),
+    "q21_waiting_supplier": (q21_waiting_supplier, Q21_SQL),
+}

@@ -164,3 +164,23 @@ def test_tx9_aggregates_partially_no_window(spark):
     plan = _physical(spark, "tx9_repetition")
     assert "partial_" in plan
     assert "Window" not in plan
+
+
+def test_q21_semi_then_anti_no_fanout(spark):
+    """The Q21 family must stay semi/anti all the way: candidate late lines
+    are filtered by existence (semi) and sole-lateness (anti) — never a
+    fan-out join + distinct."""
+    plan = _physical(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q16_denylist_is_broadcast_anti(spark):
+    plan = _physical(spark, "q16_supplier_cnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_left_join_histogram_partial_aggs(spark):
+    plan = _physical(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan  # both aggregate levels pre-combine
