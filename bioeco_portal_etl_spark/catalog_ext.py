@@ -1006,6 +1006,36 @@ WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+
+def td7_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup PAIRS -> connected components with cluster_id = min member
+    (text/dedupe.connected_components — iterative min-label propagation;
+    Spark SQL has no recursive CTE, the driver loop converges in
+    O(cluster diameter) joins). Oracle: DuckDB RECURSIVE CTE closure over
+    the identical LSH pair set."""
+    from bioeco_portal_etl_spark.text.dedupe import connected_components
+
+    d = T(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    return connected_components(pairs).orderBy("node")
+
+
+TD7_SQL = f"""
+WITH RECURSIVE {_DUCK_SH},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+)
+SELECT node, min(label) AS cluster_id FROM walk GROUP BY node ORDER BY node
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1026,6 +1056,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tx7_top_bigrams": (tx7_top_bigrams, TX7_SQL),
     "tx8_length_quantiles": (tx8_length_quantiles, TX8_SQL),
     "td6_decontamination": (td6_decontamination, TD6_SQL),
+    "td7_dup_clusters": (td7_dup_clusters, TD7_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
     "tx10_tfidf_top_terms": (tx10_tfidf_top_terms, TX10_SQL),
     "x2_stratified_split": (x2_stratified_split, X2_SQL),

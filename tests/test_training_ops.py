@@ -148,3 +148,60 @@ def test_cap_per_group_keeps_first_n_by_order(spark):
     # first 5 ids of each residue class mod 3
     expect = sorted(i for i in range(90) if i // 3 < 5)
     assert got == expect
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation ≡ an independent pure-python union-find over
+    adversarial small graphs (chains, stars, merged rings, singleton-free)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 40
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(10, 60))
+        }
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id_a long, id_b long"
+        )
+        from bioeco_portal_etl_spark.text.dedupe import connected_components
+
+        got = {
+            r.node: r.cluster_id for r in connected_components(pairs).collect()
+        }
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        roots = {}
+        for x in range(n):
+            roots.setdefault(find(x), []).append(x)
+        expect = {}
+        for members in roots.values():
+            if len(members) > 1:  # operator only labels nodes with edges
+                m = min(members)
+                for x in members:
+                    expect[x] = m
+        touched = {x for e in edges for x in e}
+        expect = {x: v for x, v in expect.items() if x in touched}
+        assert got == expect, (trial, sorted(edges))
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node chain needs ~log-diameter-ish rounds of propagation — the
+    operator must converge (not hit max_iter) and label all nodes 0."""
+    from bioeco_portal_etl_spark.text.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(31)}
