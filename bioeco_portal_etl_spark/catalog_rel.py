@@ -411,7 +411,112 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def rel10_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-family window breadth: ntile quartiles, percent_rank and
+    cume_dist per market segment over a deterministic (acctbal, custkey)
+    order. All rank-based (exact rationals in double), exposed floor-e4 —
+    engine-exact. One hash shuffle on the segment key."""
+    c = T(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 10000).cast("long").alias("pct_rank_e4"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("long").alias("cume_dist_e4"),
+    ).orderBy("c_custkey")
+
+
+REL10_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       floor(percent_rank() OVER w * 10000)::BIGINT AS pct_rank_e4,
+       floor(cume_dist() OVER w * 10000)::BIGINT AS cume_dist_e4
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def rel11_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension merge (operators/scd.py): supplier snapshot as
+    the open dimension; an update batch where keys ≡0 (mod 4) change
+    balance (+100), keys ≡1 resend identical values (no-op), and a sparse
+    set of brand-new keys inserts. Changed keys close their old row at the
+    effective date and open a new one; history and no-ops pass through."""
+    from bioeco_portal_etl_spark.operators.scd import scd2_merge
+
+    s = T(spark, sf, "supplier")
+    dim = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        s.filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey", "s_name", (F.col("s_acctbal") + 100).alias("s_acctbal"))
+        .unionByName(
+            s.filter(F.col("s_suppkey") % 4 == 1).select(
+                "s_suppkey", "s_name", "s_acctbal"
+            )
+        )
+        .unionByName(
+            s.filter(F.col("s_suppkey") % 97 == 0).select(
+                (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+                F.concat(F.lit("NEW#"), F.col("s_suppkey").cast("string")).alias(
+                    "s_name"
+                ),
+                F.lit(0.0).alias("s_acctbal"),
+            )
+        )
+    )
+    out = scd2_merge(
+        dim, updates, "s_suppkey", ["s_name", "s_acctbal"], "1996-06-01"
+    )
+    return out.orderBy(
+        "s_suppkey", "valid_from", F.col("valid_to").asc_nulls_last()
+    )
+
+
+REL11_SQL = """
+WITH dim AS (
+  SELECT s_suppkey, s_name, s_acctbal,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM supplier),
+upd AS (
+  SELECT s_suppkey, s_name, s_acctbal + 100 AS s_acctbal
+  FROM supplier WHERE s_suppkey % 4 = 0
+  UNION ALL
+  SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 4 = 1
+  UNION ALL
+  SELECT s_suppkey + 100000, 'NEW#' || s_suppkey, 0.0
+  FROM supplier WHERE s_suppkey % 97 = 0),
+changed AS (
+  SELECT d.s_suppkey FROM dim d JOIN upd u USING (s_suppkey)
+  WHERE NOT (d.s_name IS NOT DISTINCT FROM u.s_name
+             AND d.s_acctbal IS NOT DISTINCT FROM u.s_acctbal))
+SELECT * FROM (
+  SELECT d.s_suppkey, d.s_name, d.s_acctbal, d.valid_from,
+         CASE WHEN c.s_suppkey IS NOT NULL THEN DATE '1996-06-01' END AS valid_to
+  FROM dim d LEFT JOIN changed c USING (s_suppkey)
+  UNION ALL
+  SELECT u.s_suppkey, u.s_name, u.s_acctbal, DATE '1996-06-01', NULL
+  FROM upd u JOIN changed c USING (s_suppkey)
+  UNION ALL
+  SELECT u.s_suppkey, u.s_name, u.s_acctbal, DATE '1996-06-01', NULL
+  FROM upd u LEFT JOIN dim d USING (s_suppkey) WHERE d.s_suppkey IS NULL)
+ORDER BY s_suppkey, valid_from, valid_to ASC NULLS LAST
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "rel10_window_suite": (rel10_window_suite, REL10_SQL),
+    "rel11_scd2_merge": (rel11_scd2_merge, REL11_SQL),
     "p0_canonical_entities": (p0_canonical_entities, P0_SQL),
     "p3_blanks_to_null": (p3_blanks_to_null, P3_SQL),
     "p4_flag_columns": (p4_flag_columns, P4_SQL),

@@ -205,3 +205,46 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(31)}
+
+
+def test_scd2_merge_semantics(spark):
+    """Type-2 merge edges: changed attr closes + reopens; identical resend
+    is a no-op; NULL -> value counts as a change (null-safe equality);
+    closed history passes through; unseen keys insert."""
+    from datetime import date
+
+    from bioeco_portal_etl_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", 10.0, date(2020, 1, 1), None),       # will change
+            (2, "b", 20.0, date(2020, 1, 1), None),       # resend identical
+            (3, None, 30.0, date(2020, 1, 1), None),      # NULL -> value
+            (4, "d", 40.0, date(2019, 1, 1), date(2020, 1, 1)),  # closed history
+            (4, "d2", 41.0, date(2020, 1, 1), None),      # open, not updated
+        ],
+        "k long, name string, bal double, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 20.0), (3, "c", 30.0), (9, "new", 90.0)],
+        "k long, name string, bal double",
+    )
+    out = scd2_merge(dim, upd, "k", ["name", "bal"], "2021-06-01")
+    key = lambda t: (t[0], str(t[1]), t[2], t[3], t[4])
+    rows = sorted(
+        ((r.k, r.name, r.bal, str(r.valid_from), str(r.valid_to))
+         for r in out.collect()), key=key
+    )
+    assert rows == sorted(
+        [
+            (1, "a", 10.0, "2020-01-01", "2021-06-01"),
+            (1, "a", 11.0, "2021-06-01", "None"),
+            (2, "b", 20.0, "2020-01-01", "None"),
+            (3, None, 30.0, "2020-01-01", "2021-06-01"),
+            (3, "c", 30.0, "2021-06-01", "None"),
+            (4, "d", 40.0, "2019-01-01", "2020-01-01"),
+            (4, "d2", 41.0, "2020-01-01", "None"),
+            (9, "new", 90.0, "2021-06-01", "None"),
+        ],
+        key=key,
+    )
