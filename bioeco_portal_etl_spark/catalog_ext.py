@@ -1036,6 +1036,80 @@ SELECT node, min(label) AS cluster_id FROM walk GROUP BY node ORDER BY node
 """
 
 
+
+def ts5_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity/pq.py): 64-dim vectors
+    encoded as 8 codes from injected 16-entry-per-subspace codebooks
+    (deterministic fixture: code (s, c) = subvector s of embedding
+    s*16+c), queries scored via broadcast lookup tables."""
+    from bioeco_portal_etl_spark.similarity.pq import pq_topk
+
+    e = T(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    cb = v.filter(F.col("vec_id") < 128).select(
+        F.expr("vec_id div 16").cast("int").alias("subspace"),
+        (F.col("vec_id") % 16).cast("int").alias("code"),
+        F.expr("slice(e, (vec_id div 16) * 8 + 1, 8)").alias("subvec"),
+    )
+    q = _query_vectors(spark, sf)
+    return pq_topk(
+        e, q, cb, "embedding", "vec_id", k=5, exclude_self=True
+    ).orderBy("query_id", "rank")
+
+
+_PQ_D = (
+    "list_reduce(list_transform(range(1, 9),"
+    " i -> (a.subvec[i] - cb.cvec[i]) * (a.subvec[i] - cb.cvec[i])),"
+    " (x, y) -> x + y)"
+)
+TS5_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+cb AS (
+  SELECT (vec_id // 16)::INT AS subspace, (vec_id % 16)::INT AS code,
+         list_slice(e, (vec_id // 16) * 8 + 1, (vec_id // 16) * 8 + 8) AS cvec
+  FROM v WHERE vec_id < 128
+),
+sub AS (
+  SELECT vec_id, s.s::INT AS subspace,
+         list_slice(e, s.s * 8 + 1, s.s * 8 + 8) AS subvec
+  FROM v, (SELECT unnest(range(0, 8)) AS s) s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT a.vec_id, a.subspace, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, a.subspace
+                              ORDER BY {_PQ_D} ASC, cb.code ASC) AS rn
+    FROM sub a JOIN cb USING (subspace))
+  WHERE rn = 1
+),
+lut AS (
+  SELECT a.vec_id AS query_id, a.subspace, cb.code, {_PQ_D} AS pd
+  FROM sub a JOIN cb USING (subspace)
+  WHERE a.vec_id < 10
+),
+pp AS (
+  SELECT l.query_id, e.vec_id AS match_id,
+         list_reduce(list_prepend(0.0, list(l.pd ORDER BY l.subspace)),
+                     (x, y) -> x + y) AS approx_d
+  FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  WHERE l.query_id <> e.vec_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, match_id, dist_e4, rank FROM (
+  SELECT query_id, match_id, floor(approx_d * 10000)::BIGINT AS dist_e4,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(approx_d * 10000)::BIGINT ASC,
+                                     match_id ASC) AS rank
+  FROM pp)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1046,6 +1120,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "ts2_lsh_bucket_topk": (ts2_lsh_bucket_topk, TS2_SQL),
     "ts3_ivf_topk": (ts3_ivf_topk, TS3_SQL),
     "ts4_kmeans_ivf": (ts4_kmeans_ivf, TS4_SQL),  # frozen deterministic output
+    "ts5_pq_topk": (ts5_pq_topk, TS5_SQL),
     "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),
