@@ -19,21 +19,24 @@ def eov_keyword_links(
     eov_links: DataFrame,
     tkeywords: DataFrame,
     vocab_pattern: str = "goosocean",
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """(layer_id, short_name) ⟕ vocabulary keywords on short_name=alt_label
     (J4: differing key names) -> (resourcebase_id, tkeyword_id) rows ready
-    for the K7 overwrite."""
+    for the K7 overwrite.
+
+    ``keep_unmatched=True`` reproduces the reference EXACTLY — its left
+    join keeps links whose short_name has no vocabulary entry as
+    null-keyword rows and never dedupes (eov_to_keywords.Rmd:61-64). The
+    default drops them and dedupes: a null thesauruskeyword_id row is
+    useless to GeoNode and a duplicate (layer, keyword) pair violates the
+    target table's semantics — documented intentional divergence."""
     tk = tkeywords.filter(F.col("about").rlike(vocab_pattern)).select(
         F.col("id").alias("tkeyword_id"), F.col("alt_label")
     )
-    return (
-        eov_links.join(
-            F.broadcast(tk), eov_links.short_name == tk.alt_label, "left"
-        )
-        .filter(F.col("tkeyword_id").isNotNull())
-        .select(
-            F.col("layer_id").alias("resourcebase_id"),
-            "tkeyword_id",
-        )
-        .distinct()
-    )
+    joined = eov_links.join(
+        F.broadcast(tk), eov_links.short_name == tk.alt_label, "left"
+    ).select(F.col("layer_id").alias("resourcebase_id"), "tkeyword_id")
+    if keep_unmatched:
+        return joined
+    return joined.filter(F.col("tkeyword_id").isNotNull()).distinct()

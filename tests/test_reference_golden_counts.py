@@ -165,3 +165,27 @@ def test_initial_spot_values(golden):
     assert str(r.start_date) == "2018-01-01"
     assert str(r.end_date) == "2018-12-31"
     assert r.temporal_resolution == "sub_daily"
+
+
+def test_keywords_flow_on_real_backup_csv(spark):
+    """The eov_to_keywords companion flow over the REAL JDBC-backup CSV
+    (data/layers_layer_eovs.csv, 1440 links): with a vocabulary covering
+    the 12 EOV short names, every link resolves; reference-exact mode
+    (keep_unmatched) preserves the full 1440-row left join."""
+    from bioeco_portal_etl_spark.pipelines.keywords import eov_keyword_links
+
+    links = read_csv(
+        spark, os.path.join(cfg.DATA_DIR, "layers_layer_eovs.csv"),
+        multi_line=False,
+    )
+    assert links.count() == 1440
+    shorts = [r.short_name for r in links.select("short_name").distinct().collect()]
+    tk = spark.createDataFrame(
+        [(100 + i, s, "https://goosocean.org/vocab") for i, s in enumerate(sorted(shorts))],
+        "id long, alt_label string, about string",
+    )
+    resolved = eov_keyword_links(links, tk)
+    exact = eov_keyword_links(links, tk, keep_unmatched=True)
+    assert exact.count() == 1440  # reference left-join semantics
+    assert resolved.count() == links.select("layer_id", "short_name").distinct().count()
+    assert resolved.filter(F.col("tkeyword_id").isNull()).count() == 0
