@@ -711,10 +711,11 @@ def g7_linestring_track(spark: SparkSession, sf: str) -> DataFrame:
 G7_SQL = """
 WITH pts AS (
   SELECT l_orderkey, l_linenumber,
+         (l_partkey * 3) % 360 - 180 AS x, (l_suppkey * 5) % 180 - 90 AS y,
          ((l_partkey * 3) % 360 - 180) || ' ' || ((l_suppkey * 5) % 180 - 90) AS pt
   FROM lineitem)
 SELECT l_orderkey,
-       'LINESTRING (' || string_agg(pt, ', ' ORDER BY l_linenumber, pt) || ')' AS geometry_wkt
+       'LINESTRING (' || string_agg(pt, ', ' ORDER BY l_linenumber, x, y) || ')' AS geometry_wkt
 FROM pts GROUP BY l_orderkey HAVING count(*) >= 2 ORDER BY l_orderkey
 """
 
