@@ -1037,6 +1037,43 @@ SELECT node, min(label) AS cluster_id FROM walk GROUP BY node ORDER BY node
 
 
 
+def td8_segment_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document segment dedupe (text/dedupe.segment_dedupe): split every
+    document into segments, keep only the corpus-wide first occurrence of each
+    exact segment, reassemble. The synthetic corpus is single-line, so the
+    catalog face splits on the literal token ``' the '`` (documented stand-in
+    for the newline of real multi-paragraph text; tests/test_training_ops.py
+    exercises the real ``'\\n'`` path)."""
+    from bioeco_portal_etl_spark.text.dedupe import segment_dedupe
+
+    d = T(spark, sf, "documents")
+    return segment_dedupe(d, "doc_id", "text", sep=" the ", joiner="\n").orderBy(
+        "doc_id"
+    )
+
+
+TD8_SQL = """
+WITH sp AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS segs FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(range(0, len(segs)))::BIGINT AS pos, unnest(segs) AS seg
+  FROM sp
+),
+m AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segs,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, chr(10) ORDER BY pos),
+                '') AS text_dedup
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def ts5_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ADC top-k (similarity/pq.py): 64-dim vectors
     encoded as 8 codes from injected 16-entry-per-subspace codebooks
@@ -1132,6 +1169,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tx8_length_quantiles": (tx8_length_quantiles, TX8_SQL),
     "td6_decontamination": (td6_decontamination, TD6_SQL),
     "td7_dup_clusters": (td7_dup_clusters, TD7_SQL),
+    "td8_segment_dedupe": (td8_segment_dedupe, TD8_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
     "tx10_tfidf_top_terms": (tx10_tfidf_top_terms, TX10_SQL),
     "x2_stratified_split": (x2_stratified_split, X2_SQL),

@@ -331,3 +331,68 @@ def connected_components(
     finally:
         edges.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def segment_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Segment-level exact dedupe (CCNet / RefinedWeb line-dedup style): split
+    each document on ``sep`` (a regex), drop every segment whose exact text
+    already appeared earlier in the corpus (keep-first by ``(id, position)``),
+    and reassemble the survivors in original order joined by ``joiner``.
+
+    The reference has only whole-row relational dedupe
+    (/root/reference/notebooks/index.Rmd:670); this is the sub-document
+    boilerplate-removal pass a training-data pipeline runs before near-dedup.
+
+    Plan (3 shuffles, no UDFs, no windows over hot keys):
+      1. ``posexplode(split(...))`` — map-side only.
+      2. ``groupBy(md5(seg)).agg(min(struct(id, pos)))`` — the canonical-owner
+         table. Partial aggregation pre-combines map-side, so a boilerplate
+         segment duplicated across millions of docs contributes ONE row per
+         map partition to the shuffle (a window over ``md5(seg)`` would
+         instead sort every copy on one reducer).
+      3. Equi-join segments back on the hash to flag keepers (AQE skew-join
+         splits any residual hot hash; the canonical side is 1 row/key), then
+         ``groupBy(id)`` reassembles: ``collect_list`` of kept ``(pos, seg)``
+         structs, ``array_sort`` (pos is unique per doc -> total order),
+         ``array_join``. Per-group sort, never a global one.
+
+    Output: ``id, n_segs, n_kept, text_dedup`` — one row per input document
+    (documents whose every segment was seen before get ``text_dedup = ''``).
+    """
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
+            "__pos", "__seg"
+        ),
+    ).withColumn("__h", F.md5(F.col("__seg")))
+    canon = segs.groupBy("__h").agg(
+        F.min(F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    marked = segs.join(canon, "__h").withColumn(
+        "__keep",
+        (F.col("__id") == F.col("__first.i")) & (F.col("__pos") == F.col("__first.p")),
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("__pos").alias("p"), F.col("__seg").alias("s"))
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.col("__keep").cast("int")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["s"]
+                ),
+                joiner,
+            ).alias("text_dedup"),
+        )
+    )

@@ -289,3 +289,35 @@ def test_pq_topk_recall_against_exact(spark):
         exact = {m for _, m in dists[:5]}
         recall += len(got[qid] & exact) / 5
     assert recall / 10 >= 0.08, recall / 10
+
+
+def test_segment_dedupe_keeps_first_occurrence_and_reassembles(spark):
+    from bioeco_portal_etl_spark.text.dedupe import segment_dedupe
+
+    rows = [
+        (1, "intro\nboilerplate footer\nbody one"),
+        (2, "boilerplate footer\nbody two\nintro"),
+        (3, "boilerplate footer"),
+        (4, None),
+        (5, "intro\nintro"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedupe(df, "doc_id", "text").collect()
+    }
+    # doc 1 is first: keeps everything in order
+    assert out[1]["text_dedup"] == "intro\nboilerplate footer\nbody one"
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses both repeated segments, keeps its own in original order
+    assert out[2]["text_dedup"] == "body two"
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (3, 1)
+    # doc 3 is entirely boilerplate -> empty remainder, row preserved
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (1, 0)
+    # null text == one empty segment; it is the corpus-first '' so it survives
+    assert (out[4]["n_segs"], out[4]["n_kept"]) == (1, 1)
+    assert out[4]["text_dedup"] == ""
+    # within-document repeats dedupe too (keep-first by position)
+    assert out[5]["text_dedup"] == ""
+    assert (out[5]["n_segs"], out[5]["n_kept"]) == (2, 0)
