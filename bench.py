@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "td4_jaccard_pairs",
     "ts1_cosine_topk",
     "ts3_ivf_topk",
+    "ts6_ivfpq_topk",
+    "td8_segment_dedupe",
     "w1_tumbling",
     "x1_salted_agg",
     "rel5_topk_per_group",

@@ -1147,6 +1147,100 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def ts6_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (similarity/ivfpq.py): ts3's injected centroids (vec_id < 8,
+    nprobe=2) pruning WHICH vectors are scored, ts5's injected codebooks
+    (vec_id < 128 -> 8x16) shrinking WHAT is scored — the combined
+    billion-vector production configuration (IVFADC), fully relational so
+    the oracle replays it exactly."""
+    from bioeco_portal_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    e = T(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    cb = v.filter(F.col("vec_id") < 128).select(
+        F.expr("vec_id div 16").cast("int").alias("subspace"),
+        (F.col("vec_id") % 16).cast("int").alias("code"),
+        F.expr("slice(e, (vec_id div 16) * 8 + 1, 8)").alias("subvec"),
+    )
+    return ivfpq_topk(
+        e,
+        _query_vectors(spark, sf),
+        e.filter(F.col("vec_id") < 8),
+        cb,
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=2,
+    ).orderBy("query_id", "rank")
+
+
+TS6_SQL = f"""
+WITH {_DUCK_VEC},
+cent AS (SELECT vec_id AS cell_id, e, nrm FROM n WHERE vec_id < 8),
+ca AS (
+  SELECT x.vec_id AS cid, x.nrm AS xn, c.cell_id,
+         floor(
+           list_reduce(list_transform(range(1, 65), i -> x.e[i] * c.e[i]),
+                       (a, b) -> a + b) / (x.nrm * c.nrm) * 10000)::BIGINT AS c_score
+  FROM n x CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c_score DESC, cell_id) AS rk
+  FROM ca
+),
+assigned AS (SELECT cell_id, cid FROM ranked WHERE rk = 1),
+probes AS (SELECT cell_id, cid AS query_id FROM ranked WHERE cid < 10 AND rk <= 2),
+cb AS (
+  SELECT (vec_id // 16)::INT AS subspace, (vec_id % 16)::INT AS code,
+         list_slice(e, (vec_id // 16) * 8 + 1, (vec_id // 16) * 8 + 8) AS cvec
+  FROM v WHERE vec_id < 128
+),
+sub AS (
+  SELECT vec_id, s.s::INT AS subspace,
+         list_slice(e, s.s * 8 + 1, s.s * 8 + 8) AS subvec
+  FROM v, (SELECT unnest(range(0, 8)) AS s) s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT a.vec_id, a.subspace, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, a.subspace
+                              ORDER BY {_PQ_D} ASC, cb.code ASC) AS rn
+    FROM sub a JOIN cb USING (subspace))
+  WHERE rn = 1
+),
+lut AS (
+  SELECT a.vec_id AS query_id, a.subspace, cb.code, {_PQ_D} AS pd
+  FROM sub a JOIN cb USING (subspace)
+  WHERE a.vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, a.cid AS match_id
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE p.query_id <> a.cid
+),
+pp AS (
+  SELECT c.query_id, c.match_id,
+         list_reduce(list_prepend(0.0, list(l.pd ORDER BY l.subspace)),
+                     (x, y) -> x + y) AS approx_d
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.match_id
+  JOIN lut l ON l.query_id = c.query_id
+            AND l.subspace = e.subspace AND l.code = e.code
+  GROUP BY c.query_id, c.match_id
+)
+SELECT query_id, match_id, dist_e4, rank FROM (
+  SELECT query_id, match_id, floor(approx_d * 10000)::BIGINT AS dist_e4,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(approx_d * 10000)::BIGINT ASC,
+                                     match_id ASC) AS rank
+  FROM pp)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1158,6 +1252,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "ts3_ivf_topk": (ts3_ivf_topk, TS3_SQL),
     "ts4_kmeans_ivf": (ts4_kmeans_ivf, TS4_SQL),  # frozen deterministic output
     "ts5_pq_topk": (ts5_pq_topk, TS5_SQL),
+    "ts6_ivfpq_topk": (ts6_ivfpq_topk, TS6_SQL),
     "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),

@@ -85,6 +85,54 @@ def pq_encode(
     )
 
 
+def pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, subspace, code, pd)`` —
+    ``n_queries * n_sub * n_codes`` rows, broadcast by every consumer."""
+    qsub = _subspaces(queries, vec_col, "query_id", id_col, n_sub, sub_dim)
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_sub"), "code", F.col("subvec").alias("cvec")
+    )
+    return qsub.join(F.broadcast(cb), qsub.subspace == cb.cb_sub).select(
+        "query_id",
+        "subspace",
+        "code",
+        _sq_dist(F.col("subvec"), F.col("cvec")).alias("pd"),
+    )
+
+
+def adc_rank(joined: DataFrame, k: int) -> DataFrame:
+    """Fold per-subspace partial distances into ranked top-k. Input columns:
+    ``query_id, vec_id, subspace, pd``. The combine runs in FIXED
+    subspace-ascending order via ``array_sort`` + ``aggregate`` (a left
+    fold — engine-exact doubles; a plain ``sum()`` would reassociate and
+    drift across engines/partitionings)."""
+    per_pair = joined.groupBy("query_id", F.col("vec_id").alias("match_id")).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace").alias("s"), F.col("pd")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["pd"],
+        ).alias("approx_d")
+    )
+    scored = per_pair.select(
+        "query_id",
+        "match_id",
+        F.floor(F.col("approx_d") * 10000).cast("long").alias("dist_e4"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_e4"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,38 +147,8 @@ def pq_topk(
     """ADC top-k: encoded corpus scored against per-query codebook lookup
     tables; approximate squared-L2 ascending, floor-e4, id tiebreaks."""
     encoded = pq_encode(corpus, codebooks, vec_col, id_col, n_sub, sub_dim)
-    qsub = _subspaces(queries, vec_col, "query_id", id_col, n_sub, sub_dim)
-    cb = codebooks.select(
-        F.col("subspace").alias("cb_sub"), "code", F.col("subvec").alias("cvec")
-    )
-    lut = qsub.join(F.broadcast(cb), qsub.subspace == cb.cb_sub).select(
-        "query_id",
-        "subspace",
-        "code",
-        _sq_dist(F.col("subvec"), F.col("cvec")).alias("pd"),
-    )
+    lut = pq_lut(queries, codebooks, vec_col, id_col, n_sub, sub_dim)
     joined = encoded.join(F.broadcast(lut), ["subspace", "code"])
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("vec_id"))
-    # fixed-order (subspace-ascending) fold: engine-exact double combine
-    per_pair = (
-        joined.groupBy("query_id", F.col("vec_id").alias("match_id"))
-        .agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("subspace").alias("s"), F.col("pd")))
-                ),
-                F.lit(0.0),
-                lambda acc, e: acc + e["pd"],
-            ).alias("approx_d")
-        )
-    )
-    scored = per_pair.select(
-        "query_id",
-        "match_id",
-        F.floor(F.col("approx_d") * 10000).cast("long").alias("dist_e4"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist_e4"), F.asc("match_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return adc_rank(joined, k)

@@ -27,7 +27,10 @@ from bioeco_portal_etl_spark.operators.sampling import (  # noqa: E402
     stratified_hash_split,
 )
 from bioeco_portal_etl_spark.text.decontam import ngram_overlap_pairs  # noqa: E402
-from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs  # noqa: E402
+from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
+    minhash_lsh_pairs,
+    segment_dedupe,
+)
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -99,6 +102,17 @@ def main() -> None:
                 docs.filter(F.col("doc_id") < 50),
                 "doc_id",
                 "text",
+            )
+        ),
+        # keys shift but text does NOT -> duplicate-segment rate rises with
+        # s, stressing the canonical-owner agg's map-side combine exactly
+        # the way boilerplate does at scale
+        "segment_dedupe": (
+            lambda s: segment_dedupe(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                sep=" the ",
             )
         ),
         "stratified_split": (

@@ -321,3 +321,56 @@ def test_segment_dedupe_keeps_first_occurrence_and_reassembles(spark):
     # within-document repeats dedupe too (keep-first by position)
     assert out[5]["text_dedup"] == ""
     assert (out[5]["n_segs"], out[5]["n_kept"]) == (2, 0)
+
+
+def test_ivfpq_matches_pq_distances_within_probed_cells(spark):
+    """IVF-PQ = PQ scoring restricted to probed cells: every (query, match)
+    it returns must (a) live in one of that query's probed cells, and
+    (b) carry EXACTLY the same ADC distance the full PQ path computes —
+    the cell pruning may drop candidates but must never change a score."""
+    from bioeco_portal_etl_spark.similarity.ivf import _cells
+    from bioeco_portal_etl_spark.similarity.ivfpq import ivfpq_topk
+    from bioeco_portal_etl_spark.similarity.knn import with_norm
+    from bioeco_portal_etl_spark.similarity.pq import pq_topk
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    e = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    cb = v.filter(F.col("vec_id") < 128).select(
+        F.expr("vec_id div 16").cast("int").alias("subspace"),
+        (F.col("vec_id") % 16).cast("int").alias("code"),
+        F.expr("slice(e, (vec_id div 16) * 8 + 1, 8)").alias("subvec"),
+    )
+    cents = e.filter(F.col("vec_id") < 8)
+    q = e.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(
+        e, q, cents, cb, "embedding", "vec_id", k=5, nprobe=2
+    ).collect()
+    assert {r.query_id for r in got} == set(range(10))
+
+    cent = with_norm(cents, "embedding", "vec_id").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_n").alias("q_n"),
+    )
+    corp = with_norm(e, "embedding", "vec_id").withColumnRenamed("vec_id", "_cid")
+    cell_of = {
+        r._cid: r.cell_id for r in _cells(corp, cent, 1).collect()
+    }
+    qn = with_norm(q, "embedding", "vec_id").withColumnRenamed("vec_id", "_cid")
+    probed: dict[int, set] = {}
+    for r in _cells(qn, cent, 2).collect():
+        probed.setdefault(r._cid, set()).add(r.cell_id)
+    for r in got:
+        assert cell_of[r.match_id] in probed[r.query_id], r
+
+    # distances agree with the unpruned PQ path (k large enough to cover)
+    full = {
+        (r.query_id, r.match_id): r.dist_e4
+        for r in pq_topk(e, q, cb, "embedding", "vec_id", k=500).collect()
+    }
+    for r in got:
+        assert full[(r.query_id, r.match_id)] == r.dist_e4, r
