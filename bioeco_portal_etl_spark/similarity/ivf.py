@@ -40,6 +40,34 @@ def _cells(vectors: DataFrame, centroids: DataFrame, rank_limit: int) -> DataFra
             "c_score"
         ),
     )
+    if rank_limit == 1:
+        # cell assignment (the corpus-sized side): argmax as
+        # min(struct(-score, cell_id)) — identical (score desc, cell asc)
+        # choice as the window, but the combiner collapses the K
+        # centroid-candidate rows per vector map-side (they're co-located
+        # by the broadcast join), so the shuffle carries one row per
+        # vector and no sort runs.
+        return (
+            scored.groupBy("_cid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c_score")).alias("ns"),
+                        F.col("cell_id").alias("c"),
+                    )
+                ).alias("__m"),
+                F.first("_v").alias("_v"),
+                F.first("_n").alias("_n"),
+            )
+            .select(
+                "_cid",
+                "_v",
+                "_n",
+                F.col("__m.c").alias("cell_id"),
+                (-F.col("__m.ns")).alias("c_score"),
+                F.lit(1).alias("c_rank"),
+            )
+        )
     w = Window.partitionBy("_cid").orderBy(F.desc("c_score"), F.asc("cell_id"))
     return scored.withColumn("c_rank", F.row_number().over(w)).filter(
         F.col("c_rank") <= rank_limit

@@ -75,13 +75,15 @@ def pq_encode(
         "code",
         _sq_dist(F.col("subvec"), F.col("cvec")).alias("d"),
     )
-    w = Window.partitionBy("vec_id", "subspace").orderBy(
-        F.asc("d"), F.asc("code")
-    )
+    # argmin as min(struct(d, code)) — identical (distance, code)-ascending
+    # choice as a row_number window, but with map-side partial aggregation:
+    # all n_codes candidate rows for a (vec, subspace) are born in the same
+    # map partition (broadcast join), so the combiner collapses them to ONE
+    # shuffled row and no sort ever runs.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "subspace", "code")
+        scored.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("__m"))
+        .select("vec_id", "subspace", F.col("__m.code").alias("code"))
     )
 
 
