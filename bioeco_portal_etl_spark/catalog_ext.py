@@ -1241,6 +1241,39 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def x5_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding context-window chunking (text/chunking.py): 32-token windows,
+    stride 24 (8 tokens of overlap) — zero-shuffle, codegen-only plan."""
+    from bioeco_portal_etl_spark.text.chunking import chunk_windows
+
+    d = T(spark, sf, "documents")
+    return chunk_windows(d, "doc_id", "text", chunk_size=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+X5_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tok, unnest(range(0, len(tok), 24))::BIGINT AS start_tok
+  FROM t
+),
+c AS (
+  SELECT doc_id, start_tok,
+         list_slice(tok, start_tok + 1, start_tok + 32) AS ct
+  FROM s
+)
+SELECT doc_id, (start_tok // 24)::BIGINT AS chunk_id, start_tok,
+       len(ct)::BIGINT AS n_tok, array_to_string(ct, ' ') AS chunk
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1270,6 +1303,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x2_stratified_split": (x2_stratified_split, X2_SQL),
     "x3_sequence_packing": (x3_sequence_packing, X3_SQL),
     "x4_source_cap": (x4_source_cap, X4_SQL),
+    "x5_chunk_windows": (x5_chunk_windows, X5_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),

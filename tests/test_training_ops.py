@@ -374,3 +374,98 @@ def test_ivfpq_matches_pq_distances_within_probed_cells(spark):
     }
     for r in got:
         assert full[(r.query_id, r.match_id)] == r.dist_e4, r
+
+
+def test_chunk_windows_overlap_and_edges(spark):
+    from bioeco_portal_etl_spark.text.chunking import chunk_windows
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, ""), (4, None), (5, "one")],
+        "doc_id int, text string",
+    )
+    out = chunk_windows(df, "doc_id", "text", chunk_size=4, stride=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 -> last window is a 1-token tail
+    assert [r.start_tok for r in by_doc[1]] == [0, 3, 6, 9]
+    assert by_doc[1][0].chunk == "w0 w1 w2 w3"
+    assert by_doc[1][1].chunk == "w3 w4 w5 w6"  # 1-token overlap
+    assert by_doc[1][3].chunk == "w9" and by_doc[1][3].n_tok == 1
+    # doc 2 fits in one window
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "only three words"
+    # empty / null docs produce no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[5][0].chunk == "one"
+    # every chunk covers tokens [start, start+size) of the original
+    for r in by_doc[1]:
+        assert r.chunk.split(" ") == [f"w{i}" for i in range(r.start_tok, min(r.start_tok + 4, 10))]
+
+
+def test_chunk_windows_plan_is_shuffle_free(spark):
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+    from bioeco_portal_etl_spark.text.chunking import chunk_windows
+
+    d = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = chunk_windows(d, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_incremental_dedupe_no_false_negatives_and_bounded_fp(spark):
+    """Bloom contract vs the exact anti-join: every batch doc whose content
+    exists in history is dropped (NO false negatives, ever); genuinely-new
+    docs survive at >= 1-fpp empirically."""
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+    from bioeco_portal_etl_spark.text.incremental import (
+        bloom_build,
+        bloom_new_docs,
+        bloom_params,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    history = docs.filter(F.col("doc_id") < 400)
+    # batch: 100 exact-content dups of history + 100 genuinely new docs
+    dups = history.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.concat(F.lit("UNSEEN "), F.col("text")).alias("text")
+    )
+    batch = dups.unionByName(fresh)
+
+    m, k = bloom_params(expected_items=400, fpp=0.01)
+    bloom = bloom_build(history, "text", m, k)
+    kept = {r.doc_id for r in bloom_new_docs(batch, bloom, "doc_id", "text", m, k).collect()}
+
+    # no false negatives: every content-dup of history must be gone
+    assert not any(d >= 10_000 for d in kept)
+    # bounded false positives: >= 95% of the 100 truly-new docs survive
+    n_new_kept = sum(1 for d in kept if d < 10_000)
+    assert n_new_kept >= 95, n_new_kept
+    # and the exact anti-join agrees on everything the bloom kept
+    from bioeco_portal_etl_spark.text.dedupe import content_hash
+
+    exact_new = {
+        r.doc_id
+        for r in batch.join(
+            history.select(content_hash("text").alias("h")).distinct(),
+            content_hash("text") == F.col("h"),
+            "left_anti",
+        ).collect()
+    }
+    assert kept <= exact_new
+
+
+def test_bloom_word_table_is_bounded_and_broadcastable(spark):
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+    from bioeco_portal_etl_spark.text.incremental import bloom_build, bloom_params
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    m, k = bloom_params(500, 0.01)
+    bloom = bloom_build(docs, "text", m, k)
+    assert bloom.count() <= m // 64 + 1
+    # one scan, one shuffle: the aggregate's partial (map-side) bit_or is
+    # what keeps the shuffle bounded by m/64 rows per partition
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
