@@ -84,6 +84,10 @@ def curate_documents(
     staging_dir: str | None = None,
     benchmark: DataFrame | None = None,
     decontam_min_common: int = 2,
+    history: DataFrame | None = None,
+    history_fpp: float = 0.001,
+    chunk_size: int | None = None,
+    chunk_stride: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Full curation pass. Returns (curated DataFrame, funnel counts).
 
@@ -98,10 +102,33 @@ def curate_documents(
     ``staging_dir`` routes the near-dedupe's shared shingle stage to a
     parquet staging table instead of an in-memory persist (the 100 TB
     path); without it the stage is persisted and unpersisted here once the
-    funnel count has materialized it."""
+    funnel count has materialized it.
+
+    ``history`` enables the incremental gate: batch docs whose exact content
+    already exists in the history corpus are dropped via a Bloom filter
+    (text/incremental.py) — one scan of history, no history shuffle, no
+    false negatives. ``chunk_size``/``chunk_stride`` append the
+    context-window chunking stage (text/chunking.py): the returned frame
+    then has one row per (doc, window) — the training-unit shape."""
     funnel = {"input": df.count()}
 
     norm = normalize_documents(df, text_col)
+
+    if history is not None:
+        from bioeco_portal_etl_spark.text.incremental import (
+            bloom_build,
+            bloom_new_docs,
+            bloom_params,
+        )
+
+        hist_norm = normalize_documents(
+            history.select(F.col(id_col), F.col(text_col)), text_col
+        )
+        m, k = bloom_params(max(hist_norm.count(), 1), history_fpp)
+        bloom = bloom_build(hist_norm, text_col, m, k)
+        norm = bloom_new_docs(norm, bloom, id_col, text_col, m, k)
+        funnel["after_history_dedupe"] = norm.count()
+
     ann = annotate_documents(norm, id_col, text_col)
 
     filtered = ann.filter(
@@ -140,6 +167,20 @@ def curate_documents(
             prev, benchmark, id_col, text_col, min_common=decontam_min_common
         ).persist()
         funnel["after_decontamination"] = curated.count()
+        prev.unpersist()
+
+    if chunk_size is not None:
+        from bioeco_portal_etl_spark.text.chunking import chunk_windows
+
+        prev = curated
+        curated = chunk_windows(
+            prev,
+            id_col,
+            text_col,
+            chunk_size=chunk_size,
+            stride=chunk_stride or chunk_size,
+        ).persist()
+        funnel["chunks"] = curated.count()
         prev.unpersist()
 
     return curated, funnel

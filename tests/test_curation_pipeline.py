@@ -142,3 +142,28 @@ def test_curation_with_benchmark_decontamination(spark):
     )
     assert "after_decontamination" in funnel
     assert funnel["after_decontamination"] <= funnel["after_near_dedupe"]
+
+
+def test_curation_with_history_bloom_and_chunking(spark):
+    """Incremental + chunked run: docs already in the history corpus are
+    gated before annotation (no false negatives on exact content), and the
+    output is reshaped to (doc, window) training units."""
+    docs = read_parquet_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") >= 400)
+    history = docs.filter(F.col("doc_id") < 450)  # overlaps 400-449
+    curated, funnel = curate_documents(
+        batch,
+        min_quality=0.0,
+        min_tokens=1,
+        history=history,
+        chunk_size=16,
+        chunk_stride=12,
+    )
+    # every doc with id in [400, 450) has its exact content in history
+    assert funnel["after_history_dedupe"] <= funnel["input"] - 50
+    assert funnel["chunks"] == curated.count()
+    cols = set(curated.columns)
+    assert {"doc_id", "chunk_id", "start_tok", "n_tok", "chunk"} <= cols
+    # chunked ids are a subset of the docs that survived the funnel
+    surviving = {r.doc_id for r in curated.select("doc_id").distinct().collect()}
+    assert surviving and all(i >= 450 for i in surviving)
