@@ -1274,6 +1274,41 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def x6_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus data card in ONE pass: doc/char/token totals at every reporting
+    grain — (source, lang), per-source, per-lang, and corpus-wide — via
+    GROUPING SETS (a single Expand + one hash aggregate; four separate
+    groupBys would scan and tokenize the corpus four times). The per-doc
+    token count runs inside the scan stage (ws split, codegen), so the 100 TB
+    cost is exactly one pass over text."""
+    from bioeco_portal_etl_spark.text.tokenize import ws_tokens
+
+    d = T(spark, sf, "documents")
+    toks = F.size(ws_tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    return (
+        d.groupingSets([["source", "lang"], ["source"], ["lang"], []], "source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+        )
+        .orderBy("gid", "source", "lang")
+    )
+
+
+X6_SQL = r"""
+SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '')))::BIGINT AS total_tokens
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+ORDER BY gid, source, lang
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1304,6 +1339,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x3_sequence_packing": (x3_sequence_packing, X3_SQL),
     "x4_source_cap": (x4_source_cap, X4_SQL),
     "x5_chunk_windows": (x5_chunk_windows, X5_SQL),
+    "x6_corpus_stats": (x6_corpus_stats, X6_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),
