@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 
 from bioeco_portal_etl_spark.similarity.ivf import _cells
 from bioeco_portal_etl_spark.similarity.knn import with_norm
-from bioeco_portal_etl_spark.similarity.pq import adc_rank, pq_encode, pq_lut
+from bioeco_portal_etl_spark.similarity.pq import (
+    adc_rank,
+    encode_from_subspaces,
+    pq_lut,
+)
 
 
 def _centroid_side(centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -52,16 +56,36 @@ def ivfpq_index(
     sub_dim: int = 8,
 ) -> DataFrame:
     """The IVF-PQ index: every corpus vector's cell assignment (rank-1
-    cosine argmin over broadcast centroids) joined to its PQ codes —
+    cosine argmin over broadcast centroids) fused with its PQ codes —
     ``(cell_id, vec_id, subspace, code)``, ``n_sub`` rows per vector.
-    At scale: write once, partition by ``cell_id``, reuse per query batch."""
+
+    ONE-shuffle plan: the cell-assignment groupBy leaves the frame
+    hash-partitioned by vec_id; the vector rides along (``first(_v)``), is
+    exploded to subspaces and broadcast-joined to the codebook — both
+    partitioning-preserving — so the encode's groupBy(vec_id)
+    (pq.encode_from_subspaces) needs NO second exchange, and there is no
+    corpus⋈corpus join at all. At 100 TB: write once, partition by
+    ``cell_id``, reuse per query batch."""
     corp = with_norm(corpus, vec_col, id_col).withColumnRenamed(id_col, "_cid")
     cent = _centroid_side(centroids, vec_col, id_col)
     assigned = _cells(corp, cent, 1).select(
-        "cell_id", F.col("_cid").alias("vec_id")
+        "cell_id", F.col("_cid").alias("vec_id"), F.col("_v")
     )
-    encoded = pq_encode(corpus, codebooks, vec_col, id_col, n_sub, sub_dim)
-    return assigned.join(encoded, "vec_id")
+    sub = assigned.select(
+        "cell_id",
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_v"), s * sub_dim + 1, sub_dim)
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("subspace", "subvec"),
+    )
+    return encode_from_subspaces(sub, codebooks, n_sub, ["cell_id"]).select(
+        "cell_id", "vec_id", "subspace", "code"
+    )
 
 
 def ivfpq_topk(

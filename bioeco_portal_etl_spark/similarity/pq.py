@@ -55,6 +55,46 @@ def _subspaces(df: DataFrame, vec_col: str, id_alias: str, id_col: str, n_sub: i
     )
 
 
+def encode_from_subspaces(
+    sub: DataFrame, codebooks: DataFrame, n_sub: int, carry: list[str]
+) -> DataFrame:
+    """Snap long-form subvectors ``(vec_id, subspace, subvec, *carry)`` to
+    their nearest codebook entries -> ``(vec_id, *carry, subspace, code)``.
+
+    The argmin is ONE groupBy(vec_id) of per-subspace conditional
+    ``min(struct(d, code))``s — identical (distance, code)-ascending choice
+    as a per-(vec, subspace) window, but (a) all 128 candidate rows of a
+    vector collapse map-side (they are born co-located by the broadcast
+    codebook join), so the shuffle carries one row per VECTOR, not one per
+    (vector, subspace); and (b) the grouping key is plain ``vec_id``, so a
+    producer already hash-partitioned by vec_id (e.g. the IVF cell
+    assignment) satisfies the distribution and NO exchange runs at all —
+    the property ivfpq_index's one-shuffle plan is built on."""
+    cb = codebooks.select(
+        F.col("subspace").alias("cb_sub"), "code", F.col("subvec").alias("cvec")
+    )
+    scored = sub.join(F.broadcast(cb), sub.subspace == cb.cb_sub).select(
+        "vec_id",
+        *carry,
+        "subspace",
+        "code",
+        _sq_dist(F.col("subvec"), F.col("cvec")).alias("d"),
+    )
+    aggs = [F.first(c).alias(c) for c in carry] + [
+        F.min(
+            F.when(F.col("subspace") == s, F.struct(F.col("d"), F.col("code")))
+        ).alias(f"_m{s}")
+        for s in range(n_sub)
+    ]
+    return scored.groupBy("vec_id").agg(*aggs).select(
+        "vec_id",
+        *carry,
+        F.posexplode(
+            F.array(*[F.col(f"_m{s}.code") for s in range(n_sub)])
+        ).alias("subspace", "code"),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -66,25 +106,7 @@ def pq_encode(
     """(vec_id, subspace, code): nearest codebook entry per subvector.
     ``codebooks`` columns: subspace int, code int, subvec array<double>."""
     sub = _subspaces(corpus, vec_col, "vec_id", id_col, n_sub, sub_dim)
-    cb = codebooks.select(
-        F.col("subspace").alias("cb_sub"), "code", F.col("subvec").alias("cvec")
-    )
-    scored = sub.join(F.broadcast(cb), sub.subspace == cb.cb_sub).select(
-        "vec_id",
-        "subspace",
-        "code",
-        _sq_dist(F.col("subvec"), F.col("cvec")).alias("d"),
-    )
-    # argmin as min(struct(d, code)) — identical (distance, code)-ascending
-    # choice as a row_number window, but with map-side partial aggregation:
-    # all n_codes candidate rows for a (vec, subspace) are born in the same
-    # map partition (broadcast join), so the combiner collapses them to ONE
-    # shuffled row and no sort ever runs.
-    return (
-        scored.groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("__m"))
-        .select("vec_id", "subspace", F.col("__m.code").alias("code"))
-    )
+    return encode_from_subspaces(sub, codebooks, n_sub, [])
 
 
 def pq_lut(
