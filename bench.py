@@ -48,7 +48,10 @@ BENCH_QUERIES = [
     "ts6_ivfpq_topk",
     "td8_segment_dedupe",
     "w1_tumbling",
+    "w4_sessionize",
     "x1_salted_agg",
+    "x7_temperature_mix",
+    "x8_fuzzy_match",
     "rel5_topk_per_group",
 ]
 

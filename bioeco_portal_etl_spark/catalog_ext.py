@@ -1309,6 +1309,145 @@ ORDER BY gid, source, lang
 """
 
 
+def x7_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (operators/mixing.py): resample the
+    corpus so per-lang mass follows p_s ∝ n_s^0.5 at a 50% token budget.
+    Plan: one |strata|-row aggregate + broadcast join + md5-bucket filter —
+    the corpus itself is never shuffled. The pow-sum normalizer is a
+    fixed-order left fold (engine-exact double)."""
+    from bioeco_portal_etl_spark.operators.mixing import temperature_mix
+
+    d = T(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        temperature_mix(d, "doc_id", "lang", alpha=0.5, budget_frac=0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+X7_SQL = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(pow(n::DOUBLE, 0.5) ORDER BY lang)),
+                     (a, x) -> a + x) AS pow_sum,
+         sum(n) AS n_total
+  FROM c
+),
+thr AS (
+  SELECT lang,
+         floor(least(1.0,
+             ((0.5 * n_total::DOUBLE) * (pow(n::DOUBLE, 0.5) / pow_sum))
+             / n::DOUBLE) * 10000)::BIGINT AS thr
+  FROM c, tot
+),
+b AS (
+  SELECT doc_id, lang,
+         list_reduce(list_transform(range(1, 9),
+             i -> (strpos('0123456789abcdef',
+                          substr(md5(doc_id::VARCHAR || 'mix'), i, 1)) - 1)::BIGINT),
+           (a, x) -> a * 16 + x) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b JOIN thr USING (lang)
+WHERE bucket < thr ORDER BY doc_id
+"""
+
+
+def x8_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/fuzzy.py): build an entity
+    name per part (base name + '#key' so names are unique — the synthetic
+    p_name vocabulary is ~64 strings, which would make every block
+    degenerate), inject a typo'd copy of every third one (last char
+    dropped, shifted id), then find each name's best edit-distance match
+    among same-block candidates — the Fellegi-Sunter block→verify shape,
+    never all-pairs. The block key (first token + 3-char prefix of the id
+    token) is chosen to survive the end-of-string edit: prefixes are stable
+    under suffix typos, the standard prefix-blocking trade."""
+    from bioeco_portal_etl_spark.operators.fuzzy import blocked_fuzzy_best_match
+
+    p = T(spark, sf, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string")
+        ).alias("p_name"),
+    )
+    typos = p.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + F.lit(10_000_000)).alias("p_partkey"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("p_name"),
+    )
+    names = p.unionByName(typos)
+    toks = F.split(F.col("p_name"), r"\s+")
+    block = F.concat_ws(" ", toks.getItem(0), F.substring(toks.getItem(2), 1, 3))
+    return blocked_fuzzy_best_match(
+        names, "p_partkey", "p_name", block_key=block, max_distance=2, length_band=2
+    ).orderBy("p_partkey")
+
+
+X8_SQL = r"""
+WITH base AS (
+  SELECT p_partkey AS id, p_name || ' #' || p_partkey AS name FROM part
+  UNION ALL
+  SELECT p_partkey + 10000000,
+         substr(p_name || ' #' || p_partkey, 1,
+                length(p_name || ' #' || p_partkey) - 1)
+  FROM part WHERE p_partkey % 3 = 0
+),
+b AS (
+  SELECT id, name,
+         string_split_regex(name, '\s+')[1] || ' ' ||
+           substr(string_split_regex(name, '\s+')[3], 1, 3) AS blk,
+         length(name) AS l
+  FROM base
+),
+pairs AS (
+  SELECT a.id AS id, c.id AS gid, levenshtein(a.name, c.name) AS d
+  FROM b a JOIN b c ON a.blk = c.blk
+  WHERE a.id <> c.id AND abs(a.l - c.l) <= 2
+)
+SELECT id AS p_partkey, gid AS best_match_id, d AS best_distance FROM (
+  SELECT id, gid, d,
+         row_number() OVER (PARTITION BY id ORDER BY d, gid) AS rn
+  FROM pairs WHERE d <= 2)
+WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
+def w4_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-sessionization (operators/sessions.py): explicit per-user
+    session ordinals + session summaries over the events table, 30-min gap.
+    One hash(user) exchange end-to-end — the rollup reuses the window's
+    partitioning (hash(user, seq) ⊂ hash(user))."""
+    from bioeco_portal_etl_spark.operators.sessions import session_stats
+
+    e = T(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", "event_id", gap_seconds=1800).orderBy(
+        "user_id", "session_seq"
+    )
+
+
+W4_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM x
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+       count(*)::BIGINT AS n_events
+FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1340,6 +1479,9 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x4_source_cap": (x4_source_cap, X4_SQL),
     "x5_chunk_windows": (x5_chunk_windows, X5_SQL),
     "x6_corpus_stats": (x6_corpus_stats, X6_SQL),
+    "x7_temperature_mix": (x7_temperature_mix, X7_SQL),
+    "x8_fuzzy_match": (x8_fuzzy_match, X8_SQL),
+    "w4_sessionize": (w4_sessionize, W4_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),
