@@ -876,7 +876,7 @@ bs AS (
   FROM bgx GROUP BY doc_id
 )
 SELECT t.doc_id,
-       (10000 * maxc) // sumc AS top_token_ratio_e4,
+       ((10000 * maxc) // sumc)::BIGINT AS top_token_ratio_e4,
        coalesce((10000 * (btotal - bdistinct)) // btotal, 0)::BIGINT
          AS dup_bigram_ratio_e4
 FROM top t LEFT JOIN bs USING (doc_id) ORDER BY doc_id
@@ -1358,11 +1358,13 @@ def x8_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     name per part (base name + '#key' so names are unique — the synthetic
     p_name vocabulary is ~64 strings, which would make every block
     degenerate), inject a typo'd copy of every third one (last char
-    dropped, shifted id), then find each name's best edit-distance match
-    among same-block candidates — the Fellegi-Sunter block→verify shape,
-    never all-pairs. The block key (first token + 3-char prefix of the id
-    token) is chosen to survive the end-of-string edit: prefixes are stable
-    under suffix typos, the standard prefix-blocking trade."""
+    dropped, id negated — negative ids can never collide with genuine
+    partkeys at any scale factor), then find each name's best
+    edit-distance match among same-block candidates — the Fellegi-Sunter
+    block→verify shape, never all-pairs. The block key (first token +
+    3-char prefix of the THIRD name token) is chosen to survive the
+    end-of-string edit: prefixes are stable under suffix typos, the
+    standard prefix-blocking trade."""
     from bioeco_portal_etl_spark.operators.fuzzy import blocked_fuzzy_best_match
 
     p = T(spark, sf, "part").select(
@@ -1372,12 +1374,14 @@ def x8_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("p_name"),
     )
     typos = p.filter(F.col("p_partkey") % 3 == 0).select(
-        (F.col("p_partkey") + F.lit(10_000_000)).alias("p_partkey"),
+        (-F.col("p_partkey")).alias("p_partkey"),
         F.expr("substring(p_name, 1, length(p_name) - 1)").alias("p_name"),
     )
     names = p.unionByName(typos)
     toks = F.split(F.col("p_name"), r"\s+")
-    block = F.concat_ws(" ", toks.getItem(0), F.substring(toks.getItem(2), 1, 3))
+    # F.concat (not concat_ws): NULL-propagating like the oracle's `||`,
+    # so a hypothetical <3-token name drops out of blocking on BOTH sides.
+    block = F.concat(toks.getItem(0), F.lit(" "), F.substring(toks.getItem(2), 1, 3))
     return blocked_fuzzy_best_match(
         names, "p_partkey", "p_name", block_key=block, max_distance=2, length_band=2
     ).orderBy("p_partkey")
@@ -1387,7 +1391,7 @@ X8_SQL = r"""
 WITH base AS (
   SELECT p_partkey AS id, p_name || ' #' || p_partkey AS name FROM part
   UNION ALL
-  SELECT p_partkey + 10000000,
+  SELECT -p_partkey,
          substr(p_name || ' #' || p_partkey, 1,
                 length(p_name || ' #' || p_partkey) - 1)
   FROM part WHERE p_partkey % 3 = 0

@@ -30,6 +30,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _us(ts: Column) -> Column:
+    """Epoch µs, NTZ-tolerant: unix_micros requires TIMESTAMP (LTZ) but
+    parquet event tables commonly surface TIMESTAMP_NTZ. The session tz is
+    UTC, so casting NTZ→LTZ maps wall-clock to the same instant (and is a
+    no-op on already-LTZ input)."""
+    return F.unix_micros(ts.cast("timestamp_ltz"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -87,7 +95,7 @@ def asof_join(
     ).filter(F.col("__side") == 1)
     if tolerance_s is not None:
         in_tol = F.col("__m").isNotNull() & (
-            F.unix_micros(F.col("__l")[left_ts]) - F.unix_micros(F.col("__m.__rts"))
+            _us(F.col("__l")[left_ts]) - _us(F.col("__m.__rts"))
             <= int(tolerance_s * 1_000_000)
         )
         filled = filled.select(
@@ -101,7 +109,7 @@ def asof_join(
 
 
 def _bucket(ts: Column, radius_s: float) -> Column:
-    return F.floor(F.unix_micros(ts) / int(radius_s * 1_000_000))
+    return F.floor(_us(ts) / int(radius_s * 1_000_000))
 
 
 def range_join_binned(
@@ -123,7 +131,7 @@ def range_join_binned(
     ).withColumn("__rb", F.col("__rb") + _bucket(F.col(right_ts), radius_s))
     j = lb.join(rb, (lb[on] == rb[on]) & (lb.__lb == rb.__rb)).drop(rb[on])
     exact = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+        F.abs(_us(F.col(left_ts)) - _us(F.col(right_ts)))
         <= int(radius_s * 1_000_000)
     )
     return j.filter(exact).drop("__lb", "__rb")

@@ -14,7 +14,13 @@ Scale shape — ONE exchange end-to-end:
      distribution hash(user, session_seq)'s superset key hash(user) is
      already the frame's partitioning, so Catalyst plans NO second
      exchange (same property the IVF-PQ index build and g7's track agg
-     rely on; pinned in tests/test_plans.py).
+     rely on; pinned in tests/test_fuzzy_mix_sessions.py::
+     test_session_stats_single_exchange).
+
+Timestamps may arrive as TIMESTAMP or TIMESTAMP_NTZ (the driver's events
+parquet is NTZ): epoch math normalizes via cast to timestamp_ltz first —
+the session timezone is UTC, so NTZ wall-clock == LTZ instant, matching
+DuckDB's epoch_us on a naive timestamp.
 Session stats avoid double sums (floats would reassociate across engines):
 counts, integer epoch-µs durations, and min/max only.
 """
@@ -35,10 +41,10 @@ def sessionize(
     """Per-event session assignment: adds ``session_seq`` (1-based ordinal
     of the session within the user) under a total (ts, tiebreak) order."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    prev_us = F.lag(ts_us).over(w)
     is_new = (
-        prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000)
+        prev_us.isNull() | (ts_us - prev_us > gap_seconds * 1_000_000)
     ).cast("long")
     return df.withColumn(
         "session_seq",
@@ -71,7 +77,8 @@ def session_stats(
             "session_start",
             "session_end",
             F.expr(
-                "(unix_micros(session_end) - unix_micros(session_start))"
+                "(unix_micros(cast(session_end as timestamp_ltz))"
+                " - unix_micros(cast(session_start as timestamp_ltz)))"
                 " div 1000000"
             ).alias("duration_sec"),
             "n_events",
