@@ -755,7 +755,7 @@ MM1_SQL = f"""
 SELECT doc_id AS media_id,
        octet_length(encode(coalesce(text, ''))) AS n_bytes,
        octet_length(encode(coalesce(text, ''))) % {FAKE_W_MOD} + {FAKE_DIM_OFF} AS width,
-       octet_length(encode(coalesce(text, ''))) // {FAKE_H_DIV} % {FAKE_H_MOD} + {FAKE_DIM_OFF} AS height,
+       (octet_length(encode(coalesce(text, ''))) // {FAKE_H_DIV})::BIGINT % {FAKE_H_MOD} + {FAKE_DIM_OFF} AS height,
        'fake-rgb' AS media_format
 FROM documents ORDER BY media_id
 """
@@ -766,20 +766,31 @@ FROM documents ORDER BY media_id
 
 
 def w1_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    # sums run as DECIMAL internally (reassociation-exact across partial
+    # aggregation orders); the catalog surface casts to double on BOTH
+    # engines — Decimal objects vs DOUBLE hash differently at the gate.
     e = T(spark, sf, "events")
-    return tumbling_counts(e).orderBy("window_start", "event_type")
+    return (
+        tumbling_counts(e)
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+        .orderBy("window_start", "event_type")
+    )
 
 
 W1_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-       count(*) AS n_events, sum(value::DECIMAL(18,6)) AS sum_value
+       count(*) AS n_events, sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
 def w2_sliding(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
-    return sliding_counts(e).orderBy("window_start", "event_type")
+    return (
+        sliding_counts(e)
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+        .orderBy("window_start", "event_type")
+    )
 
 
 W2_SQL = """
@@ -789,14 +800,18 @@ WITH x AS (
          event_type, value
   FROM events)
 SELECT window_start, event_type, count(*) AS n_events,
-       sum(value::DECIMAL(18,6)) AS sum_value
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
 FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
 def w3_session(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
-    return session_counts(e).orderBy("user_id", "session_start")
+    return (
+        session_counts(e)
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+        .orderBy("user_id", "session_start")
+    )
 
 
 W3_SQL = """
@@ -813,7 +828,7 @@ y AS (
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM x)
 SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
-       sum(value::DECIMAL(18,6)) AS sum_value
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
 FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
@@ -954,8 +969,8 @@ c AS (
            AS token_start
   FROM t
 )
-SELECT doc_id, n_tokens, shard, token_start,
-       shard * 4294967296 + token_start // 256 AS bin_id
+SELECT doc_id, n_tokens, shard, token_start::BIGINT AS token_start,
+       (shard * 4294967296 + token_start // 256)::BIGINT AS bin_id
 FROM c ORDER BY doc_id
 """
 
@@ -1416,6 +1431,156 @@ WHERE rn = 1 ORDER BY p_partkey
 """
 
 
+def x9_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changeset between two snapshots (operators/cdc.py): the "new"
+    snapshot is derived deterministically from customer — every 97th key
+    deleted, every 13th balance bumped, every 29th segment churned (some
+    keys hit both: multi-column changed_cols), one insert per 101st key
+    under a negative key (collision-free at any sf). One full-outer join
+    on the key; unchanged rows never leave the join stage."""
+    from bioeco_portal_etl_spark.operators.cdc import snapshot_diff
+
+    c = T(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    changed = c.filter(k % 97 != 0).select(
+        k.alias("c_custkey"),
+        F.col("c_name"),
+        F.when(k % 13 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ).alias("c_acctbal"),
+        F.when(k % 29 == 0, F.lit("CHURNED")).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+    )
+    inserted = c.filter(k % 101 == 0).select(
+        (-(k + 1)).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), k.cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    new = changed.unionByName(inserted)
+    return snapshot_diff(
+        c, new, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    ).orderBy("c_custkey")
+
+
+X9_SQL = """
+WITH oldsnap AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+),
+newsnap AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal,
+         CASE WHEN c_custkey % 29 = 0 THEN 'CHURNED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT -(c_custkey + 1), 'Customer#new' || c_custkey, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 101 = 0
+),
+j AS (
+  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg,
+         o.c_custkey IS NOT NULL AS op, n.c_custkey IS NOT NULL AS np
+  FROM oldsnap o FULL JOIN newsnap n ON o.c_custkey = n.c_custkey
+)
+SELECT coalesce(nk, ok) AS c_custkey,
+       CASE WHEN NOT op THEN 'insert'
+            WHEN NOT np THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN op AND np THEN concat_ws(',',
+            CASE WHEN o_name IS DISTINCT FROM n_name THEN 'c_name' END,
+            CASE WHEN o_bal IS DISTINCT FROM n_bal THEN 'c_acctbal' END,
+            CASE WHEN o_seg IS DISTINCT FROM n_seg THEN 'c_mktsegment' END)
+            ELSE '' END AS changed_cols,
+       n_name AS c_name, n_bal AS c_acctbal, n_seg AS c_mktsegment
+FROM j
+WHERE NOT op OR NOT np
+   OR o_name IS DISTINCT FROM n_name
+   OR o_bal IS DISTINCT FROM n_bal
+   OR o_seg IS DISTINCT FROM n_seg
+ORDER BY c_custkey
+"""
+
+
+def x10_url_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + exact dedupe (functions/urls.py) — the first
+    dedupe tier of a web-crawl pipeline, before any content hashing.
+    Deterministic messy URLs are synthesized per doc (case-mixed host,
+    www. prefix, default ports, duplicate/trailing slashes, tracking
+    params, unsorted query, fragments); canonicalization collapses them
+    and the groupBy reports cluster size + kept doc. Zero UDFs: the
+    canonicalizer is instr/substr/regexp/array built-ins in the scan
+    stage; the groupBy on the canonical string is the only shuffle."""
+    from bioeco_portal_etl_spark.functions.urls import canonicalize_url
+
+    d = T(spark, sf, "documents").select("doc_id", "source")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 2 == 1, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(k % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(
+            k % 5 == 0,
+            F.when(k % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/articles//"),
+        (k % 40).cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(k % 4 == 1, F.lit("?a=1&b=2"))
+        .when(k % 4 == 2, F.lit("?b=2&a=1&fbclid=XYZ"))
+        .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        d.select(k.alias("doc_id"), canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _x10_sql() -> str:
+    from bioeco_portal_etl_spark.functions.urls import duck_canonical_url
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+    source || '.Example.COM' ||
+    (CASE WHEN doc_id % 5 = 0
+          THEN (CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE ':80' END)
+          ELSE '' END) ||
+    '/articles//' || (doc_id % 40) ||
+    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+          WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+          WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=XYZ'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents
+),
+c AS (SELECT doc_id, {duck_canonical_url('url')} AS canonical_url FROM u)
+SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keep_doc
+FROM c GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+X10_SQL = _x10_sql()
+
+
 def w4_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Batch gap-sessionization (operators/sessions.py): explicit per-user
     session ordinals + session summaries over the events table, 30-min gap.
@@ -1446,7 +1611,8 @@ y AS (
 )
 SELECT user_id, session_seq::BIGINT AS session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
-       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+       ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+         AS duration_sec,
        count(*)::BIGINT AS n_events
 FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
@@ -1485,6 +1651,8 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x6_corpus_stats": (x6_corpus_stats, X6_SQL),
     "x7_temperature_mix": (x7_temperature_mix, X7_SQL),
     "x8_fuzzy_match": (x8_fuzzy_match, X8_SQL),
+    "x9_snapshot_diff": (x9_snapshot_diff, X9_SQL),
+    "x10_url_dedupe": (x10_url_dedupe, X10_SQL),
     "w4_sessionize": (w4_sessionize, W4_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),

@@ -184,9 +184,9 @@ def rel4_conditional_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 REL4_SQL = """
 SELECT c_nationkey,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
@@ -329,7 +329,10 @@ def rel7_range_join(spark: SparkSession, sf: str) -> DataFrame:
         pairs.groupBy("err_id", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_nearby"),
-            F.sum(F.col("click_value").cast("decimal(18,6)")).alias("sum_value"),
+            # decimal sum internally, double at the surface (gate convention)
+            F.sum(F.col("click_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("err_id")
     )
@@ -337,7 +340,7 @@ def rel7_range_join(spark: SparkSession, sf: str) -> DataFrame:
 
 REL7_SQL = """
 SELECT e.event_id AS err_id, e.user_id, count(*) AS n_nearby,
-       sum(CAST(c.value AS DECIMAL(18,6))) AS sum_value
+       sum(CAST(c.value AS DECIMAL(18,6)))::DOUBLE AS sum_value
 FROM events e
 JOIN events c ON c.user_id = e.user_id AND c.event_type = 'click'
             AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
@@ -357,7 +360,10 @@ def rel9_cube(spark: SparkSession, sf: str) -> DataFrame:
         l.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+            # decimal sum internally, double at the surface (gate convention)
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
             F.grouping_id().alias("gid"),
         )
         .orderBy(
@@ -370,7 +376,7 @@ def rel9_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 REL9_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+       sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE AS sum_qty,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -404,7 +410,7 @@ def rel8_json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 REL8_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INTEGER) AS min_k,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INTEGER) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

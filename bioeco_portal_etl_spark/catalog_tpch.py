@@ -84,7 +84,9 @@ def q11_value_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_supp.crossJoin(F.broadcast(total))
         .filter(F.col("value").cast("double") > F.col("grand_total") * 0.005)
-        .select("l_suppkey", "value")
+        # surface as double on both engines (decimal stays internal); cast
+        # BEFORE the sort so tie order under double rounding matches too
+        .select("l_suppkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_suppkey")
     )
 
@@ -95,11 +97,11 @@ WITH v AS (
          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS value
   FROM lineitem GROUP BY l_suppkey
 )
-SELECT l_suppkey, value
+SELECT l_suppkey, value::DOUBLE AS value
 FROM v
 WHERE CAST(value AS DOUBLE) >
       (SELECT sum(CAST(value AS DOUBLE)) FROM v) * 0.005
-ORDER BY value DESC, l_suppkey
+ORDER BY value::DOUBLE DESC, l_suppkey
 """
 
 
@@ -125,14 +127,14 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(
             F.col("promo").cast("double") / F.col("total").cast("double") * 100 * 1e4
         ).alias("promo_pct_e4"),
-        F.col("promo").alias("promo_revenue"),
+        F.col("promo").cast("double").alias("promo_revenue"),
     )
 
 
 Q14_SQL = """
 SELECT CAST(floor(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100 * 1e4) AS BIGINT)
          AS promo_pct_e4,
-       promo AS promo_revenue
+       promo::DOUBLE AS promo_revenue
 FROM (
   SELECT sum(CASE WHEN p_type = 'PROMO'
                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
@@ -172,13 +174,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("total_price"),
+        # decimal sum internally, double at the surface (gate convention)
+        F.sum(F.col("l_extendedprice").cast(_DEC))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
 Q17_SQL = """
 SELECT count(*) AS n_small,
-       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS total_price
+       sum(CAST(l_extendedprice AS DECIMAL(18,6)))::DOUBLE AS total_price
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#13'
@@ -214,7 +219,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "total_qty",
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
@@ -222,7 +227,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_name, o_custkey, o_orderkey, o_orderdate,
-       round(o_totalprice, 2) AS o_totalprice, total_qty
+       round(o_totalprice, 2) AS o_totalprice, total_qty::DOUBLE AS total_qty
 FROM orders
 JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
       FROM lineitem GROUP BY l_orderkey
@@ -250,13 +255,15 @@ def q19_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     return j.filter(branch).agg(
-        F.count(F.lit(1)).alias("n_items"), F.sum(rev).alias("revenue")
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
     )
 
 
 Q19_SQL = """
 SELECT count(*) AS n_items,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE
+         AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
@@ -285,7 +292,7 @@ def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
         idle.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).alias("total_bal"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -293,7 +300,7 @@ def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 Q22_SQL = """
 SELECT c_nationkey, count(*) AS n_cust,
-       sum(CAST(c_acctbal AS DECIMAL(18,6))) AS total_bal
+       sum(CAST(c_acctbal AS DECIMAL(18,6)))::DOUBLE AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                           / count(*)

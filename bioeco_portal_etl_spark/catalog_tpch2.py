@@ -98,13 +98,14 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     return (
         j.filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(_rev()).alias("revenue"))
+        # decimal sum internally, double at the surface (gate convention)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+SELECT supp_nation, cust_nation, l_year, sum(volume)::DOUBLE AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -215,7 +216,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(amount).alias("profit"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -223,7 +224,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
 Q9_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-           - CAST(0.7 * l_quantity AS DECIMAL(18,6))) AS profit
+           - CAST(0.7 * l_quantity AS DECIMAL(18,6)))::DOUBLE AS profit
 FROM lineitem
 JOIN part     ON l_partkey  = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -253,7 +254,9 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         j.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        # cast BEFORE the top-20 sort so tie behavior under double
+        # rounding matches the oracle's (which also sorts on double)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -261,7 +264,8 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE
+         AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -355,7 +359,12 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        # equality on the exact decimal above; double only at the surface
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -367,7 +376,7 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, total_revenue::DOUBLE AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey

@@ -135,6 +135,16 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     import pyspark.sql.functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Non-UTC-adjusted parquet timestamps surface as TIMESTAMP_NTZ; every
+    # epoch-math operator normalizes NTZ via cast to timestamp_ltz, which is
+    # session-timezone-dependent. The engine's own factory pins UTC
+    # (session.py) but the driver hands us an arbitrary session — pin it at
+    # read time so NTZ wall-clock == UTC instant, matching DuckDB's
+    # epoch_us on naive timestamps. Runtime-settable conf; guarded.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - locked-conf fallback
+        pass
     nanos = _nanos_columns(path)
     if nanos:
         # The engine's own session factory sets this (session.py), but the
