@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "x1_salted_agg",
     "x7_temperature_mix",
     "x8_fuzzy_match",
+    "x9_snapshot_diff",
+    "x10_url_dedupe",
     "rel5_topk_per_group",
 ]
 

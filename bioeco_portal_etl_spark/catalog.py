@@ -792,6 +792,7 @@ _GATE_FIRST = [
     "w2_sliding",
     "w3_session",
     "w4_sessionize",
+    "w5_streaming_sessions",
     "mm1_media_metadata",
     "p0_canonical_entities",
     "p3_blanks_to_null",
@@ -816,6 +817,8 @@ _GATE_FIRST = [
     "x8_fuzzy_match",
     "x9_snapshot_diff",
     "x10_url_dedupe",
+    "tx11_lm_score",
+    "ts7_pq_refine_topk",
     "q2_min_cost_supplier",
     "q4_priority_exists",
     "q7_volume_shipping",

@@ -1022,6 +1022,36 @@ WHERE rank <= 3 ORDER BY doc_id, rank
 
 
 
+def tx11_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (text/lm.py) — the CCNet
+    perplexity-bucket gate with the LM reduced to unigrams so scoring is
+    pure Column algebra: per-token floor-e4 log-probs (quantized BEFORE
+    summation → exact integer math through the shuffle), broadcast
+    Heaps-bounded vocab, one groupBy(doc)."""
+    from bioeco_portal_etl_spark.text.lm import unigram_lm_scores
+
+    d = T(spark, sf, "documents")
+    return unigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+TX11_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents),
+v AS (SELECT t, count(*)::BIGINT AS tf FROM tok GROUP BY t),
+tot AS (SELECT sum(tf)::BIGINT AS total FROM v),
+lp AS (
+  SELECT t, floor(ln(tf::DOUBLE / total::DOUBLE) * 10000)::BIGINT AS lp_e4
+  FROM v, tot
+),
+d AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lp_e4)::BIGINT AS sum_lp_e4
+  FROM tok JOIN lp USING (t) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_lp_e4,
+       floor(sum_lp_e4::DOUBLE / n_tokens::DOUBLE)::BIGINT AS avg_lp_e4
+FROM d ORDER BY doc_id
+"""
+
+
 def td7_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup PAIRS -> connected components with cluster_id = min member
     (text/dedupe.connected_components — iterative min-label propagation;
@@ -1158,6 +1188,95 @@ SELECT query_id, match_id, dist_e4, rank FROM (
                             ORDER BY floor(approx_d * 10000)::BIGINT ASC,
                                      match_id ASC) AS rank
   FROM pp)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def ts7_pq_refine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Shortlist-then-refine (similarity/refine.py): ts5's PQ-ADC scorer
+    produces a 20-candidate shortlist per query in the compressed domain,
+    then ONLY those full vectors are fetched and re-scored with the exact
+    left-fold squared-L2 — the production re-ranking tier every vector DB
+    runs. Final ranking is exact over shortlist members."""
+    from bioeco_portal_etl_spark.similarity.refine import pq_refine_topk
+
+    e = T(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    cb = v.filter(F.col("vec_id") < 128).select(
+        F.expr("vec_id div 16").cast("int").alias("subspace"),
+        (F.col("vec_id") % 16).cast("int").alias("code"),
+        F.expr("slice(e, (vec_id div 16) * 8 + 1, 8)").alias("subvec"),
+    )
+    q = _query_vectors(spark, sf)
+    return pq_refine_topk(
+        e, q, cb, "embedding", "vec_id", k=5, shortlist=20, exclude_self=True
+    ).orderBy("query_id", "rank")
+
+
+_EXACT_D64 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+    " i -> (qe[i] - ce[i]) * (qe[i] - ce[i]))), (x, y) -> x + y)"
+)
+TS7_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+cb AS (
+  SELECT (vec_id // 16)::INT AS subspace, (vec_id % 16)::INT AS code,
+         list_slice(e, (vec_id // 16) * 8 + 1, (vec_id // 16) * 8 + 8) AS cvec
+  FROM v WHERE vec_id < 128
+),
+sub AS (
+  SELECT vec_id, s.s::INT AS subspace,
+         list_slice(e, s.s * 8 + 1, s.s * 8 + 8) AS subvec
+  FROM v, (SELECT unnest(range(0, 8)) AS s) s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT a.vec_id, a.subspace, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, a.subspace
+                              ORDER BY {_PQ_D} ASC, cb.code ASC) AS rn
+    FROM sub a JOIN cb USING (subspace))
+  WHERE rn = 1
+),
+lut AS (
+  SELECT a.vec_id AS query_id, a.subspace, cb.code, {_PQ_D} AS pd
+  FROM sub a JOIN cb USING (subspace)
+  WHERE a.vec_id < 10
+),
+pp AS (
+  SELECT l.query_id, e.vec_id AS match_id,
+         list_reduce(list_prepend(0.0, list(l.pd ORDER BY l.subspace)),
+                     (x, y) -> x + y) AS approx_d
+  FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  WHERE l.query_id <> e.vec_id
+  GROUP BY l.query_id, e.vec_id
+),
+shortlist AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(approx_d * 10000)::BIGINT ASC,
+                                       match_id ASC) AS rank
+    FROM pp)
+  WHERE rank <= 20
+),
+refined AS (
+  SELECT s.query_id, s.match_id,
+         floor({_EXACT_D64} * 10000)::BIGINT AS dist_e4
+  FROM shortlist s
+  JOIN (SELECT vec_id, e AS ce FROM v) c ON c.vec_id = s.match_id
+  JOIN (SELECT vec_id, e AS qe FROM v WHERE vec_id < 10) q
+    ON q.vec_id = s.query_id
+)
+SELECT query_id, match_id, dist_e4, rank FROM (
+  SELECT query_id, match_id, dist_e4,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_e4 ASC, match_id ASC) AS rank
+  FROM refined)
 WHERE rank <= 5 ORDER BY query_id, rank
 """
 
@@ -1517,7 +1636,7 @@ def x10_url_dedupe(spark: SparkSession, sf: str) -> DataFrame:
     and the groupBy reports cluster size + kept doc. Zero UDFs: the
     canonicalizer is instr/substr/regexp/array built-ins in the scan
     stage; the groupBy on the canonical string is the only shuffle."""
-    from bioeco_portal_etl_spark.functions.urls import canonicalize_url
+    from bioeco_portal_etl_spark.functions.urls import canonicalize_urls
 
     d = T(spark, sf, "documents").select("doc_id", "source")
     k = F.col("doc_id")
@@ -1540,8 +1659,9 @@ def x10_url_dedupe(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
+    with_url = d.select(k.alias("doc_id"), url.alias("__url"))
     return (
-        d.select(k.alias("doc_id"), canonicalize_url(url).alias("canonical_url"))
+        canonicalize_urls(with_url, F.col("__url"), keep=["doc_id"])
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
@@ -1618,6 +1738,78 @@ FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
 
 
+def w5_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (streaming/sessions_stream.py):
+    gap-sessionization via applyInPandasWithState, drained with
+    availableNow into a memory sink. Emits every CLOSED session; each
+    user's final (still-open) session stays in state — so the output is
+    deterministic at any drain point: the batch sessionization (w4) minus
+    each user's last session, which is exactly what the oracle computes.
+    State is one (start,end,n) triple per user; the state-store shuffle on
+    user_id is the same single exchange the batch operator pays."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming.sessions_stream import (
+        streaming_sessionize,
+    )
+
+    T(spark, sf, "events")  # pins UTC session tz for the epoch math
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        # glob, not the bare file: the streaming file source requires a
+        # directory or glob (basePath then derives to the parent dir)
+        .parquet(os.path.join(sf, "events.parquet*"))
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("w5_sessions_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        ok = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not ok:  # pragma: no cover - drain must finish within the timeout
+        raise RuntimeError("w5 stream did not drain")
+    return spark.table("w5_sessions_mem").orderBy("user_id", "session_start")
+
+
+W5_SQL = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+s AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+           AS duration_sec,
+         count(*)::BIGINT AS n_events
+  FROM y GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, duration_sec, n_events
+FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS mx FROM s)
+WHERE sid < mx
+ORDER BY user_id, session_start
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1630,6 +1822,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "ts4_kmeans_ivf": (ts4_kmeans_ivf, TS4_SQL),  # frozen deterministic output
     "ts5_pq_topk": (ts5_pq_topk, TS5_SQL),
     "ts6_ivfpq_topk": (ts6_ivfpq_topk, TS6_SQL),
+    "ts7_pq_refine_topk": (ts7_pq_refine_topk, TS7_SQL),
     "x1_salted_agg": (x1_salted_agg, X1_SQL),
     "tx1_token_counts": (tx1_token_counts, TX1_SQL),
     "tx2_language_id": (tx2_language_id, TX2_SQL),
@@ -1644,6 +1837,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "td8_segment_dedupe": (td8_segment_dedupe, TD8_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
     "tx10_tfidf_top_terms": (tx10_tfidf_top_terms, TX10_SQL),
+    "tx11_lm_score": (tx11_lm_score, TX11_SQL),
     "x2_stratified_split": (x2_stratified_split, X2_SQL),
     "x3_sequence_packing": (x3_sequence_packing, X3_SQL),
     "x4_source_cap": (x4_source_cap, X4_SQL),
@@ -1654,6 +1848,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x9_snapshot_diff": (x9_snapshot_diff, X9_SQL),
     "x10_url_dedupe": (x10_url_dedupe, X10_SQL),
     "w4_sessionize": (w4_sessionize, W4_SQL),
+    "w5_streaming_sessions": (w5_streaming_sessions, W5_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),

@@ -83,6 +83,101 @@ def canonicalize_url(col: Column | str) -> Column:
     )
 
 
+def canonicalize_urls(
+    df, url_col, out_col: str = "canonical_url", keep: list[str] | None = None
+):
+    """Staged-projection form of :func:`canonicalize_url` — USE THIS IN
+    PIPELINES. The scalar Column version nests each stage inside the next
+    (``rest`` references ``base`` twice, ``hostpath`` references ``rest``
+    twice, …), so the final expression tree contains exponentially many
+    copies of the input expression and codegen re-evaluates them all
+    (measured ~10× slower at sf0.1 on the x10 fixture). Here every stage
+    is a NAMED column referenced multiply by the next projection —
+    Catalyst's CollapseProject keeps multiply-referenced non-cheap aliases
+    materialized (the same property text/dedupe.shingled relies on), so
+    each stage computes exactly once per row."""
+    keep = keep if keep is not None else [c for c in df.columns]
+    u = _c(url_col)
+    h = F.instr(u, "#")
+    s1 = df.select(
+        *keep, F.when(h > 0, F.substring(u, F.lit(1), h - 1)).otherwise(u).alias("__base")
+    )
+    b = F.col("__base")
+    p = F.instr(b, "://")
+    s2 = s1.select(
+        *keep,
+        F.lower(F.substring(b, F.lit(1), p - 1)).alias("__scheme"),
+        F.substring(b, p + 3, F.length(b)).alias("__rest"),
+    )
+    r = F.col("__rest")
+    qp = F.instr(r, "?")
+    s3 = s2.select(
+        *keep,
+        "__scheme",
+        F.when(qp > 0, F.substring(r, F.lit(1), qp - 1)).otherwise(r).alias("__hostpath"),
+        F.when(qp > 0, F.substring(r, qp + 1, F.length(r)))
+        .otherwise(F.lit(""))
+        .alias("__query"),
+    )
+    hp = F.col("__hostpath")
+    sl = F.instr(hp, "/")
+    s4 = s3.select(
+        *keep,
+        "__scheme",
+        "__query",
+        F.when(sl > 0, F.substring(hp, F.lit(1), sl - 1)).otherwise(hp).alias("__host_raw"),
+        F.when(sl > 0, F.substring(hp, sl, F.length(hp)))
+        .otherwise(F.lit(""))
+        .alias("__path_raw"),
+    )
+    s5 = s4.select(
+        *keep,
+        "__scheme",
+        "__query",
+        "__path_raw",
+        F.regexp_replace(F.lower(F.col("__host_raw")), r"^www\.", "").alias("__host1"),
+    )
+    host = (
+        F.when(
+            F.col("__scheme") == "http",
+            F.regexp_replace(F.col("__host1"), ":80$", ""),
+        )
+        .when(
+            F.col("__scheme") == "https",
+            F.regexp_replace(F.col("__host1"), ":443$", ""),
+        )
+        .otherwise(F.col("__host1"))
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("__path_raw"), "/{2,}", "/"), "/+$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.col("__query"), "&"),
+            lambda t: (t != "") & ~t.rlike(TRACKING_RE),
+        )
+    )
+    s6 = s5.select(
+        *keep,
+        "__scheme",
+        host.alias("__host"),
+        path.alias("__path"),
+        F.array_join(params, "&").alias("__q"),
+    )
+    return s6.select(
+        *keep,
+        F.concat(
+            F.col("__scheme"),
+            F.lit("://"),
+            F.col("__host"),
+            F.col("__path"),
+            F.when(F.col("__q") != "", F.concat(F.lit("?"), F.col("__q"))).otherwise(
+                F.lit("")
+            ),
+        ).alias(out_col),
+    )
+
+
 def duck_canonical_url(expr: str) -> str:
     """DuckDB expression mirroring :func:`canonicalize_url` (oracle side).
 

@@ -1,0 +1,78 @@
+"""Corpus-trained unigram LM quality scoring — the CCNet-style
+"perplexity bucket" gate (Wenzek et al. 2020) with the LM reduced to a
+unigram model so it stays pure Column algebra (no KenLM dependency, no
+UDFs).
+
+Score: for each document, the sum and average of per-token
+``floor(ln(tf_corpus / total_tokens) * 1e4)`` — i.e. fixed-point token
+log-probabilities under the corpus's own unigram distribution. Low
+average ≈ rare-token soup (OCR noise, gibberish, wrong-language);
+high ≈ fluent common text. Buckets of this score are what a curation
+pipeline samples from (head/middle/tail in CCNet).
+
+Engine-exactness: the per-token logprob is ONE ln per vocabulary entry
+(deterministic double), quantized to e4 integers BEFORE any summation —
+per-document sums are then exact integer arithmetic, immune to float
+reassociation across partial aggregates. The average uses floor() on true
+division (NOT integer div: Spark's ``div`` truncates toward zero while
+DuckDB's ``//`` floors, and these scores are negative).
+
+Scale shape: the vocabulary table is Heaps-law bounded (≪ corpus), so it
+broadcasts; token scoring is a map-side hash join over the exploded
+tokens inside the same stage as tokenization; one groupBy(doc) shuffle
+ends the plan. At 100 TB, train the vocab once into a staging table and
+feed it via ``vocab=`` instead of recomputing per run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from bioeco_portal_etl_spark.text.tokenize import tokens
+
+
+def unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, lp_e4) unigram log-probability table trained on the corpus
+    itself: lp_e4 = floor(ln(tf / total) * 1e4)."""
+    tok = df.select(F.explode(tokens(text_col)).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    total = counts.agg(F.sum("__tf").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "__t",
+        F.floor(
+            F.log(F.col("__tf").cast("double") / F.col("__total").cast("double"))
+            * 10000
+        )
+        .cast("long")
+        .alias("__lp_e4"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-document (n_tokens, sum_lp_e4, avg_lp_e4) under the unigram LM.
+    Zero-token documents carry no signal and are dropped (same contract as
+    simhash/repetition). ``vocab`` defaults to self-training on ``df``;
+    pass a staged table for incremental scoring at scale."""
+    v = vocab if vocab is not None else unigram_vocab(df, text_col)
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    return (
+        tok.join(F.broadcast(v), "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lp_e4").alias("sum_lp_e4"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "sum_lp_e4",
+            F.floor(
+                F.col("sum_lp_e4").cast("double") / F.col("n_tokens").cast("double")
+            )
+            .cast("long")
+            .alias("avg_lp_e4"),
+        )
+    )

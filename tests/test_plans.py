@@ -184,3 +184,23 @@ def test_q13_left_join_histogram_partial_aggs(spark):
     plan = _physical(spark, "q13_order_count_distribution")
     assert "LeftOuter" in plan
     assert "partial_count" in plan  # both aggregate levels pre-combine
+
+
+def test_x9_one_join_no_python(spark):
+    """snapshot_diff: exactly one (full-outer) join, no Python stages —
+    the whole changeset derivation lives in the join + project stage."""
+    plan = _physical(spark, "x9_snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x10_canonicalizer_in_scan_stage(spark):
+    """URL canonicalize+dedupe: zero UDFs (pure codegen expressions) and a
+    single exchange — the groupBy on the canonical key. The canonicalizer
+    itself must not induce a shuffle or a Python stage."""
+    plan = _physical(spark, "x10_url_dedupe")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one hash-agg exchange + the final sort's range exchange, nothing else
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan or "partial_" in plan  # map-side combine
