@@ -737,6 +737,68 @@ FROM pts GROUP BY l_orderkey HAVING count(*) >= 2 ORDER BY l_orderkey
 """
 
 
+def g10_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial join (geo/pip.py): customers as deterministic points on a
+    [0,100)² plane, joined to a 5×5 lattice of diamond (rotated-square)
+    polygons — non-axis-aligned on purpose, so the even-odd ray cast does
+    real work the bbox prefilter can't fake. Broadcast polygons + map-side
+    bbox candidates + codegen crossing fold; no UDF, no shuffle before the
+    report sort."""
+    from bioeco_portal_etl_spark.geo.pip import point_in_polygon_join
+
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.pmod(F.col("c_custkey") * 7, F.lit(1000)) / 10.0).alias("x"),
+        (F.pmod(F.col("c_custkey") * 13, F.lit(1000)) / 10.0).alias("y"),
+    )
+    g = spark.range(25)
+    cx = (F.col("id") / 5).cast("long").cast("double") * 20 + 10
+    cy = (F.col("id") % 5).cast("double") * 20 + 10
+    polys = g.select(
+        F.col("id").alias("poly_id"),
+        F.array(cx - 8, cx, cx + 8, cx).alias("xs"),
+        F.array(cy, cy + 8, cy, cy - 8).alias("ys"),
+    )
+    return point_in_polygon_join(pts, polys, "x", "y").orderBy("c_custkey")
+
+
+G10_SQL = """
+WITH pts AS (
+  SELECT c_custkey, ((c_custkey * 7) % 1000) / 10.0 AS x,
+         ((c_custkey * 13) % 1000) / 10.0 AS y
+  FROM customer
+),
+poly AS (
+  SELECT id AS poly_id, ((id // 5)::BIGINT * 20 + 10)::DOUBLE AS cx,
+         ((id % 5) * 20 + 10)::DOUBLE AS cy
+  FROM range(25) t(id)
+),
+v AS (
+  SELECT poly_id, [cx - 8, cx, cx + 8, cx] AS xs,
+         [cy, cy + 8, cy, cy - 8] AS ys, cx, cy
+  FROM poly
+),
+cand AS (
+  SELECT c_custkey, x, y, poly_id, xs, ys
+  FROM pts, v
+  WHERE x >= cx - 8 AND x <= cx + 8 AND y >= cy - 8 AND y <= cy + 8
+),
+cr AS (
+  SELECT c_custkey, x, y, poly_id,
+    list_reduce(list_prepend(0, list_transform(range(0, 4), i ->
+      CASE WHEN ((ys[i + 1] > y) <> (ys[((i + 1) % 4) + 1] > y))
+            AND (((xs[((i + 1) % 4) + 1] - xs[i + 1]) * (y - ys[i + 1])
+                  - (x - xs[i + 1]) * (ys[((i + 1) % 4) + 1] - ys[i + 1]) > 0)
+                 = (ys[((i + 1) % 4) + 1] > ys[i + 1]))
+      THEN 1 ELSE 0 END)), (a, b) -> a + b) AS crossings
+  FROM cand
+)
+SELECT c_custkey, x, y, poly_id FROM cr WHERE crossings % 2 = 1
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -767,6 +829,7 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g5_geom_type": (g5_geom_type, G5_SQL),
     "g7_linestring_track": (g7_linestring_track, G7_SQL),
     "g9_union_points_geojson": (g9_union_points_geojson, G9_SQL),
+    "g10_point_in_polygon": (g10_point_in_polygon, G10_SQL),
 }
 
 
@@ -819,6 +882,7 @@ _GATE_FIRST = [
     "x10_url_dedupe",
     "tx11_lm_score",
     "ts7_pq_refine_topk",
+    "g10_point_in_polygon",
     "q2_min_cost_supplier",
     "q4_priority_exists",
     "q7_volume_shipping",
