@@ -31,6 +31,11 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     minhash_lsh_pairs,
     segment_dedupe,
 )
+from bioeco_portal_etl_spark.functions.urls import canonicalize_urls  # noqa: E402
+from bioeco_portal_etl_spark.geo.pip import point_in_polygon_join  # noqa: E402
+from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
+from bioeco_portal_etl_spark.operators.sessions import session_stats  # noqa: E402
+from bioeco_portal_etl_spark.text.lm import unigram_lm_scores  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -80,6 +85,57 @@ def main() -> None:
         )
         return asof_join(errors, clicks, "user_id", "ts", "ts", ["value"])
 
+    def cdc_case(s):
+        c = read_parquet_table(spark, SF_DIR, "customer")
+        old = c if s == 1 else scaled(c, s, ["c_custkey"])
+        k = F.col("c_custkey")
+        new = old.filter(k % 97 != 0).select(
+            k.alias("c_custkey"),
+            "c_name",
+            F.when(k % 13 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        return snapshot_diff(
+            old.select("c_custkey", "c_name", "c_acctbal"),
+            new,
+            ["c_custkey"],
+            ["c_name", "c_acctbal"],
+        )
+
+    def url_case(s):
+        d = docs if s == 1 else scaled(docs, s, ["doc_id"])
+        k = F.col("doc_id")
+        url = F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM"),
+            F.lit("/a//"), (k % 1000).cast("string"),
+            F.when(k % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("")),
+        )
+        with_url = d.select("doc_id", url.alias("__url"))
+        return (
+            canonicalize_urls(with_url, F.col("__url"), keep=["doc_id"])
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+        )
+
+    def pip_case(s):
+        c = read_parquet_table(spark, SF_DIR, "customer")
+        pts_src = c if s == 1 else scaled(c, s, ["c_custkey"])
+        pts = pts_src.select(
+            "c_custkey",
+            (F.pmod(F.col("c_custkey") * 7, F.lit(1000)) / 10.0).alias("x"),
+            (F.pmod(F.col("c_custkey") * 13, F.lit(1000)) / 10.0).alias("y"),
+        )
+        g = spark.range(25)
+        cx = (F.col("id") / 5).cast("long").cast("double") * 20 + 10
+        cy = (F.col("id") % 5).cast("double") * 20 + 10
+        polys = g.select(
+            F.col("id").alias("poly_id"),
+            F.array(cx - 8, cx, cx + 8, cx).alias("xs"),
+            F.array(cy, cy + 8, cy, cy - 8).alias("ys"),
+        )
+        return point_in_polygon_join(pts, polys, "x", "y")
+
     cases = {
         "scan_agg_q1": (lambda s: q1(li if s == 1 else scaled(li, s, ["l_orderkey"]))),
         "join_agg": (
@@ -121,6 +177,26 @@ def main() -> None:
                 "doc_id",
                 "lang",
                 {"en": 0.95},
+            )
+        ),
+        # both snapshots scale; churn rate is constant so output scales too
+        "snapshot_diff": (lambda s: cdc_case(s)),
+        # canonicalize + dedupe: url variants scale with docs
+        "url_dedupe": (lambda s: url_case(s)),
+        # points scale against a FIXED broadcast polygon set (the realistic
+        # shape: admin regions don't grow with observation count)
+        "point_in_polygon": (lambda s: pip_case(s)),
+        # vocab is Heaps-bounded: scaling docs grows the corpus, not the
+        # broadcast side
+        "unigram_lm": (
+            lambda s: unigram_lm_scores(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]), "doc_id", "text"
+            )
+        ),
+        "sessionize": (
+            lambda s: session_stats(
+                events if s == 1 else scaled(events, s, ["user_id"]),
+                "user_id", "ts", "event_id",
             )
         ),
     }
