@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bioeco_portal_etl_spark.multimodal.media import attach_payload, decode_media_metadata
 from bioeco_portal_etl_spark.similarity.knn import (
@@ -1082,6 +1082,65 @@ SELECT node, min(label) AS cluster_id FROM walk GROUP BY node ORDER BY node
 
 
 
+def td9_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup resolution, end to end: LSH pairs (td2) -> connected
+    components (td7) -> KEEP the highest-quality member of each cluster
+    (tx3's quality score), drop the rest — the decision step that turns
+    pair mining into an actual smaller corpus. Per-doc verdict rows
+    (doc_id, cluster_id, quality, keep) so downstream is a semi-join.
+    Tie on quality -> smallest doc_id (deterministic both engines: the
+    score is round(.,4)-quantized, so equality is exact)."""
+    from bioeco_portal_etl_spark.text.dedupe import connected_components
+
+    d = T(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    comps = connected_components(pairs)
+    q = quality_table(d, "doc_id", "text").select("doc_id", "quality")
+    member = comps.join(q, comps.node == q.doc_id).select(
+        "cluster_id", F.col("node").alias("doc_id"), "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        member.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _td9_sql() -> str:
+    # reuse tx3's full quality query as a nested subquery, minus its ORDER BY
+    q = TX3_SQL.strip()
+    quality_body = q[: q.rindex("FROM f")] + "FROM f"
+    return f"""
+WITH RECURSIVE {_DUCK_SH},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.node
+),
+comp AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+q AS ({quality_body}),
+member AS (
+  SELECT c.cluster_id, c.node AS doc_id, q.quality
+  FROM comp c JOIN q ON q.doc_id = c.node
+)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM member ORDER BY doc_id
+"""
+
+
+TD9_SQL = _td9_sql()
+
+
 def td8_segment_dedupe(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document segment dedupe (text/dedupe.segment_dedupe): split every
     document into segments, keep only the corpus-wide first occurrence of each
@@ -1835,6 +1894,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "td6_decontamination": (td6_decontamination, TD6_SQL),
     "td7_dup_clusters": (td7_dup_clusters, TD7_SQL),
     "td8_segment_dedupe": (td8_segment_dedupe, TD8_SQL),
+    "td9_cluster_keep_best": (td9_cluster_keep_best, TD9_SQL),
     "tx9_repetition": (tx9_repetition, TX9_SQL),
     "tx10_tfidf_top_terms": (tx10_tfidf_top_terms, TX10_SQL),
     "tx11_lm_score": (tx11_lm_score, TX11_SQL),
