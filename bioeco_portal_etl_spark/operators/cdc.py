@@ -34,6 +34,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str],
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Changeset between two snapshots keyed by ``key_cols``:
     one row per inserted / deleted / changed key with
@@ -41,10 +42,17 @@ def snapshot_diff(
     ``changed_cols`` list (empty for insert/delete), and the new-side
     values of ``compare_cols`` (null for deletes).
 
-    NULL-safe throughout: a column going NULL→value or value→NULL counts
-    as a change (``eqNullSafe``), and keys never collide with the null
-    fill of the outer join because presence is tested on a non-null
-    sentinel, not on the key itself.
+    NULL-safe value comparison throughout: a column going NULL→value or
+    value→NULL counts as a change (``eqNullSafe``), and keys never
+    collide with the null fill of the outer join because presence is
+    tested on a non-null sentinel, not on the key itself.
+
+    KEY comparison defaults to plain equality: CDC keys are primary keys
+    (never null), and a plain-equality join hashes on the raw key, so
+    bucketed snapshots diff with NO Exchange (pinned in test_cdc.py).
+    ``null_safe_keys=True`` switches to ``eqNullSafe`` — its
+    ``(coalesce, isnull)`` hashing defeats bucket co-location, so use it
+    only for genuinely nullable keys.
     """
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
@@ -58,7 +66,8 @@ def snapshot_diff(
     )
     cond = None
     for k in key_cols:
-        eq = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        ok, nk = F.col(f"__ok_{k}"), F.col(f"__nk_{k}")
+        eq = ok.eqNullSafe(nk) if null_safe_keys else (ok == nk)
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 

@@ -42,11 +42,21 @@ def _make_dedupe_fn(state_ttl_ms: int | None):
             return
         seen = set(state.get[0]) if state.exists else set()
         out = []
-        for pdf in batches:
-            for doc_id, h in zip(pdf["doc_id"], pdf["content_hash"]):
-                if h not in seen:
-                    seen.add(h)
-                    out.append((key[0], doc_id, h))
+        # iterate id-ascending WITHIN the batch: partition delivery order
+        # is not stable, so "first seen" would otherwise attribute a hash
+        # to a nondeterministic doc. Sorted iteration makes a single-batch
+        # drain exactly reproduce batch keep-first dedupe (smallest id
+        # wins); across batches, arrival order still wins — the streaming
+        # contract.
+        rows = sorted(
+            (d, h)
+            for pdf in batches
+            for d, h in zip(pdf["doc_id"], pdf["content_hash"])
+        )
+        for doc_id, h in rows:
+            if h not in seen:
+                seen.add(h)
+                out.append((key[0], doc_id, h))
         state.update((list(seen),))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

@@ -55,3 +55,38 @@ def test_snapshot_diff_partition_invariant(spark):
     )
     assert base == shuffled
     assert {t for _, t, _, _, _ in base} == {"update", "delete"}
+
+
+def test_snapshot_diff_bucketed_is_exchange_free(spark, tmp_path):
+    """The SCALING.md contract: with both snapshots bucketed by the key,
+    the full-outer diff join runs with NO Exchange on either side — a
+    daily 100 TB diff pays zero shuffle after the write-time bucketing."""
+    from bioeco_portal_etl_spark.operators.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(500)], "k int, a string, b int"
+    )
+    new = spark.createDataFrame(
+        [(i, f"v{i}" if i % 7 else "patched", i * 10) for i in range(490)],
+        "k int, a string, b int",
+    )
+    write_bucketed(old, "cdc_old_b", ["k"], 4, path=str(tmp_path / "old"))
+    write_bucketed(new, "cdc_new_b", ["k"], 4, path=str(tmp_path / "new"))
+    try:
+        diff = snapshot_diff(
+            read_bucketed(spark, "cdc_old_b"),
+            read_bucketed(spark, "cdc_new_b"),
+            ["k"],
+            ["a", "b"],
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange" not in plan
+        n_changed = diff.count()
+        assert n_changed == 10 + len([i for i in range(490) if i % 7 == 0])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_old_b")
+        spark.sql("DROP TABLE IF EXISTS cdc_new_b")
