@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "x9_snapshot_diff",
     "x10_url_dedupe",
     "rel5_topk_per_group",
+    # streaming: times a full availableNow drain through the state store
+    "w5_streaming_sessions",
 ]
 
 

@@ -520,6 +520,63 @@ ORDER BY s_suppkey, valid_from, valid_to ASC NULLS LAST
 """
 
 
+def rel12_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT (the set-op family the reference never uses —
+    SURVEY.md §2.7 — completed here for relational coverage): customers
+    active in 1995 vs 1996 classified as retained (INTERSECT), churned
+    (EXCEPT), and new (reverse EXCEPT), unioned with a tag. Each set op
+    is a hash-distinct shuffle on the key — Catalyst plans them as
+    semi/anti joins over pre-deduped sides."""
+    o = T(spark, sf, "orders")
+
+    def active(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = active(1995), active(1996)
+    out = (
+        y95.intersect(y96).select("o_custkey", F.lit("retained").alias("status"))
+        .unionByName(
+            y95.exceptAll(y96.select("o_custkey")).distinct()
+            .select("o_custkey", F.lit("churned").alias("status"))
+        )
+        .unionByName(
+            y96.exceptAll(y95.select("o_custkey")).distinct()
+            .select("o_custkey", F.lit("new").alias("status"))
+        )
+    )
+    return out.orderBy("o_custkey", "status")
+
+
+REL12_SQL = """
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+),
+y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_custkey, 'retained' AS status FROM (
+  SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'churned' FROM (
+  SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'new' FROM (
+  SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+ORDER BY o_custkey, status
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "rel10_window_suite": (rel10_window_suite, REL10_SQL),
     "rel11_scd2_merge": (rel11_scd2_merge, REL11_SQL),
@@ -535,4 +592,5 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel7_range_join": (rel7_range_join, REL7_SQL),
     "rel8_json_props": (rel8_json_props, REL8_SQL),
     "rel9_cube": (rel9_cube, REL9_SQL),
+    "rel12_setops": (rel12_setops, REL12_SQL),
 }
