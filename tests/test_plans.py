@@ -204,3 +204,24 @@ def test_x10_canonicalizer_in_scan_stage(spark):
     # one hash-agg exchange + the final sort's range exchange, nothing else
     assert plan.count("Exchange") == 2
     assert "partial_count" in plan or "partial_" in plan  # map-side combine
+
+
+def test_tx11_vocab_broadcasts_no_python(spark):
+    """Unigram LM scoring: the Heaps-bounded vocabulary joins broadcast
+    (never a fact-fact shuffle join) and the whole pipeline stays in
+    codegen — no Python stages, no cartesian product."""
+    plan = _physical(spark, "tx11_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts7_refine_joins_broadcast_no_cartesian(spark):
+    """Shortlist-then-refine: every join (codebooks, LUT, shortlist
+    fetch, query vectors) is broadcast at this scale — the refine tier
+    must never degrade to a cartesian product, and the exact re-score is
+    codegen, not Python."""
+    plan = _physical(spark, "ts7_pq_refine_topk")
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
