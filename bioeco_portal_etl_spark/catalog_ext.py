@@ -751,6 +751,42 @@ from bioeco_portal_etl_spark.multimodal.media import (  # noqa: E402
     FAKE_W_MOD,
 )
 
+def mm2_resize_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stage metadata (multimodal/media.py resize_media): the
+    binary-in/binary-out mapInPandas contract under the driver gate. The
+    stub's thumbnail is a deterministic payload slice with proportionally
+    scaled dims, so byte counts and dims are oracle-computable; the blob
+    itself stays executor-side (only its length crosses back)."""
+    from bioeco_portal_etl_spark.multimodal.media import resize_media
+
+    d = T(spark, sf, "documents")
+    r = resize_media(attach_payload(d, "doc_id", "text"), max_dim=64)
+    return r.select(
+        "media_id",
+        F.length("thumb").cast("long").alias("thumb_bytes"),
+        "thumb_width",
+        "thumb_height",
+    ).orderBy("media_id")
+
+
+MM2_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+d AS (
+  SELECT media_id, n, n % {FAKE_W_MOD} + {FAKE_DIM_OFF} AS w,
+         (n // {FAKE_H_DIV})::BIGINT % {FAKE_H_MOD} + {FAKE_DIM_OFF} AS h
+  FROM m
+)
+SELECT media_id, least(n, 512)::BIGINT AS thumb_bytes,
+       floor(w * least(64.0 / greatest(w, h), 1.0))::BIGINT AS thumb_width,
+       floor(h * least(64.0 / greatest(w, h), 1.0))::BIGINT AS thumb_height
+FROM d ORDER BY media_id
+"""
+
+
 MM1_SQL = f"""
 SELECT doc_id AS media_id,
        octet_length(encode(coalesce(text, ''))) AS n_bytes,
@@ -1972,6 +2008,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "w5_streaming_sessions": (w5_streaming_sessions, W5_SQL),
     "w6_streaming_dedupe": (w6_streaming_dedupe, W6_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
+    "mm2_resize_meta": (mm2_resize_meta, MM2_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),
     "w3_session": (w3_session, W3_SQL),
