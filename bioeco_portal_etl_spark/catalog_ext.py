@@ -1966,6 +1966,82 @@ ORDER BY doc_id
 """
 
 
+def w7_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py interval_join),
+    actually run as TWO live streams: errors ⋈ clicks within ±5 min per
+    user, both sides watermarked, inner join in append mode, drained with
+    availableNow. A single-batch drain holds both sides fully in state,
+    so every match emits — the output equals the batch theta-join the
+    oracle runs. State retention is watermark+interval bounded; the join
+    shuffles both streams on user_id."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming.joins import interval_join
+
+    T(spark, sf, "events")  # pins UTC session tz
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    path = os.path.join(sf, "events.parquet*")
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(path)
+
+    errors = (
+        stream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.col("ts").cast("timestamp").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    j = interval_join(
+        errors, clicks, "user_id", "err_ts", "click_ts", -300.0, 300.0
+    )
+    q = (
+        j.select("err_id", "user_id", "click_ts", "click_value")
+        .writeStream.format("memory")
+        .queryName("w7_ssjoin_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        ok = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not ok:  # pragma: no cover
+        raise RuntimeError("w7 stream did not drain")
+    return spark.table("w7_ssjoin_mem").orderBy(
+        "err_id", "click_ts", "click_value"
+    )
+
+
+W7_SQL = """
+SELECT e.event_id AS err_id, e.user_id, c.ts AS click_ts,
+       c.value AS click_value
+FROM events e
+JOIN events c ON c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts >= e.ts - INTERVAL 5 MINUTE
+             AND c.ts <= e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+ORDER BY err_id, click_ts, click_value
+"""
+
+
 CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "td1_exact_dedupe": (td1_exact_dedupe, TD1_SQL),
     "td2_minhash_lsh": (td2_minhash_lsh, TD2_SQL),
@@ -2007,6 +2083,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "w4_sessionize": (w4_sessionize, W4_SQL),
     "w5_streaming_sessions": (w5_streaming_sessions, W5_SQL),
     "w6_streaming_dedupe": (w6_streaming_dedupe, W6_SQL),
+    "w7_stream_interval_join": (w7_stream_interval_join, W7_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "mm2_resize_meta": (mm2_resize_meta, MM2_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
