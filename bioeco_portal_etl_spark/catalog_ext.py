@@ -1807,6 +1807,62 @@ FROM c GROUP BY canonical_url ORDER BY canonical_url
 X10_SQL = _x10_sql()
 
 
+def x11_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user hourly resampling with linear interpolation between
+    bracketing click events (operators/resample.py) — the grouped-map
+    applyInPandas tier: one hash(user) shuffle, grid generated inside the
+    group, literal-expression interpolation so the oracle replays the
+    exact IEEE arithmetic. Input pre-deduped per (user, ts) by min_by on
+    event_id — same rule both engines."""
+    from bioeco_portal_etl_spark.operators.resample import resample_interpolate
+
+    e = T(spark, sf, "events").filter(F.col("event_type") == "click")
+    dedup = e.groupBy("user_id", "ts").agg(
+        F.min_by("value", "event_id").alias("value")
+    )
+    return resample_interpolate(dedup, "user_id", "ts", "value").orderBy(
+        "user_id", "grid_ts"
+    )
+
+
+X11_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, arg_min(value, event_id) AS value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+),
+b AS (SELECT user_id, min(t) AS tmin, max(t) AS tmax FROM e GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         unnest(range(((tmin + 3599999999) // 3600000000)::BIGINT,
+                      (tmax // 3600000000)::BIGINT + 1)) * 3600000000 AS g
+  FROM b
+),
+lo AS (
+  SELECT g.user_id, g.g, max(e.t) AS t0
+  FROM grid g JOIN e ON e.user_id = g.user_id AND e.t <= g.g
+  GROUP BY g.user_id, g.g
+),
+hi AS (
+  SELECT g.user_id, g.g, min(e.t) AS t1
+  FROM grid g JOIN e ON e.user_id = g.user_id AND e.t >= g.g
+  GROUP BY g.user_id, g.g
+),
+j AS (
+  SELECT l.user_id, l.g, l.t0, h.t1, e0.value AS v0, e1.value AS v1
+  FROM lo l JOIN hi h ON h.user_id = l.user_id AND h.g = l.g
+  JOIN e e0 ON e0.user_id = l.user_id AND e0.t = l.t0
+  JOIN e e1 ON e1.user_id = l.user_id AND e1.t = h.t1
+)
+SELECT user_id, g AS grid_ts,
+       floor(CASE WHEN t1 = t0 THEN v0
+             ELSE v0 + (v1 - v0)
+                  * ((g::DOUBLE - t0::DOUBLE) / (t1::DOUBLE - t0::DOUBLE))
+             END * 10000)::BIGINT AS value_e4
+FROM j ORDER BY user_id, grid_ts
+"""
+
+
 def w4_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Batch gap-sessionization (operators/sessions.py): explicit per-user
     session ordinals + session summaries over the events table, 30-min gap.
@@ -2080,6 +2136,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "x8_fuzzy_match": (x8_fuzzy_match, X8_SQL),
     "x9_snapshot_diff": (x9_snapshot_diff, X9_SQL),
     "x10_url_dedupe": (x10_url_dedupe, X10_SQL),
+    "x11_resample_interpolate": (x11_resample_interpolate, X11_SQL),
     "w4_sessionize": (w4_sessionize, W4_SQL),
     "w5_streaming_sessions": (w5_streaming_sessions, W5_SQL),
     "w6_streaming_dedupe": (w6_streaming_dedupe, W6_SQL),

@@ -1,0 +1,80 @@
+"""Per-key time-series resampling with linear interpolation — the
+grouped-map (``applyInPandas``) tier of the engine's custom-operator
+policy, used where built-ins genuinely fight the semantics: each group
+needs BOTH neighbors of every generated grid point (a grid that doesn't
+exist in the data), which in pure SQL is a generate_series + two as-of
+joins + interpolation — three shuffles and two join states. As a grouped
+map it is ONE hash(user) shuffle and a vectorized numpy searchsorted per
+group.
+
+Engine-exactness contract (PORTABILITY.md): interpolation is evaluated
+as the LITERAL expression ``v0 + (v1 - v0) * ((t - t0) / (t1 - t0))`` —
+the same operation order the oracle SQL writes, so both engines produce
+identical IEEE doubles (numpy evaluates elementwise in exactly this
+order; ``np.interp`` would associate differently). Outputs are floor-e4
+quantized longs. Duplicate (key, ts) rows must be pre-deduped upstream
+(``min_by`` on a tiebreak) — both engines, same rule.
+
+Scale: state per group is its event vector — groups are users, not the
+corpus; Arrow batches the transfer. The hourly grid is generated inside
+the group, so no grid table ever shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+HOUR_US = 3_600_000_000
+OUT_SCHEMA = "user_id long, grid_ts long, value_e4 long"
+
+
+def _resample_group(pdf):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("t")
+    t = pdf["t"].to_numpy(dtype="int64")
+    v = pdf["value"].to_numpy(dtype="float64")
+    lo = -(-t[0] // HOUR_US)  # ceil-div
+    hi = t[-1] // HOUR_US
+    if hi < lo:
+        return pd.DataFrame({"user_id": [], "grid_ts": [], "value_e4": []})
+    grid = np.arange(lo, hi + 1, dtype="int64") * HOUR_US
+    # bracketing neighbors: i0 = last event <= g, i1 = first event >= g
+    i1 = np.searchsorted(t, grid, side="left")
+    i0 = np.searchsorted(t, grid, side="right") - 1
+    t0, t1 = t[i0].astype("float64"), t[i1].astype("float64")
+    v0, v1 = v[i0], v[i1]
+    g = grid.astype("float64")
+    same = t1 == t0
+    dt = np.where(same, 1.0, t1 - t0)  # dummy divisor where t1 == t0
+    # literal oracle expression — see module docstring
+    val = np.where(same, v0, v0 + (v1 - v0) * ((g - t0) / dt))
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].iloc[0],
+            "grid_ts": grid,
+            "value_e4": np.floor(val * 10000).astype("int64"),
+        }
+    )
+
+
+def resample_interpolate(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Hourly-grid linear interpolation per key: for every whole hour
+    between a key's first and last event, the linearly interpolated value
+    between its bracketing events (exact event hit -> the event's value).
+    Input must be unique per (key, ts). Output:
+    (user_id, grid_ts epoch-µs long, value_e4 long)."""
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandas(
+        lambda pdf: _resample_group(pdf), schema=OUT_SCHEMA
+    )
