@@ -577,6 +577,48 @@ ORDER BY o_custkey, status
 """
 
 
+def rel13_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (the physical-offset frame rel10's rank family
+    doesn't cover): per event, the count and decimal-exact sum of the
+    same user's values in the trailing hour — event-time sliding
+    aggregates at row grain, no self-join. One hash(user) exchange;
+    the frame is evaluated over the sorted run. Epoch-µs ordering keys
+    make Spark's rangeBetween and DuckDB's RANGE INTERVAL identical."""
+    e = T(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            ts_us.alias("t_us"),
+            F.col("value"),
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_trailing_1h"),
+        )
+        .drop("value")
+        .orderBy("event_id")
+    )
+
+
+REL13_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       count(*) OVER w AS n_trailing_1h,
+       (sum(CAST(value AS DECIMAL(18,6))) OVER w)::DOUBLE AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "rel10_window_suite": (rel10_window_suite, REL10_SQL),
     "rel11_scd2_merge": (rel11_scd2_merge, REL11_SQL),
@@ -593,4 +635,5 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel8_json_props": (rel8_json_props, REL8_SQL),
     "rel9_cube": (rel9_cube, REL9_SQL),
     "rel12_setops": (rel12_setops, REL12_SQL),
+    "rel13_range_frame": (rel13_range_frame, REL13_SQL),
 }
