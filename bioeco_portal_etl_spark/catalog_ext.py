@@ -1746,7 +1746,7 @@ def x10_url_dedupe(spark: SparkSession, sf: str) -> DataFrame:
 
     d = T(spark, sf, "documents").select("doc_id", "source")
     k = F.col("doc_id")
-    url = F.concat(
+    abs_url = F.concat(
         F.when(k % 2 == 1, F.lit("HTTPS")).otherwise(F.lit("http")),
         F.lit("://"),
         F.when(k % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
@@ -1765,6 +1765,13 @@ def x10_url_dedupe(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
+    # Every 11th doc gets a RELATIVE (schemeless) URL — the canonicalizer's
+    # contract is to pass these through byte-identical, so the driver oracle
+    # exercises the non-absolute guard, not just the happy path.
+    url = F.when(
+        k % 11 == 0,
+        F.concat(F.lit("Relative/Path//"), (k % 40).cast("string"), F.lit("#frag")),
+    ).otherwise(abs_url)
     with_url = d.select(k.alias("doc_id"), url.alias("__url"))
     return (
         canonicalize_urls(with_url, F.col("__url"), keep=["doc_id"])
@@ -1783,6 +1790,9 @@ def _x10_sql() -> str:
     return f"""
 WITH u AS (
   SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+         THEN 'Relative/Path//' || (doc_id % 40) || '#frag'
+         ELSE
     (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'http' END) || '://' ||
     (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
     source || '.Example.COM' ||
@@ -1795,7 +1805,8 @@ WITH u AS (
           WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
           WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=XYZ'
           ELSE '' END) ||
-    (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+    (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+    END AS url
   FROM documents
 ),
 c AS (SELECT doc_id, {duck_canonical_url('url')} AS canonical_url FROM u)

@@ -33,8 +33,10 @@ def _c(col: Column | str) -> Column:
 
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical form of an absolute ``scheme://host[:port]/path?query#frag``
-    URL (null-safe: null in, null out; URLs without ``://`` pass through
-    lowercased-scheme logic untouched since instr()==0 keeps the string)."""
+    URL. Null-safe: null in, null out. Strings without ``://`` (relative or
+    malformed URLs) are returned UNCHANGED — guarded explicitly, because
+    with instr()==0 the substring arithmetic below would silently eat the
+    first two characters and prepend '://'."""
     url = _c(col)
     # 1. drop fragment
     h = F.instr(url, "#")
@@ -74,13 +76,16 @@ def canonicalize_url(col: Column | str) -> Column:
         )
     )
     q = F.array_join(params, "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
-    )
+    return F.when(
+        p > 0,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
+    ).otherwise(url)
 
 
 def canonicalize_urls(
@@ -100,12 +105,16 @@ def canonicalize_urls(
     u = _c(url_col)
     h = F.instr(u, "#")
     s1 = df.select(
-        *keep, F.when(h > 0, F.substring(u, F.lit(1), h - 1)).otherwise(u).alias("__base")
+        *keep,
+        u.alias("__orig"),
+        F.when(h > 0, F.substring(u, F.lit(1), h - 1)).otherwise(u).alias("__base"),
     )
     b = F.col("__base")
     p = F.instr(b, "://")
     s2 = s1.select(
         *keep,
+        "__orig",
+        (p > 0).alias("__abs"),
         F.lower(F.substring(b, F.lit(1), p - 1)).alias("__scheme"),
         F.substring(b, p + 3, F.length(b)).alias("__rest"),
     )
@@ -113,6 +122,8 @@ def canonicalize_urls(
     qp = F.instr(r, "?")
     s3 = s2.select(
         *keep,
+        "__orig",
+        "__abs",
         "__scheme",
         F.when(qp > 0, F.substring(r, F.lit(1), qp - 1)).otherwise(r).alias("__hostpath"),
         F.when(qp > 0, F.substring(r, qp + 1, F.length(r)))
@@ -123,6 +134,8 @@ def canonicalize_urls(
     sl = F.instr(hp, "/")
     s4 = s3.select(
         *keep,
+        "__orig",
+        "__abs",
         "__scheme",
         "__query",
         F.when(sl > 0, F.substring(hp, F.lit(1), sl - 1)).otherwise(hp).alias("__host_raw"),
@@ -132,6 +145,8 @@ def canonicalize_urls(
     )
     s5 = s4.select(
         *keep,
+        "__orig",
+        "__abs",
         "__scheme",
         "__query",
         "__path_raw",
@@ -159,6 +174,8 @@ def canonicalize_urls(
     )
     s6 = s5.select(
         *keep,
+        "__orig",
+        "__abs",
         "__scheme",
         host.alias("__host"),
         path.alias("__path"),
@@ -166,15 +183,20 @@ def canonicalize_urls(
     )
     return s6.select(
         *keep,
-        F.concat(
-            F.col("__scheme"),
-            F.lit("://"),
-            F.col("__host"),
-            F.col("__path"),
-            F.when(F.col("__q") != "", F.concat(F.lit("?"), F.col("__q"))).otherwise(
-                F.lit("")
+        F.when(
+            F.col("__abs"),
+            F.concat(
+                F.col("__scheme"),
+                F.lit("://"),
+                F.col("__host"),
+                F.col("__path"),
+                F.when(
+                    F.col("__q") != "", F.concat(F.lit("?"), F.col("__q"))
+                ).otherwise(F.lit("")),
             ),
-        ).alias(out_col),
+        )
+        .otherwise(F.col("__orig"))
+        .alias(out_col),
     )
 
 
@@ -186,13 +208,15 @@ def duck_canonical_url(expr: str) -> str:
     base = f"CASE WHEN strpos({expr}, '#') > 0 THEN substr({expr}, 1, strpos({expr}, '#') - 1) ELSE {expr} END"
     t = f"""(
 WITH x(u) AS (SELECT {base})
-SELECT lower(substr(u, 1, strpos(u, '://') - 1)) || '://' ||
+SELECT CASE WHEN strpos(u, '://') = 0 THEN {expr} ELSE
+  lower(substr(u, 1, strpos(u, '://') - 1)) || '://' ||
   CASE lower(substr(u, 1, strpos(u, '://') - 1))
     WHEN 'http'  THEN regexp_replace(hostc, ':80$', '', 'g')
     WHEN 'https' THEN regexp_replace(hostc, ':443$', '', 'g')
     ELSE hostc END ||
   regexp_replace(regexp_replace(pathc, '/{{2,}}', '/', 'g'), '/+$', '', 'g') ||
   CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+END
 FROM (
   SELECT u,
     regexp_replace(lower(CASE WHEN strpos(hp, '/') > 0

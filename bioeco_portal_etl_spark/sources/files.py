@@ -138,13 +138,31 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     # Non-UTC-adjusted parquet timestamps surface as TIMESTAMP_NTZ; every
     # epoch-math operator normalizes NTZ via cast to timestamp_ltz, which is
     # session-timezone-dependent. The engine's own factory pins UTC
-    # (session.py) but the driver hands us an arbitrary session — pin it at
-    # read time so NTZ wall-clock == UTC instant, matching DuckDB's
-    # epoch_us on naive timestamps. Runtime-settable conf; guarded.
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # pragma: no cover - locked-conf fallback
-        pass
+    # (session.py) but the driver hands us an arbitrary session — the engine's
+    # results are only defined for UTC sessions (they must match DuckDB's
+    # epoch_us on naive timestamps). Converting a caller's session is a
+    # visible, warned action, never a silent side effect; a session whose
+    # timezone can't be set to UTC is a hard error, not a wrong answer.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"read_parquet_table: session timezone {tz!r} is not UTC; "
+            "setting spark.sql.session.timeZone=UTC for this session so "
+            "TIMESTAMP_NTZ epoch math matches the engine's UTC contract. "
+            "Create sessions via bioeco_portal_etl_spark.session.get_spark "
+            "to avoid this.",
+            stacklevel=2,
+        )
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception as e:  # pragma: no cover - locked-conf session
+            raise RuntimeError(
+                "read_parquet_table requires a UTC session timezone for "
+                f"correct timestamp semantics, but the session is pinned to "
+                f"{tz!r} and cannot be changed: {e}"
+            ) from e
     nanos = _nanos_columns(path)
     if nanos:
         # The engine's own session factory sets this (session.py), but the

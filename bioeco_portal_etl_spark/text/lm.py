@@ -55,15 +55,29 @@ def unigram_lm_scores(
     """Per-document (n_tokens, sum_lp_e4, avg_lp_e4) under the unigram LM.
     Zero-token documents carry no signal and are dropped (same contract as
     simhash/repetition). ``vocab`` defaults to self-training on ``df``;
-    pass a staged table for incremental scoring at scale."""
+    pass a staged table for incremental scoring at scale.
+
+    OOV contract (matters only for staged vocabs — a self-trained vocab
+    covers every token by construction): tokens absent from ``vocab`` are
+    NOT dropped. They count toward ``n_tokens`` and score the vocab's
+    MINIMUM log-prob (a floor penalty, the rarest-known-token probability)
+    — so rare-token soup scores WORSE with a staged vocab, never better,
+    which is the direction the CCNet-style gate needs. Implemented as a
+    left join + coalesce against a broadcast 1-row floor scalar; the vocab
+    join itself stays a broadcast hash join (Heaps-law bounded build side,
+    pinned in tests/test_plans.py)."""
     v = vocab if vocab is not None else unigram_vocab(df, text_col)
+    floor_lp = v.agg(F.min("__lp_e4").alias("__floor_lp"))
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     return (
-        tok.join(F.broadcast(v), "__t")
+        tok.join(F.broadcast(v), "__t", "left")
+        .crossJoin(F.broadcast(floor_lp))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__lp_e4").alias("sum_lp_e4"),
+            F.sum(F.coalesce(F.col("__lp_e4"), F.col("__floor_lp"))).alias(
+                "sum_lp_e4"
+            ),
         )
         .select(
             F.col(id_col),
