@@ -39,11 +39,14 @@ SESS_STATE_SCHEMA = "start_us long, end_us long, n long"
 _US = 1_000_000
 
 
-def _make_sessionize_fn(gap_us: int):
+def _make_sessionize_fn(gap_us: int, state_ttl_ms: int | None = None):
     def _fn(
         key, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.hasTimedOut:
+            # TTL expiry: the idle user's open session is evicted (dropped,
+            # not emitted — documented contract). Re-saving state here would
+            # resurrect it forever and defeat the growth bound.
             state.remove()
             return
         events: list[tuple[int, int]] = []
@@ -67,8 +70,22 @@ def _make_sessionize_fn(gap_us: int):
                 )
                 start_us, end_us, n = t, t, 1
             else:
-                end_us, n = t, n + 1
+                # min/max, not assignment: a cross-batch LATE event (t within
+                # or before the open session — possible only when the
+                # non-decreasing-arrival contract is violated) is absorbed
+                # into the open session instead of rewinding its end and
+                # spuriously splitting it at the next on-time event. Under
+                # ordered replay t >= end_us always, so this is byte-identical
+                # to the batch face. Late events older than an already-EMITTED
+                # session still attribute here (append mode can't retract) —
+                # that bound is the upstream watermark + state TTL.
+                start_us = min(start_us, t)
+                end_us, n = max(end_us, t), n + 1
         state.update((start_us, end_us, n))
+        if state_ttl_ms is not None:
+            # must be re-registered after every state.update — update clears
+            # the pending timeout (mirrors streaming_dedupe).
+            state.setTimeoutDuration(state_ttl_ms)
         if closed:
             out = pd.DataFrame(
                 closed,
@@ -104,7 +121,7 @@ def streaming_sessionize(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return events.groupBy("user_id").applyInPandasWithState(
-        _make_sessionize_fn(gap_seconds * _US),
+        _make_sessionize_fn(gap_seconds * _US, state_ttl_ms),
         outputStructType=SESS_OUT_SCHEMA,
         stateStructType=SESS_STATE_SCHEMA,
         outputMode="append",
