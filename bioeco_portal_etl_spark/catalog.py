@@ -763,6 +763,34 @@ def g10_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
     return point_in_polygon_join(pts, polys, "x", "y").orderBy("c_custkey")
 
 
+def g11_pip_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-cell tier of the g10 spatial join (geo/pip.py
+    point_in_polygon_join_grid): SAME fixture, SAME rows, but candidates
+    come from a shuffled equi-join on (cell_x, cell_y) with the polygon
+    side exploded to covered cells — the 100 TB plan when the polygon set
+    outgrows broadcast. Shares g10's DuckDB oracle verbatim; the plan
+    difference (no broadcast of polygons) is pinned in test_plans.py."""
+    from bioeco_portal_etl_spark.geo.pip import point_in_polygon_join_grid
+
+    c = T(spark, sf, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.pmod(F.col("c_custkey") * 7, F.lit(1000)) / 10.0).alias("x"),
+        (F.pmod(F.col("c_custkey") * 13, F.lit(1000)) / 10.0).alias("y"),
+    )
+    g = spark.range(25)
+    cx = (F.col("id") / 5).cast("long").cast("double") * 20 + 10
+    cy = (F.col("id") % 5).cast("double") * 20 + 10
+    polys = g.select(
+        F.col("id").alias("poly_id"),
+        F.array(cx - 8, cx, cx + 8, cx).alias("xs"),
+        F.array(cy, cy + 8, cy, cy - 8).alias("ys"),
+    )
+    return point_in_polygon_join_grid(
+        pts, polys, "x", "y", cell_size=10.0
+    ).orderBy("c_custkey")
+
+
 G10_SQL = """
 WITH pts AS (
   SELECT c_custkey, ((c_custkey * 7) % 1000) / 10.0 AS x,
@@ -830,6 +858,7 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g7_linestring_track": (g7_linestring_track, G7_SQL),
     "g9_union_points_geojson": (g9_union_points_geojson, G9_SQL),
     "g10_point_in_polygon": (g10_point_in_polygon, G10_SQL),
+    "g11_pip_grid": (g11_pip_grid, G10_SQL),
 }
 
 
@@ -867,6 +896,7 @@ _GATE_FIRST = [
     "x11_resample_interpolate",
     "tx9_repetition",
     # (2) new or semantics-changed in round 4:
+    "g11_pip_grid",
     "x10_url_dedupe",  # relative-URL passthrough added to query + oracle
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",

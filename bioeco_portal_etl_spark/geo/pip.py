@@ -10,12 +10,17 @@ this observation?") is the canonical downstream query the reference
 delegates to GeoNode; this operator brings it into the engine.
 
 Design:
-  - Candidate generation: polygon bounding boxes. With a dimension-scale
-    polygon set (protected areas, admin regions — thousands), the polygon
-    table BROADCASTS and candidates come from a bbox theta-join evaluated
-    map-side. For massive polygon sets, swap the broadcast for a grid-cell
-    equi-join (polygons exploded to covered cells, points keyed by their
-    cell) — same exact-filter second stage.
+  - Candidate generation, two tiers:
+      * ``point_in_polygon_join`` — polygon bounding boxes; with a
+        dimension-scale polygon set (protected areas, admin regions —
+        thousands) the polygon table BROADCASTS and candidates come from
+        a bbox theta-join evaluated map-side.
+      * ``point_in_polygon_join_grid`` — the 100 TB path when the polygon
+        side outgrows broadcast: polygons explode to the grid cells their
+        bbox covers, points key by their cell, and candidates come from a
+        SHUFFLED equi-join on (cell_x, cell_y) — both sides hash-partition
+        by cell, no replication of either table beyond the per-polygon
+        cell fan-out. Same exact-filter second stage; identical output.
   - Exact test: even-odd ray casting, DIVISION-FREE form — the crossing
     inequality is cross-multiplied so both engines evaluate identical
     IEEE doubles (a division would hit engine-specific div-by-zero
@@ -82,6 +87,70 @@ def point_in_polygon_join(
         & (x <= F.col("__maxx"))
         & (y >= F.col("__miny"))
         & (y <= F.col("__maxy")),
+    )
+    inside = _crossings(x, y, F.col("__xs"), F.col("__ys")) % 2 == 1
+    return cand.filter(inside).select(*points.columns, F.col(poly_id_col))
+
+
+def point_in_polygon_join_grid(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str,
+    y_col: str,
+    poly_id_col: str = "poly_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    cell_size: float = 10.0,
+) -> DataFrame:
+    """Grid-cell tier of :func:`point_in_polygon_join` — identical rows,
+    different physical plan: candidates come from an equi-join on the grid
+    cell, so NEITHER side needs to broadcast. Use when the polygon set is
+    fact-scale (continent-of-parcels, not dimension-of-regions).
+
+    Shape: each polygon replicates once per bbox-covered cell (fan-out
+    ~(bbox/cell_size)²; pick cell_size near the median polygon diameter),
+    each point lands in EXACTLY one cell, so a (point, polygon) candidate
+    pair arises at most once and no post-join dedup is needed. The join is
+    hinted shuffle_hash with the exploded polygon side as build: cells are
+    the partition key, so skew follows spatial density — salt upstream or
+    shrink cell_size if one cell dominates. The exact even-odd stage is the
+    same codegen fold as the broadcast tier."""
+    cs = F.lit(float(cell_size))
+    p = polygons.select(
+        F.col(poly_id_col),
+        F.col(xs_col).alias("__xs"),
+        F.col(ys_col).alias("__ys"),
+        F.array_min(F.col(xs_col)).alias("__minx"),
+        F.array_max(F.col(xs_col)).alias("__maxx"),
+        F.array_min(F.col(ys_col)).alias("__miny"),
+        F.array_max(F.col(ys_col)).alias("__maxy"),
+    )
+    cells = p.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__minx") / cs), F.floor(F.col("__maxx") / cs)
+            )
+        ).alias("__cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__miny") / cs), F.floor(F.col("__maxy") / cs)
+            )
+        ).alias("__cy"),
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    pts = points.select(
+        "*",
+        F.floor(x / cs).alias("__cx"),
+        F.floor(y / cs).alias("__cy"),
+    )
+    cand = pts.join(cells.hint("shuffle_hash"), ["__cx", "__cy"]).filter(
+        (x >= F.col("__minx"))
+        & (x <= F.col("__maxx"))
+        & (y >= F.col("__miny"))
+        & (y <= F.col("__maxy"))
     )
     inside = _crossings(x, y, F.col("__xs"), F.col("__ys")) % 2 == 1
     return cand.filter(inside).select(*points.columns, F.col(poly_id_col))
