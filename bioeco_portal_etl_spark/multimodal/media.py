@@ -46,8 +46,19 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 FAKE_W_MOD, FAKE_H_DIV, FAKE_H_MOD, FAKE_DIM_OFF = 640, 7, 480, 16
 
 
-def decode_media_metadata(df: DataFrame) -> DataFrame:
-    """mapInPandas decode stub: (media_id, payload) -> typed metadata rows.
+def decode_media_metadata(df: DataFrame, decode_fn=None) -> DataFrame:
+    """mapInPandas decode stage: (media_id, payload) -> typed metadata rows.
+
+    ``decode_fn`` is the REAL-CODEC SEAM: a plain callable
+    ``bytes -> (width, height, format_str)`` executed per payload inside the
+    Arrow batch loop (this is where ``PIL.Image.open(io.BytesIO(b)).size``
+    plugs in). It ships on the closure to executors like any mapInPandas
+    body, so it must be picklable and import its libraries lazily. With the
+    default ``None`` the deterministic header stub runs instead (no image
+    libs in this environment) — same schema, batch shape, and partitioning
+    either way, which is what makes the seam testable without PIL:
+    tests/test_multimodal.py drives real BMP bytes through
+    :func:`parse_bmp_header` on this exact path.
 
     Batch shape: pandas DataFrames with a bytes column in, metadata-only out —
     the payload never crosses back to the JVM."""
@@ -56,23 +67,51 @@ def decode_media_metadata(df: DataFrame) -> DataFrame:
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             n = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": n,
-                    "width": n % FAKE_W_MOD + FAKE_DIM_OFF,
-                    "height": n // FAKE_H_DIV % FAKE_H_MOD + FAKE_DIM_OFF,
-                    "media_format": "fake-rgb",
-                }
-            )
+            if decode_fn is None:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": n,
+                        "width": n % FAKE_W_MOD + FAKE_DIM_OFF,
+                        "height": n // FAKE_H_DIV % FAKE_H_MOD + FAKE_DIM_OFF,
+                        "media_format": "fake-rgb",
+                    }
+                )
+            else:
+                decoded = [decode_fn(b) for b in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": n,
+                        "width": [d[0] for d in decoded],
+                        "height": [d[1] for d in decoded],
+                        "media_format": [d[2] for d in decoded],
+                    }
+                )
 
     return df.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
 
 
+def parse_bmp_header(payload: bytes) -> tuple[int, int, str]:
+    """Minimal REAL image codec, pure stdlib: BMP (BITMAPINFOHEADER) width/
+    height from the fixed-offset header fields (little-endian int32 at
+    bytes 18 and 22; negative height = top-down row order). Exists so the
+    ``decode_fn`` seam is exercised end-to-end on genuine image bytes in an
+    environment without PIL/ffmpeg."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return w, abs(h), "bmp"
+
+
 def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """Real codec plug-point. STUB: no image library in this environment."""
+    """Full-pixel decode plug-point. STUB: no raster image library in this
+    environment; pass a codec into ``decode_media_metadata(decode_fn=...)``
+    (header-level, works today — see parse_bmp_header) or wire PIL here."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv; wire the codec here and keep the "
+        "pixel decode requires PIL/opencv; wire the codec here and keep the "
         "mapInPandas batch contract of decode_media_metadata"
     )
 

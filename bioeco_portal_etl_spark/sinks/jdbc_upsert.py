@@ -35,6 +35,85 @@ def _batch(iterable, size):
         yield buf
 
 
+# ---------------------------------------------------------------------------
+# Dialect matrix — pure SQL builders, unit-asserted per backend in
+# tests/test_jdbc.py (the GeoNode sink's real target is Postgres, which is
+# not in this environment; Derby/sqlite prove the mechanism, these builders
+# pin the exact statements each backend would receive).
+# ---------------------------------------------------------------------------
+
+UPSERT_PLACEHOLDER = {"postgres": "%s", "sqlite": "?", "duckdb": "?"}
+
+
+def build_upsert_sql(
+    table: str, key_cols: list[str], update_cols: list[str], dialect: str = "postgres"
+) -> str:
+    """Row-batch upsert statement for ``executemany``.
+
+    postgres / sqlite / duckdb share the ``INSERT .. ON CONFLICT (keys) DO
+    UPDATE SET c = EXCLUDED.c`` form (sqlite >= 3.24 adopted the Postgres
+    syntax verbatim); only the DB-API placeholder differs (psycopg2 ``%s``
+    vs ``?``). mysql uses ``ON DUPLICATE KEY UPDATE c = VALUES(c)`` and
+    ignores the conflict-target list (the table's unique keys decide)."""
+    cols = key_cols + update_cols
+    if dialect == "mysql":
+        ph = ", ".join(["%s"] * len(cols))
+        sets = ", ".join(f"{c} = VALUES({c})" for c in update_cols)
+        return (
+            f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    if dialect not in UPSERT_PLACEHOLDER:
+        raise ValueError(f"unknown upsert dialect: {dialect!r}")
+    ph = ", ".join([UPSERT_PLACEHOLDER[dialect]] * len(cols))
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph}) "
+        f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {sets}"
+    )
+
+
+def build_merge_sql(
+    target_table: str,
+    staging_table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    quote: str = '"',
+    dialect: str = "merge",
+) -> str:
+    """Server-side staging->target reconciliation statement.
+
+    ``merge``: ANSI ``MERGE INTO`` with an UNQUALIFIED update-target list —
+    accepted by Postgres 15+ (which REJECTS ``SET t.col``), Derby, SQL
+    Server, Oracle, DB2.
+    ``postgres_onconflict``: pre-15 Postgres (the GeoNode deployments the
+    reference targets run 9.x-13): ``INSERT .. SELECT .. ON CONFLICT DO
+    UPDATE`` — requires a unique index on the key columns, which the
+    MERGE path does not."""
+    def q(c: str) -> str:
+        return f"{quote}{c}{quote}"
+
+    cols = ", ".join(q(c) for c in [*key_cols, *update_cols])
+    if dialect == "merge":
+        on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in update_cols)
+        vals = ", ".join(f"s.{q(c)}" for c in [*key_cols, *update_cols])
+        return (
+            f"MERGE INTO {target_table} t USING {staging_table} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    if dialect == "postgres_onconflict":
+        conflict = ", ".join(q(c) for c in key_cols)
+        sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in update_cols)
+        return (
+            f"INSERT INTO {target_table} ({cols}) "
+            f"SELECT {cols} FROM {staging_table} "
+            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        )
+    raise ValueError(f"unknown merge dialect: {dialect!r}")
+
+
 def upsert_partitioned(
     df: DataFrame,
     connect: Callable[[], object],
@@ -50,16 +129,7 @@ def upsert_partitioned(
     connection (executor-side; never share driver connections).
     """
     cols = key_cols + update_cols
-    # Postgres and sqlite share the ON CONFLICT upsert form; only the DB-API
-    # placeholder token differs.
-    placeholder = "%s" if dialect == "postgres" else "?"
-    placeholders = ", ".join([placeholder] * len(cols))
-    conflict = ", ".join(key_cols)
-    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
-    sql = (
-        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
-    )
+    sql = build_upsert_sql(table, key_cols, update_cols, dialect)
 
     def write_partition(rows):
         conn = connect()
@@ -130,6 +200,7 @@ def stage_and_merge(
     jdbc_properties: dict[str, str] | None = None,
     quote: str = '"',
     drop_staging: bool = True,
+    dialect: str = "merge",
 ) -> None:
     """K5 at scale: bulk-stage the new state via ``df.write.jdbc`` (parallel
     executor connections), then ONE server-side ``MERGE INTO`` from staging
@@ -149,9 +220,12 @@ def stage_and_merge(
       - credentials in ``jdbc_properties`` are used for BOTH the staging
         write and the driver-side MERGE connection;
       - the MERGE runs on a plain auto-commit connection (no explicit
-        commit — pgJDBC rejects commit() under autoCommit). ANSI MERGE
-        syntax with an UNQUALIFIED update-target list (Postgres 15+ rejects
-        ``SET t.col``); for older Postgres swap in INSERT..ON CONFLICT.
+        commit — pgJDBC rejects commit() under autoCommit). ``dialect``
+        picks the reconciliation statement (build_merge_sql): ``merge`` =
+        ANSI MERGE with an UNQUALIFIED update-target list (Postgres 15+
+        rejects ``SET t.col``; also Derby/SQL Server/Oracle);
+        ``postgres_onconflict`` = INSERT..SELECT..ON CONFLICT for the
+        pre-15 Postgres the reference's GeoNode deployments run.
       - driver classpath: works out of the box for drivers on Spark's system
         classpath (e.g. Derby). For jars added via --jars/--packages, pass
         ``jdbc_properties={"driver": "org.postgresql.Driver", ...}`` so the
@@ -166,17 +240,8 @@ def stage_and_merge(
         jdbc_url, staging, mode="overwrite", properties=props
     )
 
-    def q(c: str) -> str:
-        return f"{quote}{c}{quote}"
-
-    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
-    sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in update_cols)
-    cols = ", ".join(q(c) for c in [*key_cols, *update_cols])
-    vals = ", ".join(f"s.{q(c)}" for c in [*key_cols, *update_cols])
-    merge = (
-        f"MERGE INTO {target_table} t USING {staging} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    merge = build_merge_sql(
+        target_table, staging, key_cols, update_cols, quote=quote, dialect=dialect
     )
 
     jvm = df.sparkSession._jvm

@@ -87,3 +87,96 @@ def test_stage_and_merge_upsert(spark, derby_url):
     stage_and_merge(delta, derby_url, "resources", ["id"], ["title"])
     back2 = read_jdbc_table(spark, derby_url, "resources")
     assert dict((r.id, r.title) for r in back2.collect()) == rows
+
+
+def test_dialect_matrix_exact_sql():
+    """The exact statements each backend receives (round-3 ADVICE: Derby
+    proves the mechanism, these pin the Postgres-family dialect the
+    reference's GeoNode sink needs — with no Postgres in this env, the
+    statements themselves are the asserted contract)."""
+    from bioeco_portal_etl_spark.sinks.jdbc_upsert import (
+        build_merge_sql,
+        build_upsert_sql,
+    )
+
+    assert build_upsert_sql("base_resourcebase", ["id"], ["title", "abstract"]) == (
+        "INSERT INTO base_resourcebase (id, title, abstract) VALUES (%s, %s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET title = EXCLUDED.title, "
+        "abstract = EXCLUDED.abstract"
+    )
+    assert build_upsert_sql("t", ["a", "b"], ["v"], dialect="sqlite") == (
+        "INSERT INTO t (a, b, v) VALUES (?, ?, ?) "
+        "ON CONFLICT (a, b) DO UPDATE SET v = EXCLUDED.v"
+    )
+    assert build_upsert_sql("t", ["k"], ["v"], dialect="mysql") == (
+        "INSERT INTO t (k, v) VALUES (%s, %s) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v)"
+    )
+    assert build_merge_sql("tgt", "stg", ["id"], ["title"]) == (
+        'MERGE INTO tgt t USING stg s ON t."id" = s."id" '
+        'WHEN MATCHED THEN UPDATE SET "title" = s."title" '
+        'WHEN NOT MATCHED THEN INSERT ("id", "title") VALUES (s."id", s."title")'
+    )
+    # pre-15 Postgres path: INSERT..SELECT..ON CONFLICT, EXCLUDED refs
+    assert build_merge_sql(
+        "tgt", "stg", ["id"], ["title", "url"], dialect="postgres_onconflict"
+    ) == (
+        'INSERT INTO tgt ("id", "title", "url") '
+        'SELECT "id", "title", "url" FROM stg '
+        'ON CONFLICT ("id") DO UPDATE SET "title" = EXCLUDED."title", '
+        '"url" = EXCLUDED."url"'
+    )
+    with pytest.raises(ValueError):
+        build_upsert_sql("t", ["k"], ["v"], dialect="oracle8i")
+    with pytest.raises(ValueError):
+        build_merge_sql("t", "s", ["k"], ["v"], dialect="nope")
+
+
+def test_postgres_onconflict_merge_executes():
+    """The postgres_onconflict statement is RUNNABLE, not just well-formed:
+    DuckDB implements the identical Postgres ON CONFLICT .. EXCLUDED
+    semantics, so executing it there is a live check of the syntax family
+    (unique-key requirement included)."""
+    import duckdb
+
+    from bioeco_portal_etl_spark.sinks.jdbc_upsert import build_merge_sql
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE tgt ("id" INT PRIMARY KEY, "title" TEXT)')
+    con.execute("INSERT INTO tgt VALUES (1, 'old'), (2, 'keep')")
+    con.execute('CREATE TABLE stg ("id" INT, "title" TEXT)')
+    con.execute("INSERT INTO stg VALUES (1, 'new'), (3, 'ins')")
+    con.execute(
+        build_merge_sql("tgt", "stg", ["id"], ["title"], dialect="postgres_onconflict")
+    )
+    got = dict(con.execute('SELECT "id", "title" FROM tgt ORDER BY "id"').fetchall())
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_partitioned_sqlite_dialect(spark, tmp_path):
+    """upsert_partitioned end-to-end through the generated sqlite-dialect
+    statement (same ON CONFLICT family as Postgres, ? placeholders)."""
+    import sqlite3
+
+    from bioeco_portal_etl_spark.sinks.jdbc_upsert import upsert_partitioned
+
+    db = str(tmp_path / "ups.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+        con.execute("INSERT INTO t VALUES (1, 'old'), (2, 'keep')")
+        con.commit()
+    df = spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string")
+    upsert_partitioned(
+        df,
+        lambda: sqlite3.connect(db),
+        "t",
+        ["k"],
+        ["v"],
+        dialect="sqlite",
+    )
+    with sqlite3.connect(db) as con:
+        assert dict(con.execute("SELECT k, v FROM t ORDER BY k")) == {
+            1: "new",
+            2: "keep",
+            3: "ins",
+        }

@@ -79,3 +79,44 @@ def test_null_text_payloads_do_not_crash(spark):
     assert extract_features(payloads).count() == 2
     frames = sample_frames(payloads)
     assert frames.filter(F.col("media_id") == 2).count() == 1  # min 1 frame
+
+
+def _bmp_bytes(width, height, top_down=False):
+    """A genuine minimal BMP file: 14-byte file header + 40-byte
+    BITMAPINFOHEADER + 24bpp pixel rows padded to 4 bytes."""
+    import struct
+
+    row = (width * 3 + 3) // 4 * 4
+    pixels = bytes(row * height)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, 24, 0,
+        len(pixels), 2835, 2835, 0, 0,
+    )
+    return hdr + info + pixels
+
+
+def test_real_codec_through_decode_seam(spark):
+    """The decode_fn seam carries a REAL codec (pure-stdlib BMP header
+    parse) over genuine image bytes through the Arrow mapInPandas path —
+    the same stage the stub runs on, proving the plumbing isn't
+    stub-shaped (round-3 ADVICE)."""
+    from bioeco_portal_etl_spark.multimodal.media import parse_bmp_header
+
+    blobs = [
+        (1, _bmp_bytes(17, 5)),
+        (2, _bmp_bytes(640, 480)),
+        (3, _bmp_bytes(2, 9, top_down=True)),  # negative height in header
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, payload binary").repartition(2)
+    out = {
+        r.media_id: (r.width, r.height, r.media_format, r.n_bytes)
+        for r in decode_media_metadata(df, decode_fn=parse_bmp_header).collect()
+    }
+    assert out[1] == (17, 5, "bmp", len(blobs[0][1]))
+    assert out[2] == (640, 480, "bmp", len(blobs[1][1]))
+    assert out[3] == (2, 9, "bmp", len(blobs[2][1]))
+    # header sanity: the blobs really are BMP (independent re-parse)
+    assert parse_bmp_header(blobs[1][1]) == (640, 480, "bmp")
