@@ -27,22 +27,30 @@ feed it via ``vocab=`` instead of recomputing per run.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from bioeco_portal_etl_spark.text.tokenize import tokens
 
 
 def unigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(token, lp_e4) unigram log-probability table trained on the corpus
-    itself: lp_e4 = floor(ln(tf / total) * 1e4)."""
+    itself: lp_e4 = floor(ln(tf / total) * 1e4).
+
+    The corpus-wide total is an UNPARTITIONED window sum over the token
+    counts, not a crossJoin against a separate ``counts.agg(...)`` subtree:
+    Spark shares no work between a plan and its broadcast side, so the
+    crossJoin form tokenized and aggregated the ENTIRE corpus twice (the
+    10x scale probe's worst ratio traced to exactly this). The window's
+    single-partition exchange carries only the Heaps-bounded vocab rows —
+    thousands, regardless of corpus size — so it is scale-safe where
+    doubling the corpus pass is not."""
     tok = df.select(F.explode(tokens(text_col)).alias("__t"))
     counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
-    total = counts.agg(F.sum("__tf").alias("__total"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    total = F.sum("__tf").over(Window.partitionBy())
+    return counts.select(
         "__t",
         F.floor(
-            F.log(F.col("__tf").cast("double") / F.col("__total").cast("double"))
-            * 10000
+            F.log(F.col("__tf").cast("double") / total.cast("double")) * 10000
         )
         .cast("long")
         .alias("__lp_e4"),
@@ -58,26 +66,30 @@ def unigram_lm_scores(
     pass a staged table for incremental scoring at scale.
 
     OOV contract (matters only for staged vocabs — a self-trained vocab
-    covers every token by construction): tokens absent from ``vocab`` are
-    NOT dropped. They count toward ``n_tokens`` and score the vocab's
-    MINIMUM log-prob (a floor penalty, the rarest-known-token probability)
-    — so rare-token soup scores WORSE with a staged vocab, never better,
-    which is the direction the CCNet-style gate needs. Implemented as a
-    left join + coalesce against a broadcast 1-row floor scalar; the vocab
-    join itself stays a broadcast hash join (Heaps-law bounded build side,
-    pinned in tests/test_plans.py)."""
-    v = vocab if vocab is not None else unigram_vocab(df, text_col)
-    floor_lp = v.agg(F.min("__lp_e4").alias("__floor_lp"))
+    covers every token by construction, so the default path skips the OOV
+    machinery and keeps the plan a single inner broadcast join): tokens
+    absent from ``vocab`` are NOT dropped. They count toward ``n_tokens``
+    and score the vocab's MINIMUM log-prob (a floor penalty, the
+    rarest-known-token probability) — so rare-token soup scores WORSE with
+    a staged vocab, never better, which is the direction the CCNet-style
+    gate needs. Implemented as a left join + coalesce against a broadcast
+    1-row floor scalar; the vocab join itself stays a broadcast hash join
+    (Heaps-law bounded build side, pinned in tests/test_plans.py)."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    if vocab is None:
+        joined = tok.join(F.broadcast(unigram_vocab(df, text_col)), "__t")
+        lp = F.col("__lp_e4")
+    else:
+        floor_lp = vocab.agg(F.min("__lp_e4").alias("__floor_lp"))
+        joined = tok.join(F.broadcast(vocab), "__t", "left").crossJoin(
+            F.broadcast(floor_lp)
+        )
+        lp = F.coalesce(F.col("__lp_e4"), F.col("__floor_lp"))
     return (
-        tok.join(F.broadcast(v), "__t", "left")
-        .crossJoin(F.broadcast(floor_lp))
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("__lp_e4"), F.col("__floor_lp"))).alias(
-                "sum_lp_e4"
-            ),
+            F.sum(lp).alias("sum_lp_e4"),
         )
         .select(
             F.col(id_col),

@@ -32,7 +32,10 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     segment_dedupe,
 )
 from bioeco_portal_etl_spark.functions.urls import canonicalize_urls  # noqa: E402
-from bioeco_portal_etl_spark.geo.pip import point_in_polygon_join  # noqa: E402
+from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
+    point_in_polygon_join,
+    point_in_polygon_join_grid,
+)
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.sessions import session_stats  # noqa: E402
 from bioeco_portal_etl_spark.text.lm import unigram_lm_scores  # noqa: E402
@@ -118,7 +121,7 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
         )
 
-    def pip_case(s):
+    def pip_case(s, grid=False):
         c = read_parquet_table(spark, SF_DIR, "customer")
         pts_src = c if s == 1 else scaled(c, s, ["c_custkey"])
         pts = pts_src.select(
@@ -134,6 +137,8 @@ def main() -> None:
             F.array(cx - 8, cx, cx + 8, cx).alias("xs"),
             F.array(cy, cy + 8, cy, cy - 8).alias("ys"),
         )
+        if grid:
+            return point_in_polygon_join_grid(pts, polys, "x", "y", cell_size=10.0)
         return point_in_polygon_join(pts, polys, "x", "y")
 
     cases = {
@@ -186,6 +191,10 @@ def main() -> None:
         # points scale against a FIXED broadcast polygon set (the realistic
         # shape: admin regions don't grow with observation count)
         "point_in_polygon": (lambda s: pip_case(s)),
+        # grid tier: same fixture, shuffled cell equi-join instead of the
+        # broadcast bbox theta-join — candidate count is grid-pruned, so
+        # the ratio should hold or improve on the broadcast tier's
+        "pip_grid": (lambda s: pip_case(s, grid=True)),
         # vocab is Heaps-bounded: scaling docs grows the corpus, not the
         # broadcast side
         "unigram_lm": (

@@ -33,6 +33,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write a per-query JSON artifact (driver-CORRECTNESS-shaped, "
+        "plus entry/summary) so full-catalog proof is committable even "
+        "when the external driver samples a subset",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -59,19 +66,28 @@ def main() -> int:
         )
     queries, oracles = mod.queries(), mod.oracle_sql()
     fails = []
+    detail: dict[str, dict] = {}
     for name, fn in queries.items():
         if name not in oracles:
             rn, rc, _ = spark_signature(fn(spark, args.sf_dir))
             # rows-only gate must FAIL on empty results (rn > 0, not >= 0) —
             # matching the driver's entry smoke semantics
-            status = "rows-only" if rn > 0 and rc else "FAIL"
+            ok = rn > 0 and bool(rc)
+            status = "rows-only" if ok else "FAIL"
+            detail[name] = {"mode": "rows-only", "ok": ok, "spark_rows": rn}
         else:
             r = compare(fn(spark, args.sf_dir), con, oracles[name])
-            status = (
-                "OK"
-                if r["rows_match"] and r["cols_match"] and r["hash_match"]
-                else f"FAIL {r}"
-            )
+            ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
+            status = "OK" if ok else f"FAIL {r}"
+            detail[name] = {
+                "mode": "oracle",
+                "ok": ok,
+                "rows_match": r["rows_match"],
+                "schema_match": r["cols_match"],
+                "hash_match": r["hash_match"],
+                "spark_rows": r["spark"]["rows"],
+                "oracle_rows": r["duck"]["rows"],
+            }
         if status.startswith("FAIL"):
             fails.append(name)
         print(f"{name}: {status}")
@@ -83,6 +99,13 @@ def main() -> int:
         "fails": fails,
     }
     print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {"summary": summary, "sf_dir": args.sf_dir, "queries": detail},
+                f,
+                indent=1,
+            )
 
     if args.bench:
         import subprocess
