@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "td9_cluster_keep_best",
     "ts7_pq_refine_topk",
     "tx11_lm_score",
+    "mm3_frame_sample",
+    "rel14_hierarchy_flatten",
+    "rel15_rank_quantiles",
+    "g12_poly_measure",
     # streaming: each times a full availableNow drain through the state store
     "w5_streaming_sessions",
     "w6_streaming_dedupe",

@@ -791,6 +791,71 @@ def g11_pip_grid(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def g12_poly_measure(spark: SparkSession, sf: str) -> DataFrame:
+    """Shoelace area + centroid (geo/measure.py): irregular quadrilaterals
+    (diamonds with id-dependent radius and vertex jitter, so area and
+    centroid genuinely vary per row and the centroid is off-center). All
+    three shoelace sums are identical-order left folds on both engines —
+    byte-exact doubles, floor-e4 quantized. Pure codegen: no UDF, no
+    shuffle before the report sort."""
+    from bioeco_portal_etl_spark.geo.measure import polygon_area_centroid
+
+    g = spark.range(40)
+    i = F.col("id")
+    cx = (i % 8).cast("double") * 25 + 12
+    cy = F.expr("id div 8").cast("double") * 25 + 12
+    r = (i % 7).cast("double") + 4
+    polys = g.select(
+        i.alias("poly_id"),
+        F.array(
+            cx - r, cx + (i % 3).cast("double"), cx + r, cx - (i % 2).cast("double")
+        ).alias("xs"),
+        F.array(
+            cy - (i % 5).cast("double"), cy + r, cy + (i % 4).cast("double"), cy - r
+        ).alias("ys"),
+    )
+    return polygon_area_centroid(polys).orderBy("poly_id")
+
+
+G12_SQL = """
+WITH p AS (
+  SELECT id AS poly_id,
+         ((id % 8) * 25 + 12)::DOUBLE AS cx,
+         ((id // 8) * 25 + 12)::DOUBLE AS cy,
+         ((id % 7) + 4)::DOUBLE AS r,
+         (id % 3)::DOUBLE AS jx1, (id % 2)::DOUBLE AS jx2,
+         (id % 5)::DOUBLE AS jy1, (id % 4)::DOUBLE AS jy2
+  FROM range(40) t(id)
+),
+v AS (
+  SELECT poly_id,
+         [cx - r, cx + jx1, cx + r, cx - jx2] AS xs,
+         [cy - jy1, cy + r, cy + jy2, cy - r] AS ys
+  FROM p
+),
+f AS (
+  SELECT poly_id,
+    list_reduce(list_prepend(0.0, list_transform(range(0, 4), i ->
+      xs[i + 1] * ys[((i + 1) % 4) + 1] - xs[((i + 1) % 4) + 1] * ys[i + 1]
+    )), (a, b) -> a + b) AS s,
+    list_reduce(list_prepend(0.0, list_transform(range(0, 4), i ->
+      (xs[i + 1] + xs[((i + 1) % 4) + 1]) *
+      (xs[i + 1] * ys[((i + 1) % 4) + 1] - xs[((i + 1) % 4) + 1] * ys[i + 1])
+    )), (a, b) -> a + b) AS sx,
+    list_reduce(list_prepend(0.0, list_transform(range(0, 4), i ->
+      (ys[i + 1] + ys[((i + 1) % 4) + 1]) *
+      (xs[i + 1] * ys[((i + 1) % 4) + 1] - xs[((i + 1) % 4) + 1] * ys[i + 1])
+    )), (a, b) -> a + b) AS sy
+  FROM v
+)
+SELECT poly_id,
+       floor(abs(s) / 2.0 * 10000)::BIGINT AS area_e4,
+       CASE WHEN s <> 0.0 THEN floor(sx / (3.0 * s) * 10000)::BIGINT END AS cx_e4,
+       CASE WHEN s <> 0.0 THEN floor(sy / (3.0 * s) * 10000)::BIGINT END AS cy_e4
+FROM f ORDER BY poly_id
+"""
+
+
 G10_SQL = """
 WITH pts AS (
   SELECT c_custkey, ((c_custkey * 7) % 1000) / 10.0 AS x,
@@ -859,6 +924,7 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "g9_union_points_geojson": (g9_union_points_geojson, G9_SQL),
     "g10_point_in_polygon": (g10_point_in_polygon, G10_SQL),
     "g11_pip_grid": (g11_pip_grid, G10_SQL),
+    "g12_poly_measure": (g12_poly_measure, G12_SQL),
 }
 
 
@@ -897,6 +963,10 @@ _GATE_FIRST = [
     "tx9_repetition",
     # (2) new or semantics-changed in round 4:
     "g11_pip_grid",
+    "g12_poly_measure",
+    "mm3_frame_sample",
+    "rel14_hierarchy_flatten",
+    "rel15_rank_quantiles",
     "x10_url_dedupe",  # relative-URL passthrough added to query + oracle
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",

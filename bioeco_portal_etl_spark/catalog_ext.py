@@ -796,6 +796,44 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id
 """
 
+
+def mm3_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling stage (multimodal/media.py sample_frames) under the
+    driver gate: ONE payload row fans out to up to 8 ordered frame rows
+    inside mapInPandas — the video-decode batch shape (row fan-out +
+    ordering column + binary schema). The oracle recomputes the frame
+    COUNT and per-frame byte LENGTHS from first principles (DuckDB's md5
+    is VARCHAR-only, so blob content equality is pinned byte-for-byte in
+    tests/test_multimodal.py instead); the frame blobs themselves never
+    cross to the driver."""
+    from bioeco_portal_etl_spark.multimodal.media import sample_frames
+
+    d = T(spark, sf, "documents")
+    fr = sample_frames(attach_payload(d, "doc_id", "text"), every_n_bytes=256,
+                       max_frames=8)
+    return fr.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    ).orderBy("media_id", "frame_idx")
+
+
+MM3_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+f AS (
+  SELECT media_id, n,
+         unnest(range(least(greatest(n // 256, 1), 8))) AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx,
+       greatest(least(n - frame_idx * 256, 256), 0)::BIGINT AS frame_bytes
+FROM f ORDER BY media_id, frame_idx
+"""
+
 # ---------------------------------------------------------------------------
 # Event-time windows (batch faces of streaming/windows.py)
 # ---------------------------------------------------------------------------
@@ -2154,6 +2192,7 @@ CATALOG_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "w7_stream_interval_join": (w7_stream_interval_join, W7_SQL),
     "mm1_media_metadata": (mm1_media_metadata, MM1_SQL),
     "mm2_resize_meta": (mm2_resize_meta, MM2_SQL),
+    "mm3_frame_sample": (mm3_frame_sample, MM3_SQL),
     "w1_tumbling": (w1_tumbling, W1_SQL),
     "w2_sliding": (w2_sliding, W2_SQL),
     "w3_session": (w3_session, W3_SQL),

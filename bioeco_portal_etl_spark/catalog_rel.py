@@ -619,6 +619,95 @@ ORDER BY event_id
 """
 
 
+def rel14_hierarchy_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive-CTE workload (operators/hierarchy.py flatten_hierarchy):
+    transitive closure of a parent-pointer forest to (node, root, depth)
+    via pointer jumping — Spark SQL has no WITH RECURSIVE, the driver loop
+    converges in O(log depth) self-joins. Fixture: a deterministic forest
+    over customers (parent = custkey div 7, custkeys 1-6 are roots), depth
+    ~ log7(n) so it scales with SF. Oracle: DuckDB recursive CTE over the
+    identical relation."""
+    from bioeco_portal_etl_spark.operators.hierarchy import flatten_hierarchy
+
+    c = T(spark, sf, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(
+            F.expr("c_custkey div 7") >= 1, F.expr("c_custkey div 7")
+        ).alias("parent"),
+    )
+    return flatten_hierarchy(nodes).orderBy("node")
+
+
+REL14_SQL = """
+WITH RECURSIVE h(node, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0::BIGINT FROM customer WHERE c_custkey // 7 < 1
+  UNION ALL
+  -- the parent relation is DEFINED as div7 only where div7 >= 1 (custkeys
+  -- 0-6 are roots); without that guard custkey 0 is its own div7-child and
+  -- the recursion never terminates
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN h ON c.c_custkey // 7 = h.node
+  WHERE c.c_custkey // 7 >= 1
+)
+SELECT node, root, depth FROM h ORDER BY node
+"""
+
+
+def rel15_rank_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact rank-based quantiles per group (lower median and p90 of order
+    totalprice by priority) — the deterministic alternative to interpolated
+    percentile for cross-engine exactness: the quantile IS an element of
+    the group (the rank-ceil(q*n) row under a total order with an explicit
+    tiebreak), so no float interpolation ever happens and both engines
+    return byte-identical doubles. One hash(priority) window exchange;
+    the rank filter + conditional agg avoid any second shuffle."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") / 2), F.col("o_totalprice")
+                )
+            ).alias("median_price"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("o_totalprice")
+                )
+            ).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+REL15_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, max(n) AS n_orders,
+       max(CASE WHEN rn = ceil(n / 2) THEN o_totalprice END) AS median_price,
+       max(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90_price
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "rel10_window_suite": (rel10_window_suite, REL10_SQL),
     "rel11_scd2_merge": (rel11_scd2_merge, REL11_SQL),
@@ -636,4 +725,6 @@ CATALOG_REL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "rel9_cube": (rel9_cube, REL9_SQL),
     "rel12_setops": (rel12_setops, REL12_SQL),
     "rel13_range_frame": (rel13_range_frame, REL13_SQL),
+    "rel14_hierarchy_flatten": (rel14_hierarchy_flatten, REL14_SQL),
+    "rel15_rank_quantiles": (rel15_rank_quantiles, REL15_SQL),
 }

@@ -132,3 +132,33 @@ def test_utm_to_wgs84_dataframe(spark):
     row = utm_to_wgs84(df, "x", "y", zone=30).collect()[0]
     assert abs(row.lon - (-2.9)) < 1e-6
     assert abs(row.lat - 43.3) < 1e-6
+
+
+def test_polygon_area_centroid_known_shapes(spark):
+    """Shoelace measure (geo/measure.py): unit square and a 3-4-5 right
+    triangle against hand-computed area/centroid; degenerate (collinear)
+    ring yields area 0 + NULL centroid instead of a division error; both
+    ring orientations give the same positive area."""
+    from bioeco_portal_etl_spark.geo.measure import polygon_area_centroid
+
+    polys = spark.createDataFrame(
+        [
+            # unit square, CCW: area 1, centroid (0.5, 0.5)
+            (0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+            # same square, CW (reversed)
+            (1, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),
+            # right triangle (0,0)-(4,0)-(0,3): area 6, centroid (4/3, 1)
+            (2, [0.0, 4.0, 0.0], [0.0, 0.0, 3.0]),
+            # collinear: degenerate
+            (3, [0.0, 1.0, 2.0], [0.0, 1.0, 2.0]),
+        ],
+        "poly_id int, xs array<double>, ys array<double>",
+    )
+    got = {
+        r.poly_id: (r.area_e4, r.cx_e4, r.cy_e4)
+        for r in polygon_area_centroid(polys).collect()
+    }
+    assert got[0] == (10000, 5000, 5000)
+    assert got[1] == (10000, 5000, 5000)
+    assert got[2] == (60000, 13333, 10000)
+    assert got[3] == (0, None, None)
