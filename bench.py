@@ -74,6 +74,19 @@ BENCH_QUERIES = [
     "w5_streaming_sessions",
     "w6_streaming_dedupe",
     "w7_stream_interval_join",
+    # round-4: sketches, graph, robust/islands, weighted sampling, anomaly,
+    # vocab diagnostics
+    "sk1_kmv_distinct",
+    "sk2_cms_heavy_hitters",
+    "sk3_hll_distinct",
+    "sk4_bloom_gate",
+    "gr1_pagerank",
+    "gr2_triangles",
+    "rel16_median_mad",
+    "rel17_islands",
+    "x12_weighted_sample",
+    "x13_rolling_zscore",
+    "tx12_vocab_growth",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -929,11 +929,13 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext2 import CATALOG_EXT2  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
+_CATALOG.update(CATALOG_EXT2)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -968,6 +970,17 @@ _GATE_FIRST = [
     "rel14_hierarchy_flatten",
     "rel15_rank_quantiles",
     "x10_url_dedupe",  # relative-URL passthrough added to query + oracle
+    "sk1_kmv_distinct",
+    "sk2_cms_heavy_hitters",
+    "sk3_hll_distinct",
+    "sk4_bloom_gate",
+    "gr1_pagerank",
+    "gr2_triangles",
+    "rel16_median_mad",
+    "rel17_islands",
+    "x12_weighted_sample",
+    "x13_rolling_zscore",
+    "tx12_vocab_growth",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

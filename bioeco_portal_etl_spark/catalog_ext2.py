@@ -1,0 +1,488 @@
+"""Round-4 catalog extensions: distributed sketches (sk*), graph
+algorithms (gr*), robust/streaky relational patterns (rel16+), and
+weighted-sampling / anomaly / corpus-diagnostic training ops (x12+, tx12).
+
+Same contract as catalog.py: every entry is a (spark_fn, oracle_sql)
+pair over the driver's synthetic tables, aliased identically on both
+sides, ending in a deterministic ORDER BY. Estimators are engine-exact
+by construction (md5-derived hashes, integer fixed-point, single-rounding
+IEEE chains — see sketches/__init__.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
+
+# ---------------------------------------------------------------------------
+# sk1 — KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def sk1_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k=64) distinct customers per order priority, alongside the
+    exact count the sketch replaces (sketches/kmv.py). The exact column
+    is the demo yardstick — production keeps only the sketch, whose
+    per-group state is 64 longs instead of the full distinct key set."""
+    from bioeco_portal_etl_spark.sketches.kmv import kmv_distinct
+
+    o = T(spark, sf, "orders")
+    est = kmv_distinct(o, ["o_orderpriority"], "o_custkey", k=64)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("true_distinct")
+    )
+    return est.join(exact, "o_orderpriority").orderBy("o_orderpriority")
+
+
+def _sk1_sql() -> str:
+    from bioeco_portal_etl_spark.sketches.kmv import duck_kmv_distinct
+
+    return f"""
+WITH {duck_kmv_distinct("orders", "o_orderpriority", "o_custkey", 64)},
+exact AS (
+  SELECT o_orderpriority, count(DISTINCT o_custkey) AS true_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT k.grp AS o_orderpriority, k.est_distinct, e.true_distinct
+FROM kmv k JOIN exact e ON e.o_orderpriority = k.grp
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk2 — Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def sk2_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 suppliers by CMS-estimated lineitem frequency (d=4, w=256 —
+    an 8 KB grid standing in for the full per-supplier count), with the
+    true count as the one-sided-error witness: est_cnt >= true_cnt always
+    (sketches/cms.py). Grid build is one bounded-state shuffle; estimates
+    are a broadcast join."""
+    from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate
+
+    li = T(spark, sf, "lineitem")
+    grid = cms_build(li, "l_suppkey", d=4, w=256)
+    keys = T(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    est = cms_estimate(keys, grid, "suppkey", d=4, w=256)
+    true = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return (
+        est.join(true, "suppkey", "left")
+        .select(
+            "suppkey",
+            "est_cnt",
+            F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+        )
+        .orderBy(F.desc("est_cnt"), "suppkey")
+        .limit(20)
+    )
+
+
+def _sk2_sql() -> str:
+    from bioeco_portal_etl_spark.sketches.cms import duck_cms
+
+    return f"""
+WITH {duck_cms("lineitem", "l_suppkey", "supplier", "s_suppkey", 4, 256)},
+truec AS (
+  SELECT l_suppkey AS suppkey, count(*) AS true_cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT c.key AS suppkey, c.est_cnt, coalesce(t.true_cnt, 0) AS true_cnt
+FROM cms_est c LEFT JOIN truec t ON t.suppkey = c.key
+ORDER BY est_cnt DESC, suppkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk3 — HyperLogLog distinct
+# ---------------------------------------------------------------------------
+
+
+def sk3_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-HLL (m=64) distinct parts per returnflag vs the exact count
+    (sketches/hll.py): per-group state is 64 max-rank registers that
+    merge by pointwise max across any partitioning of the scan."""
+    from bioeco_portal_etl_spark.sketches.hll import hll_estimate, hll_registers
+
+    li = T(spark, sf, "lineitem")
+    regs = hll_registers(li, ["l_returnflag"], "l_partkey")
+    est = hll_estimate(regs, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("true_distinct")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+def _sk3_sql() -> str:
+    from bioeco_portal_etl_spark.sketches.hll import duck_hll
+
+    return f"""
+WITH {duck_hll("lineitem", "l_returnflag", "l_partkey")},
+exact AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS true_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT h.grp AS l_returnflag, h.est_distinct, e.true_distinct
+FROM hll h JOIN exact e ON e.l_returnflag = h.grp
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk4 — Bloom membership gate (md5 family, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 8192, 3
+
+
+def sk4_bloom_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-gate every document against the 'history' slice (doc_id % 7
+    == 0), keyed by content (sketches/bloom_md5.py). actually_seen is the
+    exact semi-join truth: possibly_seen implies-nothing-missed (no false
+    negatives) while the deterministic false positives stay visible —
+    both engines rebuild the identical bitset, so even the FPs hash-match."""
+    from bioeco_portal_etl_spark.sketches.bloom_md5 import (
+        bloom_build_md5,
+        bloom_contains_md5,
+    )
+
+    d = T(spark, sf, "documents")
+    history = d.filter(F.col("doc_id") % 7 == 0).select(F.col("text"))
+    bloom = bloom_build_md5(history, "text", _BLOOM_M, _BLOOM_K)
+    gated = bloom_contains_md5(
+        d.select("doc_id", "text"), bloom, "text", _BLOOM_M, _BLOOM_K
+    )
+    truth = history.distinct().withColumn("actually_seen", F.lit(True))
+    return (
+        gated.join(truth, "text", "left")
+        .select(
+            "doc_id",
+            "possibly_seen",
+            F.coalesce("actually_seen", F.lit(False)).alias("actually_seen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sk4_sql() -> str:
+    from bioeco_portal_etl_spark.sketches.bloom_md5 import duck_bloom
+
+    return f"""
+WITH {duck_bloom(
+        "SELECT text AS key FROM documents WHERE doc_id % 7 = 0",
+        "documents",
+        "text",
+        _BLOOM_M,
+        _BLOOM_K,
+    )}
+SELECT d.doc_id, b.possibly_seen,
+       d.text IN (SELECT key FROM hkeys) AS actually_seen
+FROM documents d JOIN bloomed b ON b.key = d.text
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# gr1/gr2 — graph: PageRank + triangles over the co-order supplier graph
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+"""
+
+
+def _co_order_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed co-order supplier edges: (s1 -> s2) iff both supply the
+    same order. The self-join key is l_orderkey (bounded fan-out: order
+    line counts are small constants), so the join shuffles once on the
+    order key and never explodes on a hub vertex."""
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+
+
+def gr1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """3-iteration e9 fixed-point PageRank (graph/pagerank.py) over the
+    co-order supplier graph; top 20 by rank. Integer mass transfer makes
+    the ranks bit-identical to the DuckDB unrolled-CTE mirror."""
+    from bioeco_portal_etl_spark.graph.pagerank import pagerank
+
+    ranks = pagerank(_co_order_edges(spark, sf), iterations=3, persist_edges=False)
+    return ranks.orderBy(F.desc("pr_e9"), "node").limit(20)
+
+
+def _gr1_sql() -> str:
+    from bioeco_portal_etl_spark.graph.pagerank import duck_pagerank
+
+    return f"""
+WITH {duck_pagerank(_EDGES_SQL, 3)}
+SELECT node, pr_e9 FROM pr3 ORDER BY pr_e9 DESC, node LIMIT 20
+"""
+
+
+def gr2_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-oriented triangle count (graph/triangles.py) over the
+    co-order supplier graph: one row (n_nodes, n_edges, n_wedges,
+    n_triangles); n_wedges witnesses the orientation bound that keeps the
+    wedge join off the curse-of-the-last-reducer path."""
+    from bioeco_portal_etl_spark.graph.triangles import triangle_stats
+
+    return triangle_stats(_co_order_edges(spark, sf))
+
+
+def _gr2_sql() -> str:
+    from bioeco_portal_etl_spark.graph.triangles import duck_triangles
+
+    return f"""
+WITH {duck_triangles(_EDGES_SQL)}
+SELECT n_nodes, n_edges, n_wedges, n_triangles FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel16 — robust stats (median/MAD by rank selection)
+# ---------------------------------------------------------------------------
+
+
+def rel16_median_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation lower-median and MAD of customer balances
+    (operators/robust.py) — rank selection instead of percentile_cont so
+    both statistics are exact data values, immune to the interpolation
+    formula differences between engines."""
+    from bioeco_portal_etl_spark.operators.robust import median_mad
+
+    c = T(spark, sf, "customer").select("c_nationkey", "c_acctbal", "c_custkey")
+    return (
+        median_mad(c, ["c_nationkey"], "c_acctbal", "c_custkey")
+        .select(
+            "c_nationkey",
+            "n",
+            F.round("median", 2).alias("median_bal"),
+            F.round("mad", 2).alias("mad_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+REL16_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+),
+med AS (
+  SELECT c_nationkey, n, c_acctbal AS median FROM ranked WHERE rn = (n + 1) // 2
+),
+devr AS (
+  SELECT c.c_nationkey, abs(c.c_acctbal - m.median) AS dev,
+         row_number() OVER (
+           PARTITION BY c.c_nationkey
+           ORDER BY abs(c.c_acctbal - m.median), c.c_custkey) AS rn,
+         count(*) OVER (PARTITION BY c.c_nationkey) AS n
+  FROM customer c JOIN med m ON m.c_nationkey = c.c_nationkey
+),
+mad AS (
+  SELECT c_nationkey, dev AS mad FROM devr WHERE rn = (n + 1) // 2
+)
+SELECT m.c_nationkey, m.n, round(m.median, 2) AS median_bal,
+       round(d.mad, 2) AS mad_bal
+FROM med m JOIN mad d ON d.c_nationkey = m.c_nationkey
+ORDER BY m.c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel17 — gaps and islands
+# ---------------------------------------------------------------------------
+
+
+def rel17_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive same-event-type runs per user (operators/islands.py):
+    value-change run detection, the companion to time-gap sessionize.
+    Runs of length 1 are noise here — keep n_rows >= 2."""
+    from bioeco_portal_etl_spark.operators.islands import islands
+
+    e = T(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    return (
+        islands(e, ["user_id"], "event_type", ["ts", "event_id"])
+        .filter(F.col("n_rows") >= 2)
+        .orderBy("user_id", "run_start", "event_type")
+    )
+
+
+REL17_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       min(ts) AS run_start, max(ts) AS run_end, count(*) AS n_rows
+FROM marked
+GROUP BY user_id, event_type, island
+HAVING count(*) >= 2
+ORDER BY user_id, run_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# x12 — weighted (priority) sampling
+# ---------------------------------------------------------------------------
+
+
+def x12_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted 10-per-source document sample
+    (operators/sampling.py priority_sample): the reproducible
+    quality-weighted subsampling step of a data-mix recipe — hash-derived
+    priorities, no RNG, stable under reruns and engines."""
+    from bioeco_portal_etl_spark.operators.sampling import priority_sample
+
+    d = T(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return (
+        priority_sample(d, "source", "doc_id", "n_chars", k=10)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    )
+
+
+def _x12_sql() -> str:
+    from bioeco_portal_etl_spark.sketches import H60_DOMAIN, duck_h60
+
+    h = duck_h60("'ps:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pri AS (
+  SELECT source, doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) * {float(H60_DOMAIN)!r} / {h} AS q
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+  FROM pri
+)
+SELECT source, rank, doc_id, n_chars
+FROM ranked WHERE rank <= 10
+ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# x13 — rolling z-score anomaly gate
+# ---------------------------------------------------------------------------
+
+
+def x13_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score outliers per user
+    (operators/timeseries.py): events whose value sits > 2.5 sigma from
+    the 10 prior events' mean. Fixed-point frame sums keep the score
+    bit-identical across engines."""
+    from bioeco_portal_etl_spark.operators.timeseries import rolling_zscore
+
+    e = T(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    scored = rolling_zscore(
+        e, ["user_id"], ["ts", "event_id"], "value", window_rows=10, min_rows=5
+    )
+    return (
+        scored.filter(F.col("is_anomaly"))
+        .select("event_id", "user_id", F.round("value", 2).alias("value"), "z")
+        .orderBy("event_id")
+    )
+
+
+X13_SQL = """
+WITH q AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2,
+         count(*) OVER w AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s1,
+         sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, value,
+         round((v_e2 - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * n)), 4) AS z
+  FROM q
+  WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+)
+SELECT event_id, user_id, round(value, 2) AS value, z
+FROM z WHERE abs(z) > 2.5
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tx12 — per-source vocabulary growth / Zipf diagnostics
+# ---------------------------------------------------------------------------
+
+
+def tx12_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Zipf/Heaps fingerprint (text/analysis.py vocab_growth):
+    token mass, type counts, hapax fraction, top-10 head share."""
+    from bioeco_portal_etl_spark.text.analysis import vocab_growth
+
+    d = T(spark, sf, "documents")
+    return vocab_growth(d, "source", "text", top_k=10).orderBy("source")
+
+
+def _tx12_sql() -> str:
+    from bioeco_portal_etl_spark.text.tokenize import duck_tokens
+
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({duck_tokens("text")}) AS t FROM documents
+),
+tf AS (
+  SELECT source, t, count(*) AS tfc FROM tok GROUP BY source, t
+),
+ranked AS (
+  SELECT source, tfc,
+         row_number() OVER (PARTITION BY source ORDER BY tfc DESC, t) AS rk
+  FROM tf
+)
+SELECT source,
+       sum(tfc) AS n_tokens,
+       count(*) AS n_types,
+       sum(CASE WHEN tfc = 1 THEN 1 ELSE 0 END) AS hapax_types,
+       (1000000 * count(*)) // sum(tfc) AS ttr_e6,
+       (1000000 * sum(CASE WHEN rk <= 10 THEN tfc ELSE 0 END)) // sum(tfc)
+         AS top_share_e6
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+CATALOG_EXT2: dict = {
+    "sk1_kmv_distinct": (sk1_kmv_distinct, _sk1_sql()),
+    "sk2_cms_heavy_hitters": (sk2_cms_heavy_hitters, _sk2_sql()),
+    "sk3_hll_distinct": (sk3_hll_distinct, _sk3_sql()),
+    "sk4_bloom_gate": (sk4_bloom_gate, _sk4_sql()),
+    "gr1_pagerank": (gr1_pagerank, _gr1_sql()),
+    "gr2_triangles": (gr2_triangles, _gr2_sql()),
+    "rel16_median_mad": (rel16_median_mad, REL16_SQL),
+    "rel17_islands": (rel17_islands, REL17_SQL),
+    "x12_weighted_sample": (x12_weighted_sample, _x12_sql()),
+    "x13_rolling_zscore": (x13_rolling_zscore, X13_SQL),
+    "tx12_vocab_growth": (tx12_vocab_growth, _tx12_sql()),
+}

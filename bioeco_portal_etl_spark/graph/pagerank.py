@@ -1,0 +1,132 @@
+"""PageRank over an edge-list DataFrame — fixed-iteration, fixed-point.
+
+Each iteration is the canonical two-shuffle plan (Malewicz et al.'s
+Pregel superstep lowered to joins):
+
+    contribs = edges JOIN ranks ON src      -- shuffle on src (or broadcast)
+    sums     = contribs.groupBy(dst).sum()  -- shuffle on dst
+    ranks'   = teleport + damping * sums    -- nodes LEFT JOIN sums
+
+The edge list is hash-partitioned ONCE on ``src`` and persisted; every
+iteration's first join then reuses that partitioning (exchange reuse), so
+iteration i shuffles only the O(V) rank table, never the O(E) edges. On a
+real cluster, checkpoint ``ranks`` every ~5 iterations to truncate the
+growing lineage; with a fixed small iteration count the unrolled plan is
+fine as-is.
+
+Fixed-point contract: ranks live in e9 integers (rank 1.0 == 10^9).
+Per-edge contribution = ``(damp_num * rank) div (damp_den * outdeg)`` —
+all longs, max intermediate 850 * 10^9 * |V| far below 2^63 — and the
+per-dst sum is an integer sum, order-independent. The same arithmetic in
+DuckDB (three unrolled CTE iterations) reproduces ranks EXACTLY, where a
+float PageRank would drift in the last ulp per reassociation. Truncation
+toward zero loses < 1e-9 rank mass per edge per iteration — bounded and
+deterministic. All values stay nonnegative, so Spark's ``div`` (toward
+zero) and DuckDB's ``//`` (floor) agree.
+
+Dangling mass: nodes with no out-edges leak their damped mass (standard
+simplification; the teleport term keeps totals bounded). Symmetric
+co-occurrence graphs — the catalog's use — have no dangling nodes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+E9 = 1_000_000_000
+DAMP_NUM, DAMP_DEN = 85, 100  #: damping 0.85 as an exact rational
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    persist_edges: bool = True,
+) -> DataFrame:
+    """e9 fixed-point PageRank; returns (node, pr_e9).
+
+    ``edges`` is a directed edge list (duplicate edges count once —
+    deduplicated here). ``persist_edges`` pins the partitioned edge list
+    in memory across iterations (turn off for one-shot tiny graphs).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src")
+    if persist_edges:
+        e = e.persist()
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .withColumn("outdeg", F.coalesce("outdeg", F.lit(0)))
+    )
+    # |V| as a window count — one exchange of the small node table, no
+    # crossJoin against a second aggregation subtree.
+    nodes = nodes.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+
+    # integer div, never float `/` + cast: Spark's cast truncates but
+    # DuckDB's CAST rounds-to-nearest — `div`/`//` agree on positives.
+    ranks = nodes.select(
+        "node", "outdeg", "n", F.expr(f"{E9} div n").alias("pr_e9")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .filter(F.col("outdeg") > 0)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_NUM} * pr_e9) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                "n",
+                (
+                    F.expr(f"{(DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN} div n")
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                ).alias("pr_e9"),
+            )
+        )
+    return ranks.select("node", "pr_e9")
+
+
+def duck_pagerank(edges_select: str, iterations: int = 3) -> str:
+    """DuckDB CTE body mirroring :func:`pagerank`, iterations unrolled;
+    exposes ``pr{iterations}(node, pr_e9)``. ``edges_select`` must project
+    ``src, dst`` (duplicates allowed — deduplicated here)."""
+    teleport = (DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN
+    parts = [
+        f"eraw AS ({edges_select})",
+        "e AS (SELECT DISTINCT src, dst FROM eraw)",
+        "odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        """nodes AS (
+  SELECT n.node, coalesce(o.outdeg, 0) AS outdeg, count(*) OVER () AS n
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+  LEFT JOIN odeg o ON o.src = n.node
+)""",
+        f"pr0 AS (SELECT node, outdeg, n, {E9} // n AS pr_e9 FROM nodes)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, sum(({DAMP_NUM} * r.pr_e9) // ({DAMP_DEN} * r.outdeg)) AS in_mass
+  FROM e JOIN pr{i} r ON r.node = e.src AND r.outdeg > 0
+  GROUP BY e.dst
+),
+pr{i + 1} AS (
+  SELECT nodes.node, nodes.outdeg, nodes.n,
+         {teleport} // nodes.n + coalesce(s{i}.in_mass, 0) AS pr_e9
+  FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node
+)"""
+        )
+    return ",\n".join(parts)

@@ -1,0 +1,118 @@
+"""Triangle counting via degree orientation (Suri & Vassilvitskii, WWW
+2011 — "Counting triangles and the curse of the last reducer").
+
+The naive wedge join (edges ⋈ edges on the middle vertex) explodes on
+high-degree hubs: a degree-d node emits d^2 wedges, and one celebrity
+vertex serializes the job. Orienting each undirected edge from its
+LOWER-degree endpoint to its higher (ties by id) bounds every out-degree
+by O(sqrt(E)), so the wedge join emits at most E^{3/2} pairs total no
+matter how skewed the degree distribution — the standard MR/Spark
+triangle plan.
+
+Plan: degrees (one groupBy) -> oriented edge list -> wedge self-join on
+the common LOW endpoint -> hash-join wedges against the oriented edge set
+to close them. Three shuffles, all on edge keys, no windows, no driver
+state. Pure integer arithmetic — DuckDB mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _canonical(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge set as canonical (u < v) pairs, deduplicated."""
+    u = F.least(F.col(a), F.col(b))
+    v = F.greatest(F.col(a), F.col(b))
+    return (
+        edges.filter(F.col(a) != F.col(b))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles).
+
+    n_wedges counts paths of length 2 in the ORIENTED graph (the join's
+    actual intermediate cardinality — the quantity degree orientation
+    bounds), so the row doubles as a plan-cost witness.
+    """
+    und = _canonical(edges, a, b)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: (deg, id)-lexicographic min endpoint -> max endpoint
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    # wedges around the common low endpoint; (x < y) counts each unordered
+    # wedge once
+    e1 = o.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    e2 = o.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("y"))
+    # close the wedge: the x-y edge exists in the undirected set
+    closed = wedges.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+    )
+
+
+def duck_triangles(edges_select: str) -> str:
+    """DuckDB CTE body mirroring :func:`triangle_stats`; exposes
+    ``tri(n_nodes, n_edges, n_wedges, n_triangles)``. ``edges_select``
+    must project ``src, dst``."""
+    return f"""
+eraw AS ({edges_select}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM eraw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS lo,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS hi
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+wedges AS (
+  SELECT e1.c, e1.x, e2.y
+  FROM (SELECT lo AS c, hi AS x FROM o) e1
+  JOIN (SELECT lo AS c, hi AS y FROM o) e2 ON e1.c = e2.c AND e1.x < e2.y
+),
+closed AS (
+  SELECT w.c FROM wedges w JOIN und ON und.u = w.x AND und.v = w.y
+),
+tri AS (
+  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM und) AS n_edges,
+         (SELECT count(*) FROM wedges) AS n_wedges,
+         (SELECT count(*) FROM closed) AS n_triangles
+)"""

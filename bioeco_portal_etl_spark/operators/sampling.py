@@ -133,3 +133,42 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ps",
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows per group — priority
+    sampling (Duffield, Lund & Thorup 2004): each row gets priority
+    ``q = w / u`` for a uniform hash draw ``u``, and the top-k priorities
+    per group are a near-optimal weighted sample WITHOUT replacement,
+    reproducible under reruns and engine changes because ``u`` is an
+    md5-derived 60-bit hash, not an RNG.
+
+    Cross-engine exactness: q is computed as ``w * 2^60 / h`` — one IEEE
+    double multiply (2^60 is a power of two; for w < 2^13 the product is
+    EXACT) and one correctly-rounded division, never a pow()/ln() whose
+    libm could differ. Ties are broken by id, so the selected set and its
+    ranking are bit-stable in any IEEE engine.
+
+    Plan: pure column priority + one row_number window on the group key —
+    identical shuffle family as cap_per_group; no RNG state, no collect.
+    """
+    from pyspark.sql import Window
+
+    from bioeco_portal_etl_spark.sketches import H60_DOMAIN, h60
+
+    h = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    q = F.col(weight_col).cast("double") * F.lit(float(H60_DOMAIN)) / h
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(q), F.asc(id_col)
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -285,3 +285,41 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def vocab_growth(df, group_col: str, text_col: str, top_k: int = 10):
+    """Per-group Zipf/Heaps vocabulary diagnostics — the corpus-mix
+    fingerprint a curation dashboard tracks per source: token mass,
+    type count, hapax fraction and head concentration expose template
+    spam (low type/token ratio, high head share) and OCR noise (hapax
+    explosion) without any transcendental regression.
+
+    Columns (all integer / e6 fixed-point — engine-exact):
+      n_tokens     total token occurrences
+      n_types      distinct tokens
+      hapax_types  tokens occurring exactly once
+      ttr_e6       floor(1e6 * n_types / n_tokens)  (type-token ratio)
+      top_share_e6 floor(1e6 * mass of the top_k most frequent tokens
+                   / n_tokens); frequency ties broken lexicographically
+
+    Plan: explode -> groupBy(group, token) count (the one data-sized
+    shuffle, map-side combined) -> everything after runs on the
+    Heaps-bounded vocab table: a row_number window for the top-k head and
+    one final groupBy. At 100 TB the vocab stage is MBs per group.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("__t"))
+    tf = tok.groupBy(group_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__tf"), F.asc("__t"))
+    ranked = tf.withColumn("__rk", F.row_number().over(w))
+    return ranked.groupBy(group_col).agg(
+        F.sum("__tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__tf") == 1).cast("long")).alias("hapax_types"),
+        F.expr("(1000000 * count(*)) div sum(__tf)").alias("ttr_e6"),
+        F.expr(
+            f"(1000000 * sum(CASE WHEN __rk <= {top_k} THEN __tf ELSE 0 END))"
+            " div sum(__tf)"
+        ).alias("top_share_e6"),
+    )

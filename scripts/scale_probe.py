@@ -39,6 +39,14 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.sessions import session_stats  # noqa: E402
 from bioeco_portal_etl_spark.text.lm import unigram_lm_scores  # noqa: E402
+from bioeco_portal_etl_spark.sketches.kmv import kmv_distinct  # noqa: E402
+from bioeco_portal_etl_spark.sketches.cms import cms_build  # noqa: E402
+from bioeco_portal_etl_spark.sketches.hll import hll_estimate, hll_registers  # noqa: E402
+from bioeco_portal_etl_spark.graph.pagerank import pagerank  # noqa: E402
+from bioeco_portal_etl_spark.graph.triangles import triangle_stats  # noqa: E402
+from bioeco_portal_etl_spark.operators.timeseries import rolling_zscore  # noqa: E402
+from bioeco_portal_etl_spark.operators.sampling import priority_sample  # noqa: E402
+from bioeco_portal_etl_spark.text.analysis import vocab_growth  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -141,6 +149,16 @@ def main() -> None:
             return point_in_polygon_join_grid(pts, polys, "x", "y", cell_size=10.0)
         return point_in_polygon_join(pts, polys, "x", "y")
 
+    def co_edges(s):
+        base = li if s == 1 else scaled(li, s, ["l_orderkey", "l_suppkey"])
+        src = base.select("l_orderkey", "l_suppkey")
+        a, b = src.alias("a"), src.alias("b")
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        )
+
     cases = {
         "scan_agg_q1": (lambda s: q1(li if s == 1 else scaled(li, s, ["l_orderkey"]))),
         "join_agg": (
@@ -206,6 +224,54 @@ def main() -> None:
             lambda s: session_stats(
                 events if s == 1 else scaled(events, s, ["user_id"]),
                 "user_id", "ts", "event_id",
+            )
+        ),
+        # sketch state is CONSTANT per group (k hashes / d*w grid / m
+        # registers) — the probe verifies the build cost is the scan, not
+        # the state
+        "kmv_sketch": (
+            lambda s: kmv_distinct(
+                orders if s == 1 else scaled(orders, s, ["o_custkey"]),
+                ["o_orderpriority"], "o_custkey", k=64,
+            )
+        ),
+        "cms_sketch": (
+            lambda s: cms_build(
+                li if s == 1 else scaled(li, s, ["l_suppkey"]), "l_suppkey"
+            )
+        ),
+        "hll_sketch": (
+            lambda s: hll_estimate(
+                hll_registers(
+                    li if s == 1 else scaled(li, s, ["l_partkey"]),
+                    ["l_returnflag"], "l_partkey",
+                ),
+                ["l_returnflag"],
+            )
+        ),
+        # graph ops: node/edge count scales with s (shifted suppkeys make
+        # disjoint co-order components), so both sides of the ratio grow
+        "pagerank": (lambda s: pagerank(co_edges(s), iterations=3)),
+        "triangles": (lambda s: triangle_stats(co_edges(s))),
+        # one-exchange window families
+        "rolling_zscore": (
+            lambda s: rolling_zscore(
+                events if s == 1 else scaled(events, s, ["user_id"]),
+                ["user_id"], ["ts", "event_id"], "value",
+            )
+        ),
+        "priority_sample": (
+            lambda s: priority_sample(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "source", "doc_id", "n_chars", k=10,
+            )
+        ),
+        # second stage runs on the Heaps-bounded vocab: ratio tracks the
+        # tokenize/count scan, not the head-rank window
+        "vocab_growth": (
+            lambda s: vocab_growth(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "source", "text",
             )
         ),
     }
