@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     "x12_weighted_sample",
     "x13_rolling_zscore",
     "tx12_vocab_growth",
+    "sk5_kmv_setops",
+    "rel18_interval_merge",
+    "x14_ewma",
+    "mm4_audio_energy",
+    "rel19_funnel",
+    "x15_temporal_split",
+    "tx13_bigram_lm",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

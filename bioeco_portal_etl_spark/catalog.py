@@ -981,6 +981,13 @@ _GATE_FIRST = [
     "x12_weighted_sample",
     "x13_rolling_zscore",
     "tx12_vocab_growth",
+    "sk5_kmv_setops",
+    "rel18_interval_merge",
+    "x14_ewma",
+    "mm4_audio_energy",
+    "rel19_funnel",
+    "x15_temporal_split",
+    "tx13_bigram_lm",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -473,6 +473,329 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# sk5 — KMV sketch set operations (union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+
+def sk5_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Union/intersection cardinality estimates for the URGENT vs LOW
+    customer sets from their MERGED KMV sketches (sketches/kmv.py
+    kmv_set_ops) — the compose-without-rescanning property that lets
+    per-partition sketches answer cross-slice overlap questions. Exact
+    counts ride along as the yardstick."""
+    from bioeco_portal_etl_spark.sketches.kmv import kmv_set_ops
+
+    o = T(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    est = kmv_set_ops(a, b, "o_custkey", k=64)
+    tu = (
+        a.unionByName(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("true_union"))
+    )
+    ti = a.distinct().intersect(b.distinct()).agg(
+        F.count(F.lit(1)).alias("true_intersection")
+    )
+    return est.crossJoin(F.broadcast(tu)).crossJoin(F.broadcast(ti))
+
+
+def _sk5_sql() -> str:
+    from bioeco_portal_etl_spark.sketches.kmv import duck_kmv_set_ops
+
+    a = "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+    b = "(SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')"
+    return f"""
+WITH {duck_kmv_set_ops(a, b, "o_custkey", 64)}
+SELECT est_union, est_intersection,
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')) AS true_union,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        )) AS true_intersection
+FROM kmvset
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel18 — interval union (merge overlapping spans)
+# ---------------------------------------------------------------------------
+
+
+def rel18_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge overlapping per-user activity spans
+    (operators/intervals.py): each event opens a span of 60 + (event_id %
+    540) seconds; overlapping-or-touching spans coalesce into availability
+    windows. Interval arithmetic stays NTZ on both engines."""
+    from bioeco_portal_etl_spark.operators.intervals import merge_intervals
+
+    e = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("span_start"),
+        (
+            F.col("ts")
+            + F.expr("make_interval(0, 0, 0, 0, 0, 0, 60 + event_id % 540)")
+        ).alias("span_end"),
+    )
+    return (
+        merge_intervals(e, ["user_id"], "span_start", "span_end", "event_id")
+        .orderBy("user_id", "merge_start")
+    )
+
+
+REL18_SQL = """
+WITH spans AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + (60 + event_id % 540) * INTERVAL 1 SECOND AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_chain,
+         event_id
+  FROM spans
+),
+chains AS (
+  SELECT user_id, s, e,
+         sum(new_chain) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chain
+  FROM flagged
+)
+SELECT user_id, min(s) AS merge_start, max(e) AS merge_end,
+       count(*) AS n_intervals
+FROM chains
+GROUP BY user_id, chain
+ORDER BY user_id, merge_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# x14 — per-key integer EWMA (grouped-map recurrence)
+# ---------------------------------------------------------------------------
+
+
+def x14_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA smoothing with alpha = 1/4
+    (operators/timeseries.py ewma): the sequential-recurrence tier of the
+    custom-operator policy — applyInPandas per user, integer state, DuckDB
+    recursive-CTE oracle replaying the identical trajectory."""
+    from bioeco_portal_etl_spark.operators.timeseries import ewma
+
+    e = T(spark, sf, "events")
+    return ewma(e, "user_id", "ts", "event_id", "value", alpha_shift=2).orderBy(
+        "user_id", "event_id"
+    )
+
+
+X14_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 10000) AS BIGINT) AS v_e4,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+state AS (
+  SELECT user_id, event_id, rn, v_e4 AS s FROM seq WHERE rn = 1
+  UNION ALL
+  -- floor division, explicitly: DuckDB's integer // TRUNCATES toward zero
+  -- on negatives while the operator's Python // floors; /4.0 is exact in
+  -- double for e4-scale deltas, so floor() reproduces Python exactly
+  SELECT q.user_id, q.event_id, q.rn,
+         st.s + CAST(floor((q.v_e4 - st.s) / 4.0) AS BIGINT)
+  FROM state st JOIN seq q ON q.user_id = st.user_id AND q.rn = st.rn + 1
+)
+SELECT user_id, event_id, s AS ewma_e4
+FROM state
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm4 — audio frame features through the Arrow media path
+# ---------------------------------------------------------------------------
+
+
+def mm4_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-frame energy/peak over the binary payload treated as u8 PCM
+    (multimodal/media.py audio_frame_features): mapInPandas frame
+    windows, first 4 frames of 32 samples. The utf-8 payload is ASCII in
+    the harness tables, so DuckDB recomputes the exact integers from code
+    points without touching bytes."""
+    from bioeco_portal_etl_spark.multimodal.media import (
+        attach_payload,
+        audio_frame_features,
+    )
+
+    d = T(spark, sf, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    return audio_frame_features(media, frame_bytes=32, max_frames=4).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+MM4_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, least(4, (length(text) + 31) // 32))) AS frame_idx,
+         text
+  FROM documents
+),
+sub AS (
+  SELECT media_id, frame_idx,
+         list_transform(
+           range(1, length(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32)) + 1),
+           j -> unicode(substr(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32), CAST(j AS INT), 1)) - 64
+         ) AS dev
+  FROM f
+)
+SELECT media_id, frame_idx,
+       len(dev) AS n_samples,
+       list_sum(list_transform(dev, d -> d * d)) AS energy,
+       list_max(list_transform(dev, d -> abs(d))) AS peak
+FROM sub
+ORDER BY media_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel19 — ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def rel19_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user signup → click → purchase funnel (operators/funnel.py):
+    ONE groupBy pass for any funnel length — per-step sorted time arrays
+    + in-row cascade resolution — where the naive plan self-joins the
+    clickstream once per step."""
+    from bioeco_portal_etl_spark.operators.funnel import funnel_steps
+
+    e = T(spark, sf, "events")
+    return funnel_steps(e, "user_id", "ts", "event_type", _FUNNEL_STEPS).orderBy(
+        "user"
+    )
+
+
+REL19_SQL = """
+WITH g AS (
+  SELECT user_id AS "user",
+         list_sort(list_filter(list(CASE WHEN event_type = 'signup'
+                                         THEN epoch_us(ts) END),
+                   x -> x IS NOT NULL)) AS a0,
+         list_sort(list_filter(list(CASE WHEN event_type = 'click'
+                                         THEN epoch_us(ts) END),
+                   x -> x IS NOT NULL)) AS a1,
+         list_sort(list_filter(list(CASE WHEN event_type = 'purchase'
+                                         THEN epoch_us(ts) END),
+                   x -> x IS NOT NULL)) AS a2
+  FROM events GROUP BY user_id
+),
+resolved AS (
+  SELECT "user",
+         a0[1] AS t_step1,
+         list_filter(a1, x -> x > a0[1])[1] AS t_step2,
+         list_filter(a2, x -> x > list_filter(a1, x -> x > a0[1])[1])[1] AS t_step3
+  FROM g
+)
+SELECT "user",
+       (t_step1 IS NOT NULL)::INT + (t_step2 IS NOT NULL)::INT
+         + (t_step3 IS NOT NULL)::INT AS steps_completed,
+       t_step1, t_step2, t_step3
+FROM resolved
+ORDER BY "user"
+"""
+
+
+# ---------------------------------------------------------------------------
+# x15 — leakage-safe temporal split
+# ---------------------------------------------------------------------------
+
+
+def x15_temporal_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user last-20% temporal test split
+    (operators/sampling.py temporal_split) — the forecasting/session-model
+    eval split where random assignment would leak future context."""
+    from bioeco_portal_etl_spark.operators.sampling import temporal_split
+
+    e = T(spark, sf, "events").select("event_id", "user_id", "ts")
+    return (
+        temporal_split(e, "user_id", "ts", "event_id", test_pct=20)
+        .select("event_id", "user_id", "split")
+        .orderBy("event_id")
+    )
+
+
+X15_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn_end,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN rn_end <= (n * 20) // 100 THEN 'test' ELSE 'train' END AS split
+FROM ranked
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tx13 — bigram LM fluency scoring
+# ---------------------------------------------------------------------------
+
+
+def tx13_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram-LM scores per document (text/lm.py
+    bigram_lm_scores) — the transition-level fluency gate above tx11's
+    unigram model."""
+    from bioeco_portal_etl_spark.text.lm import bigram_lm_scores
+
+    d = T(spark, sf, "documents")
+    return bigram_lm_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+def _tx13_sql() -> str:
+    from bioeco_portal_etl_spark.text.tokenize import duck_tokens
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {duck_tokens("text")} AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM tk WHERE len(t) >= 2
+),
+v AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY w1, w2),
+lp AS (
+  SELECT w1, w2,
+         floor(ln(c12::DOUBLE / (sum(c12) OVER ())::DOUBLE)
+               * 10000)::BIGINT AS lp_e4
+  FROM v
+),
+d AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp_e4)::BIGINT AS sum_lp_e4
+  FROM big JOIN lp USING (w1, w2) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_lp_e4,
+       floor(sum_lp_e4::DOUBLE / n_bigrams::DOUBLE)::BIGINT AS avg_lp_e4
+FROM d ORDER BY doc_id
+"""
+
+
 CATALOG_EXT2: dict = {
     "sk1_kmv_distinct": (sk1_kmv_distinct, _sk1_sql()),
     "sk2_cms_heavy_hitters": (sk2_cms_heavy_hitters, _sk2_sql()),
@@ -485,4 +808,11 @@ CATALOG_EXT2: dict = {
     "x12_weighted_sample": (x12_weighted_sample, _x12_sql()),
     "x13_rolling_zscore": (x13_rolling_zscore, X13_SQL),
     "tx12_vocab_growth": (tx12_vocab_growth, _tx12_sql()),
+    "sk5_kmv_setops": (sk5_kmv_setops, _sk5_sql()),
+    "rel18_interval_merge": (rel18_interval_merge, REL18_SQL),
+    "x14_ewma": (x14_ewma, X14_SQL),
+    "mm4_audio_energy": (mm4_audio_energy, MM4_SQL),
+    "rel19_funnel": (rel19_funnel, REL19_SQL),
+    "x15_temporal_split": (x15_temporal_split, X15_SQL),
+    "tx13_bigram_lm": (tx13_bigram_lm, _tx13_sql()),
 }

@@ -199,3 +199,58 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": out})
 
     return df.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = "media_id long, frame_idx long, n_samples long, energy long, peak long"
+_AUDIO_CENTER = 64  # u8 midpoint for the ASCII-payload stand-in
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    max_frames: int = 4,
+    decode_fn=None,
+) -> DataFrame:
+    """mapInPandas audio stage: (media_id, payload) -> per-frame energy /
+    peak rows — the frame-level feature extraction an audio curation
+    pipeline runs before VAD/quality gating, with the same plumbing
+    contract as the image stages: payload stays in the Arrow batch, only
+    typed features return to the JVM, one row per (media, frame).
+
+    ``decode_fn`` is the REAL-CODEC SEAM (``bytes -> sequence[int]`` PCM
+    samples — where ``audioop``/``soundfile`` plugs in). The default
+    treats the payload as unsigned 8-bit PCM (1 byte = 1 sample), which
+    makes the harness's utf-8 stand-in payload fully oracle-computable:
+    energy = Σ (b-64)², peak = max |b-64| per ``frame_bytes`` window,
+    first ``max_frames`` frames, trailing partial frame kept. All integer
+    arithmetic — engine-exact for ASCII payloads where DuckDB's
+    ``unicode()`` equals the byte value.
+    """
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = (
+                    list(payload) if decode_fn is None else list(decode_fn(payload))
+                )
+                for fi in range(min(max_frames, -(-len(samples) // frame_bytes))):
+                    fr = samples[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    dev = [s - _AUDIO_CENTER for s in fr]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ns.append(len(fr))
+                    energies.append(sum(d * d for d in dev))
+                    peaks.append(max(abs(d) for d in dev))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "n_samples": ns,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)

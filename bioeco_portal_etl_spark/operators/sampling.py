@@ -172,3 +172,45 @@ def priority_sample(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    test_pct: int = 20,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe per-key temporal train/test split: each key's LAST
+    ``test_pct`` percent of rows (by time) become 'test', the prefix
+    'train' — the split an evaluation pipeline needs when random splits
+    would leak future context into training (forecasting, session models,
+    recommender logs).
+
+    n_test = (n * test_pct) div 100 — pure integers, so the boundary row
+    is identical in any engine. One window on the key (same exchange
+    family as cap_per_group); no RNG, stable under reruns and appends of
+    STRICTLY NEWER data (appending older rows re-ranks — by design: the
+    split is a function of each key's full timeline).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    wc = Window.partitionBy(key_col)
+    rn_from_end = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    return (
+        df.withColumn("__rn_end", rn_from_end)
+        .withColumn("__n", n)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__rn_end") <= F.expr(f"(__n * {test_pct}) div 100"),
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("__rn_end", "__n")
+    )

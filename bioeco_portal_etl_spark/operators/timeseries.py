@@ -62,3 +62,57 @@ def rolling_zscore(
             F.lit(None).cast("double")
         ),
     ).withColumn("is_anomaly", F.abs(F.col("z")) > threshold)
+
+
+EWMA_SCHEMA = "user_id long, event_id long, ewma_e4 long"
+
+
+def _ewma_group(pdf, shift: int):
+    import pandas as pd
+
+    pdf = pdf.sort_values(["t", "event_id"])
+    s = None
+    out = []
+    for v in pdf["v_e4"]:
+        # integer EWMA with alpha = 2^-shift: s += floor((v - s) / 2^shift)
+        # — Python // floors, matching DuckDB's //; no float state ever.
+        s = int(v) if s is None else s + (int(v) - s) // (1 << shift)
+        out.append(s)
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_e4": out}
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    alpha_shift: int = 2,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the RECURRENCE tier
+    of time-series smoothing: ``s_t = s_{t-1} + (v_t - s_{t-1}) * alpha``
+    with ``alpha = 2^-alpha_shift``. A running EWMA is inherently
+    sequential per key (each state depends on the previous), which no
+    window frame expresses — exactly the applyInPandas grouped-map case
+    (same policy tier as operators/resample.py): ONE hash(key) shuffle,
+    per-group sequential scan, state = one long.
+
+    Engine-exactness: values quantize to e4 longs first; the recurrence
+    uses FLOOR division by 2^alpha_shift (Python ``//``). NB: DuckDB's
+    integer ``//`` TRUNCATES toward zero on negatives, so the oracle must
+    spell floor division as ``floor(delta / 4.0)`` (exact in double at e4
+    scale) — with that, the integer state trajectory replays bit-for-bit,
+    where a float EWMA would accumulate engine-specific rounding each step.
+
+    Output: (user_id, event_id, ewma_e4)."""
+    prepared = df.select(
+        F.col(key_col).alias("user_id"),
+        F.col(tiebreak_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
+        F.floor(F.col(value_col) * 10000).cast("long").alias("v_e4"),
+    )
+    return prepared.groupBy("user_id").applyInPandas(
+        lambda pdf: _ewma_group(pdf, alpha_shift), schema=EWMA_SCHEMA
+    )

@@ -102,3 +102,83 @@ def unigram_lm_scores(
             .alias("avg_lp_e4"),
         )
     )
+
+
+def bigram_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, lp_e4) bigram JOINT log-probability table trained on the
+    corpus: lp_e4 = floor(ln(c(w1,w2) / N) * 1e4) with N = total bigram
+    occurrences — i.e. the unigram model lifted to transition tokens.
+
+    Joint, not conditional, deliberately: a SELF-trained conditional LM
+    p(w2|w1) assigns probability 1 to every transition out of a
+    corpus-unique word, so exactly the rare-token soup the gate must catch
+    scores perfectly (ln 1 = 0). The joint form keeps rare transitions
+    rare regardless of their context's frequency; with an EXTERNAL vocab
+    the conditional form is the better model, and composes from this table
+    plus the unigram one (lp_cond = lp_joint - lp_unigram(w1)).
+
+    The corpus-wide N is an unpartitioned window sum over the bigram TYPE
+    table (Heaps-bounded), same one-pass shape as unigram_vocab above."""
+    tok = df.select(tokens(text_col).alias("__tk")).filter(F.size("__tk") >= 2)
+    big = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("__tk", i).alias("w1"),
+                    F.element_at("__tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    total = F.sum("__c12").over(Window.partitionBy())
+    return counts.select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("__c12").cast("double") / total.cast("double")) * 10000
+        )
+        .cast("long")
+        .alias("__lp_e4"),
+    )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document (n_bigrams, sum_lp_e4, avg_lp_e4) under the
+    corpus-trained bigram LM — the next-order CCNet-style fluency gate
+    above :func:`unigram_lm_scores`: repeated-boilerplate docs score HIGH
+    (their transitions dominate the corpus), rare-transition soup scores
+    LOW. Docs with < 2 tokens carry no transition signal and are dropped.
+
+    Plan: doc bigrams exploded in the scan stage -> broadcast join against
+    the (Heaps-bounded) bigram vocab -> one groupBy(doc). The e4-quantized
+    integers sum exactly; the average is floor() on true division (div
+    truncates toward zero and these sums are negative)."""
+    tok = df.select(F.col(id_col), tokens(text_col).alias("__tk")).filter(
+        F.size("__tk") >= 2
+    )
+    big = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("__tk", i).alias("w1"),
+                    F.element_at("__tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "b.w1", "b.w2")
+    joined = big.join(F.broadcast(bigram_vocab(df, text_col)), ["w1", "w2"])
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lp_e4").alias("sum_lp_e4"),
+        )
+        .withColumn(
+            "avg_lp_e4",
+            F.floor(F.col("sum_lp_e4") / F.col("n_bigrams")).cast("long"),
+        )
+    )

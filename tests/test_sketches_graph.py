@@ -198,3 +198,148 @@ def test_new_ops_have_no_python_udfs(spark):
     ]:
         plan = _physical(catalog.queries()[name](spark, SF_SMOKE))
         assert "EvalPython" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# batch 2: kmv set ops / interval merge / ewma / audio frames
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from bioeco_portal_etl_spark.sketches.kmv import kmv_set_ops
+
+    a = spark.range(0, 30).select(F.col("id").alias("v"))
+    b = spark.range(20, 50).select(F.col("id").alias("v"))
+    [row] = kmv_set_ops(a, b, "v", k=64).collect()
+    # union 50 < k -> exact; intersection 10 of 50 -> exactly 10
+    assert row["est_union"] == 50
+    assert row["est_intersection"] == 10
+
+
+def test_interval_merge_chains_and_touching(spark):
+    from bioeco_portal_etl_spark.operators.intervals import merge_intervals
+
+    rows = [
+        # user 1: [0,10] + [5,20] overlap; [20,30] touches -> one chain
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:00:10", 1),
+        (1, "2024-01-01 00:00:05", "2024-01-01 00:00:20", 2),
+        (1, "2024-01-01 00:00:20", "2024-01-01 00:00:30", 3),
+        # gap -> second chain
+        (1, "2024-01-01 00:01:00", "2024-01-01 00:01:05", 4),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:01", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, s string, e string, id long"
+    ).select(
+        "u",
+        F.to_timestamp("s").alias("s"),
+        F.to_timestamp("e").alias("e"),
+        "id",
+    )
+    out = merge_intervals(df, ["u"], "s", "e", "id").orderBy("u", "merge_start")
+    got = [(r["u"], r["n_intervals"]) for r in out.collect()]
+    assert got == [(1, 3), (1, 1), (2, 1)]
+
+
+def test_ewma_known_trajectory(spark):
+    from bioeco_portal_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:0{i}", i, float(v)) for i, v in enumerate([4, 8, 0])],
+        "u long, ts string, id long, v double",
+    ).select("u", F.to_timestamp("ts").alias("ts"), "id", "v")
+    out = ewma(df, "u", "ts", "id", "v", alpha_shift=2).orderBy("event_id").collect()
+    # e4: s0=40000; s1=40000+(80000-40000)//4=50000; s2=50000+(0-50000)//4=37500
+    assert [r["ewma_e4"] for r in out] == [40000, 50000, 37500]
+
+
+def test_audio_frames_known_payload(spark):
+    from bioeco_portal_etl_spark.multimodal.media import audio_frame_features
+
+    media = spark.createDataFrame(
+        [(1, bytes([64] * 32 + [66] * 5))], "media_id long, payload binary"
+    )
+    out = audio_frame_features(media, frame_bytes=32, max_frames=4).orderBy(
+        "frame_idx"
+    ).collect()
+    assert [(r["frame_idx"], r["n_samples"], r["energy"], r["peak"]) for r in out] == [
+        (0, 32, 0, 0),  # flat frame at the center -> zero energy
+        (1, 5, 20, 2),  # 5 samples of dev 2 -> 5*4
+    ]
+
+
+def test_audio_decode_seam_real_codec(spark):
+    """The decode_fn seam: a real (non-identity) codec decoding s16le
+    little-endian PCM through the same Arrow path."""
+    import struct
+
+    from bioeco_portal_etl_spark.multimodal.media import audio_frame_features
+
+    def s16le(payload: bytes):
+        n = len(payload) // 2
+        return [s // 256 + 64 for s in struct.unpack(f"<{n}h", payload[: 2 * n])]
+
+    pcm = struct.pack("<4h", 0, 256, -256, 512)
+    media = spark.createDataFrame([(7, pcm)], "media_id long, payload binary")
+    [row] = audio_frame_features(
+        media, frame_bytes=4, max_frames=1, decode_fn=s16le
+    ).collect()
+    # samples -> [64, 65, 63, 66]; dev [0,1,-1,2]
+    assert (row["n_samples"], row["energy"], row["peak"]) == (4, 6, 2)
+
+
+# ---------------------------------------------------------------------------
+# batch 3: funnel / temporal split / bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_order(spark):
+    from bioeco_portal_etl_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # user 1 completes a->b->c in order
+        (1, "2024-01-01 00:00:01", "a"),
+        (1, "2024-01-01 00:00:02", "b"),
+        (1, "2024-01-01 00:00:03", "c"),
+        # user 2 has all three but c BEFORE b: funnel stalls at step 2
+        (2, "2024-01-01 00:00:01", "a"),
+        (2, "2024-01-01 00:00:02", "c"),
+        (2, "2024-01-01 00:00:03", "b"),
+        # user 3 never signs up: step 0 even with later events
+        (3, "2024-01-01 00:00:01", "b"),
+        (3, "2024-01-01 00:00:02", "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string, t string").select(
+        "u", F.to_timestamp("ts").alias("ts"), "t"
+    )
+    out = {
+        r["user"]: r["steps_completed"]
+        for r in funnel_steps(df, "u", "ts", "t", ["a", "b", "c"]).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 0}
+
+
+def test_temporal_split_is_suffix_and_sized(spark):
+    from bioeco_portal_etl_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, i, i) for i in range(10)] + [(2, i, i + 100) for i in range(4)],
+        "u long, t long, id long",
+    )
+    out = temporal_split(df, "u", "t", "id", test_pct=20).collect()
+    test_rows = {(r["u"], r["t"]) for r in out if r["split"] == "test"}
+    # user 1: 10 rows -> last 2 are test; user 2: 4 rows -> (4*20)//100 = 0
+    assert test_rows == {(1, 8), (1, 9)}
+
+
+def test_bigram_lm_boilerplate_scores_higher(spark):
+    from bioeco_portal_etl_spark.text.lm import bigram_lm_scores
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [
+        (99, "zephyr quixotic umbrage flotsam")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_lp_e4"] for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    # the repeated template's transitions dominate the corpus -> higher
+    # (less negative) average log-prob than the rare-transition doc
+    assert out[0] > out[99]
