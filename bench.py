@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "rel19_funnel",
     "x15_temporal_split",
     "tx13_bigram_lm",
+    "gr3_khop_reach",
+    "rel20_rolling_distinct",
+    "tx14_readability",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -988,6 +988,9 @@ _GATE_FIRST = [
     "rel19_funnel",
     "x15_temporal_split",
     "tx13_bigram_lm",
+    "gr3_khop_reach",
+    "rel20_rolling_distinct",
+    "tx14_readability",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

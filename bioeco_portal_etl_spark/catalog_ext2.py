@@ -223,7 +223,7 @@ def gr1_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     the ranks bit-identical to the DuckDB unrolled-CTE mirror."""
     from bioeco_portal_etl_spark.graph.pagerank import pagerank
 
-    ranks = pagerank(_co_order_edges(spark, sf), iterations=3, persist_edges=False)
+    ranks = pagerank(_co_order_edges(spark, sf), iterations=3)
     return ranks.orderBy(F.desc("pr_e9"), "node").limit(20)
 
 
@@ -238,19 +238,43 @@ SELECT node, pr_e9 FROM pr3 ORDER BY pr_e9 DESC, node LIMIT 20
 
 def gr2_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Degree-oriented triangle count (graph/triangles.py) over the
-    co-order supplier graph: one row (n_nodes, n_edges, n_wedges,
-    n_triangles); n_wedges witnesses the orientation bound that keeps the
-    wedge join off the curse-of-the-last-reducer path."""
+    co-order supplier graph of the 1%-order slice: one row (n_nodes,
+    n_edges, n_wedges, n_triangles); n_wedges witnesses the orientation
+    bound that keeps the wedge join off the curse-of-the-last-reducer
+    path. The slice is the FIXTURE, not the operator: the synthetic
+    co-order graph is near-complete (avg degree ~0.9|V| at sf0.1), where
+    triangle counting is inherently Θ(E^{3/2}) — ~3*10^8 wedges — so the
+    unsliced run measures the data generator's density, not the plan.
+    The orientation bound is what makes the same plan safe on REAL
+    power-law graphs at 100 TB (Suri & Vassilvitskii 2011)."""
     from bioeco_portal_etl_spark.graph.triangles import triangle_stats
 
-    return triangle_stats(_co_order_edges(spark, sf))
+    li = T(spark, sf, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    src = li.select("l_orderkey", "l_suppkey")
+    a, b = src.alias("a"), src.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    return triangle_stats(edges)
+
+
+_EDGES_1PCT_SQL = """
+SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+WHERE a.l_orderkey % 100 = 0
+"""
 
 
 def _gr2_sql() -> str:
     from bioeco_portal_etl_spark.graph.triangles import duck_triangles
 
     return f"""
-WITH {duck_triangles(_EDGES_SQL)}
+WITH {duck_triangles(_EDGES_1PCT_SQL)}
 SELECT n_nodes, n_edges, n_wedges, n_triangles FROM tri
 """
 
@@ -796,6 +820,170 @@ FROM d ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# gr3 — bounded-hop BFS reach
+# ---------------------------------------------------------------------------
+
+_CHAIN_EDGES_SQL = """
+SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+ AND a.l_suppkey <> b.l_suppkey
+UNION ALL
+SELECT b.l_suppkey AS src, a.l_suppkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+ AND a.l_suppkey <> b.l_suppkey
+"""
+
+
+def gr3_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop minimum-distance reach from flagged suppliers (s_suppkey %
+    17 == 0) over the ADJACENT-line supplier chain graph (sparser than
+    gr1/gr2's full co-order clique, so distances are non-trivial) —
+    graph/bfs.py khop_reach, bounded min-label propagation."""
+    from bioeco_portal_etl_spark.graph.bfs import khop_reach
+
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        T(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 17 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return khop_reach(edges, seeds, k=3).orderBy("dist", "node")
+
+
+def _gr3_sql() -> str:
+    from bioeco_portal_etl_spark.graph.bfs import duck_khop
+
+    return f"""
+WITH RECURSIVE {duck_khop(
+        _CHAIN_EDGES_SQL,
+        "SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 17 = 0",
+        3,
+    )}
+SELECT node, dist FROM reach ORDER BY dist, node
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel20 — rolling distinct count over a trailing window
+# ---------------------------------------------------------------------------
+
+
+def rel20_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct event types in each user's trailing 10 events — the
+    windowed-cardinality telemetry signal (behavioral diversity). Window
+    frames can't host COUNT(DISTINCT) in either engine; both sides use
+    the list-collect + distinct-size formulation over the identical
+    frame. One exchange + one sort."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(
+                F.array_distinct(F.collect_list("event_type").over(w))
+            ).alias("n_distinct_types"),
+        )
+        .orderBy("event_id")
+    )
+
+
+REL20_SQL = """
+SELECT event_id, user_id,
+       len(list_distinct(list(event_type) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS n_distinct_types
+FROM events
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tx14 — readability scoring
+# ---------------------------------------------------------------------------
+
+
+def tx14_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-style readability per document from regex counts alone:
+    words (alnum token runs), sentences ([.!?] runs, min 1), syllables
+    (vowel-group runs, the standard approximation). The score is the
+    literal expression 206.835 - 1.015*(W/S) - 84.6*(Y/W) evaluated in
+    the SAME operation order on both engines (IEEE +-*/ only), then
+    FLOOR-quantized e2 — floor, not round(2): the engines' round()
+    implementations disagree on half-boundary doubles (85.165). Pure
+    scan-stage column algebra — the cheapest quality signal in the text
+    gate family."""
+    d = T(spark, sf, "documents")
+    wc = F.size(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""))
+    sc = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit("[.!?]+")))
+    yc = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    flesch_e2 = F.floor(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (wc / sc)
+            - F.lit(84.6) * (yc / wc)
+        )
+        * 100
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            wc.alias("n_words"),
+            sc.alias("n_sentences"),
+            yc.alias("n_syllables"),
+            F.when(wc > 0, flesch_e2).alias("flesch_e2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _tx14_sql() -> str:
+    from bioeco_portal_etl_spark.text.tokenize import duck_tokens
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({duck_tokens("text")}) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(floor((206.835 - 1.015 * (n_words / n_sentences)
+               - 84.6 * (n_syllables / n_words)) * 100) AS BIGINT)
+       END AS flesch_e2
+FROM base
+ORDER BY doc_id
+"""
+
+
 CATALOG_EXT2: dict = {
     "sk1_kmv_distinct": (sk1_kmv_distinct, _sk1_sql()),
     "sk2_cms_heavy_hitters": (sk2_cms_heavy_hitters, _sk2_sql()),
@@ -815,4 +1003,7 @@ CATALOG_EXT2: dict = {
     "rel19_funnel": (rel19_funnel, REL19_SQL),
     "x15_temporal_split": (x15_temporal_split, X15_SQL),
     "tx13_bigram_lm": (tx13_bigram_lm, _tx13_sql()),
+    "gr3_khop_reach": (gr3_khop_reach, _gr3_sql()),
+    "rel20_rolling_distinct": (rel20_rolling_distinct, REL20_SQL),
+    "tx14_readability": (tx14_readability, _tx14_sql()),
 }

@@ -67,6 +67,11 @@ def pagerank(
     # |V| as a window count — one exchange of the small node table, no
     # crossJoin against a second aggregation subtree.
     nodes = nodes.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    if persist_edges:
+        # every iteration's teleport join re-reads nodes; pin the O(V)
+        # table alongside the edges so reference i doesn't replay the
+        # degree/distinct lineage
+        nodes = nodes.persist()
 
     # integer div, never float `/` + cast: Spark's cast truncates but
     # DuckDB's CAST rounds-to-nearest — `div`/`//` agree on positives.

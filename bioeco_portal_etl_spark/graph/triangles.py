@@ -39,7 +39,11 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     actual intermediate cardinality — the quantity degree orientation
     bounds), so the row doubles as a plan-cost witness.
     """
-    und = _canonical(edges, a, b)
+    # ONE materialization of the canonical edge set: every downstream
+    # branch (degrees, orientation, wedge closure, the count row) re-reads
+    # the cached edges instead of replaying the upstream lineage — without
+    # this the 4-way stats row re-derives the source scan ~12x.
+    und = _canonical(edges, a, b).persist()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select("v"))
@@ -68,15 +72,28 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     e1 = o.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
     e2 = o.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
     wedges = e1.join(e2, "c").filter(F.col("x") < F.col("y"))
-    # close the wedge: the x-y edge exists in the undirected set
-    closed = wedges.join(
-        und.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    # close wedges and count them in the SAME pass: a left semi-ish flag
+    # join against the edge set, then one agg — the expensive E^{3/2}
+    # wedge stream is enumerated exactly once.
+    closed_flag = wedges.join(
+        und.select(
+            F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("__hit")
+        ),
+        ["x", "y"],
+        "left",
+    )
+    # outer coalesce: sum over ZERO wedges (acyclic graph) is null, the
+    # contract (and the oracle's count(*)) says 0
+    wagg = closed_flag.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.coalesce(F.sum(F.coalesce("__hit", F.lit(0))), F.lit(0)).alias(
+            "n_triangles"
+        ),
     )
     return (
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
-        .crossJoin(F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles"))))
+        .crossJoin(F.broadcast(wagg))
     )
 
 
