@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "gr3_khop_reach",
     "rel20_rolling_distinct",
     "tx14_readability",
+    "w8_streaming_anomaly",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -991,6 +991,7 @@ _GATE_FIRST = [
     "gr3_khop_reach",
     "rel20_rolling_distinct",
     "tx14_readability",
+    "w8_streaming_anomaly",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

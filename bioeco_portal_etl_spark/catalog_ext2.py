@@ -984,6 +984,85 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# w8 — streaming rolling z-score anomalies
+# ---------------------------------------------------------------------------
+
+
+def w8_streaming_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming anomaly gate (streaming/anomaly.py streaming_zscore):
+    the streaming face of x13 — applyInPandasWithState ring buffer of the
+    last 10 e2 values per user, availableNow drain. In-trigger iteration
+    is (ts, event_id)-sorted, so a single-batch drain reproduces the
+    batch operator exactly; the oracle is x13's SQL with the z surfaced
+    as floor-e4 (the streaming face avoids round()'s half-boundary
+    divergence entirely)."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming.anomaly import (
+        prepare_event_stream,
+        streaming_zscore,
+    )
+
+    T(spark, sf, "events")  # pins UTC session tz for the epoch math
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(os.path.join(sf, "events.parquet*"))
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+    q = (
+        streaming_zscore(prepare_event_stream(stream))
+        .writeStream.format("memory")
+        .queryName("w8_anomaly_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        ok = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not ok:  # pragma: no cover
+        raise RuntimeError("w8 stream did not drain")
+    return (
+        spark.table("w8_anomaly_mem")
+        .select("event_id", "user_id", "value", "z_e4")
+        .orderBy("event_id")
+    )
+
+
+W8_SQL = """
+WITH q AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2,
+         count(*) OVER w AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s1,
+         sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, value,
+         CAST(floor((v_e2 - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * n))
+              * 10000) AS BIGINT) AS z_e4
+  FROM q
+  WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+)
+SELECT event_id, user_id, value, z_e4
+FROM z WHERE abs(z_e4) > 25000
+ORDER BY event_id
+"""
+
+
 CATALOG_EXT2: dict = {
     "sk1_kmv_distinct": (sk1_kmv_distinct, _sk1_sql()),
     "sk2_cms_heavy_hitters": (sk2_cms_heavy_hitters, _sk2_sql()),
@@ -1006,4 +1085,5 @@ CATALOG_EXT2: dict = {
     "gr3_khop_reach": (gr3_khop_reach, _gr3_sql()),
     "rel20_rolling_distinct": (rel20_rolling_distinct, REL20_SQL),
     "tx14_readability": (tx14_readability, _tx14_sql()),
+    "w8_streaming_anomaly": (w8_streaming_anomaly, W8_SQL),
 }

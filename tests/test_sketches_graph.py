@@ -415,3 +415,44 @@ def test_readability_orders_simple_vs_dense(spark):
             for r in c2.tx14_readability(spark, td).collect()
         }
     assert out[1] > out[2]  # short words/sentences read easier
+
+
+def test_streaming_zscore_state_spans_triggers(spark, tmp_path):
+    """Cross-batch contract: the ring buffer persists in the state store,
+    so an outlier in batch 2 is judged against baseline values from batch
+    1 — with maxFilesPerTrigger=1 forcing separate triggers, the result
+    still equals the batch operator over the in-order concatenation."""
+    import pandas as pd
+
+    from bioeco_portal_etl_spark.streaming.anomaly import streaming_zscore
+
+    base = [(1, i, i, 10.0 + (i % 3)) for i in range(8)]  # t == event_id
+    spike = [(1, 100 + j, 100 + j, v) for j, v in enumerate([400.0, 11.0])]
+    d = tmp_path / "stream"
+    d.mkdir()
+    pd.DataFrame(base, columns=["user_id", "t", "event_id", "value"]).to_parquet(
+        d / "a.parquet"
+    )
+    pd.DataFrame(spike, columns=["user_id", "t", "event_id", "value"]).to_parquet(
+        d / "b.parquet"
+    )
+    stream = (
+        spark.readStream.schema("user_id long, t long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_zscore(stream, window_rows=10, min_rows=5)
+        .writeStream.format("memory")
+        .queryName("w8_test_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.table("w8_test_mem").collect()
+    assert [r["event_id"] for r in rows] == [100]  # only the 400.0 spike
+    assert rows[0]["z_e4"] > 25000
