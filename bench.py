@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "rel20_rolling_distinct",
     "tx14_readability",
     "w8_streaming_anomaly",
+    "rel21_attribution",
+    "rel22_cohort_retention",
+    "rel23_transitions",
+    "tx15_token_entropy",
+    "tx16_pmi_bigrams",
+    "tx17_postings",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -930,12 +930,14 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext2 import CATALOG_EXT2  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext3 import CATALOG_EXT3  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
 _CATALOG.update(CATALOG_EXT2)
+_CATALOG.update(CATALOG_EXT3)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -992,6 +994,12 @@ _GATE_FIRST = [
     "rel20_rolling_distinct",
     "tx14_readability",
     "w8_streaming_anomaly",
+    "rel21_attribution",
+    "rel22_cohort_retention",
+    "rel23_transitions",
+    "tx15_token_entropy",
+    "tx16_pmi_bigrams",
+    "tx17_postings",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

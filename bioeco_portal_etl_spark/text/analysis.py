@@ -323,3 +323,130 @@ def vocab_growth(df, group_col: str, text_col: str, top_k: int = 10):
             " div sum(__tf)"
         ).alias("top_share_e6"),
     )
+
+
+def token_entropy_table(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the token distribution — the
+    repetitiveness/diversity quality axis: template spam and looped decode
+    output sit near 0 bits-equivalent, natural prose near ln(n_types).
+
+    Columns: (id, n_tokens, n_types, entropy_e4) with
+    entropy_e4 = Σ_types floor(1e4 · (tf/n) · ln(n/tf)) — each term is
+    quantized BEFORE the sum (PORTABILITY: integer addition is
+    associative; the per-term floor absorbs libm ln() ulp skew, and
+    tf/n, n/tf are correctly-rounded rational divisions identical in
+    both engines). Zero-token documents are dropped (entropy undefined).
+
+    Plan: explode -> (doc, token) count (the data-sized shuffle,
+    map-side combined) -> per-doc total via a window on the doc hash ->
+    final groupBy on the SAME partitioning (no extra exchange). The
+    token-type table is Heaps-bounded per doc, so the post-explode
+    stages shrink with vocabulary, not corpus size."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tf = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    n = F.sum("__tf").over(Window.partitionBy(id_col))
+    term = tf.select(
+        F.col(id_col),
+        F.col("__tf"),
+        n.alias("__n"),
+        F.floor(
+            (F.col("__tf").cast("double") / n.cast("double"))
+            * F.log(n.cast("double") / F.col("__tf").cast("double"))
+            * 10000
+        )
+        .cast("long")
+        .alias("__term_e4"),
+    )
+    return term.groupBy(id_col).agg(
+        F.max("__n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__term_e4").alias("entropy_e4"),
+    )
+
+
+def pmi_bigrams(df, text_col: str, min_count: int = 5, top_k: int = 100):
+    """Corpus-level PMI-ranked bigram collocations — the co-occurrence
+    weighting step of GloVe/word2vec-style embedding prep and phrase
+    mining (Church & Hanks 1990).
+
+    PMI over the bigram event space: pmi_e4 =
+    floor(1e4 · ln((c12/c1·) · (N/c·2))) where c1· / c·2 are the
+    left/right marginals of the bigram table and N its total mass. The
+    two divisions and one multiply are correctly-rounded IEEE on both
+    engines (and keep intermediates < 2^53 where c12·N would overflow);
+    the e4 floor absorbs ln() ulp skew.
+
+    Plan: one explode of in-scan-stage transition pairs -> (w1,w2) count
+    (map-side combined); marginals are vocab-sized aggregates broadcast
+    back; ranking is orderBy+limit = TakeOrdered (per-partition top-k,
+    no global sort). Ties break on (w1, w2)."""
+    tok = df.select(tokens(text_col).alias("__tk")).filter(F.size("__tk") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("__tk", i).alias("w1"),
+                    F.element_at("__tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    left = c12.groupBy("w1").agg(F.sum("cnt").alias("__c1"))
+    right = c12.groupBy("w2").agg(F.sum("cnt").alias("__c2"))
+    total = c12.agg(F.sum("cnt").alias("__n"))
+    scored = (
+        c12.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.floor(
+                F.log(
+                    (F.col("cnt").cast("double") / F.col("__c1").cast("double"))
+                    * (F.col("__n").cast("double") / F.col("__c2").cast("double"))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("pmi_e4"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_e4"), "w1", "w2").limit(top_k)
+
+
+def postings_table(df, id_col: str, text_col: str, min_df: int = 5):
+    """Inverted-index summary: per token, its document frequency, total
+    term frequency, and the highest-tf posting (the seed of a full
+    posting-list build; capped output keeps the demo deterministic).
+
+    Columns: (token, df_docs, tf_total, top_doc) — top_doc is the doc
+    with max tf, ties to the LOWEST doc id. All integers, engine-exact.
+
+    Plan: explode -> (doc, token) tf aggregate -> ONE token-hash window
+    resolves df/tf-total/top-doc together (no second aggregate + join);
+    posting lists at 100 TB shard by token hash exactly like this."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("__tf"))
+    w = Window.partitionBy("token")
+    rk = Window.partitionBy("token").orderBy(F.desc("__tf"), F.asc(id_col))
+    return (
+        tf.select(
+            "token",
+            F.col(id_col),
+            F.col("__tf"),
+            F.count(F.lit(1)).over(w).alias("df_docs"),
+            F.sum("__tf").over(w).alias("tf_total"),
+            F.row_number().over(rk).alias("__rk"),
+        )
+        .filter((F.col("__rk") == 1) & (F.col("df_docs") >= min_df))
+        .select("token", "df_docs", "tf_total", F.col(id_col).alias("top_doc"))
+    )
