@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "tx15_token_entropy",
     "tx16_pmi_bigrams",
     "tx17_postings",
+    "x16_histogram",
+    "x17_winsorize",
+    "x18_cusum_drift",
+    "sk6_sampled_quantiles",
+    "dq1_profile",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -1000,6 +1000,11 @@ _GATE_FIRST = [
     "tx15_token_entropy",
     "tx16_pmi_bigrams",
     "tx17_postings",
+    "x16_histogram",
+    "x17_winsorize",
+    "x18_cusum_drift",
+    "sk6_sampled_quantiles",
+    "dq1_profile",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

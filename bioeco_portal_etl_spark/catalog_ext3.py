@@ -275,6 +275,230 @@ ORDER BY token
 """
 
 
+
+# ---------------------------------------------------------------------------
+# x16 — equi-width histogram
+# ---------------------------------------------------------------------------
+
+
+def x16_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals (operators/stats.py):
+    one scan + broadcast 1-row bounds, integer bin arithmetic."""
+    from bioeco_portal_etl_spark.operators.stats import equi_width_histogram
+
+    o = T(spark, sf, "orders")
+    return equi_width_histogram(o, "o_totalprice", nbins=20).orderBy("bin")
+
+
+X16_SQL = """
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+binned AS (
+  SELECT least(floor(((v - lo) * 20)::DOUBLE / (hi - lo + 1)), 19)::BIGINT
+           AS bin,
+         lo, hi
+  FROM vals CROSS JOIN bounds
+),
+edged AS (
+  SELECT bin,
+         lo + floor((bin * (hi - lo + 1))::DOUBLE / 20)::BIGINT AS lo_e,
+         lo + floor(((bin + 1) * (hi - lo + 1))::DOUBLE / 20)::BIGINT - 1
+           AS hi_e
+  FROM binned
+)
+SELECT bin, lo_e, hi_e, count(*)::BIGINT AS n_rows
+FROM edged GROUP BY bin, lo_e, hi_e ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# x17 — percentile winsorization
+# ---------------------------------------------------------------------------
+
+
+def x17_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """p5/p95 nearest-rank winsorized price summary per return flag
+    (operators/stats.py): rank selection, not percentile interpolation."""
+    from bioeco_portal_etl_spark.operators.stats import winsorize_stats
+
+    li = T(spark, sf, "lineitem")
+    return winsorize_stats(li, "l_returnflag", "l_extendedprice").orderBy("g")
+
+
+X17_SQL = """
+WITH vals AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM vals
+),
+thresholds AS (
+  SELECT g,
+         max(CASE WHEN rn = floor((5 * n + 99)::DOUBLE / 100)::BIGINT
+                  THEN v END) AS lo_e,
+         max(CASE WHEN rn = floor((95 * n + 99)::DOUBLE / 100)::BIGINT
+                  THEN v END) AS hi_e
+  FROM ranked GROUP BY g
+),
+clamped AS (
+  SELECT vals.g, lo_e, hi_e, greatest(least(v, hi_e), lo_e) AS c
+  FROM vals JOIN thresholds ON thresholds.g = vals.g
+)
+SELECT g, count(*)::BIGINT AS n_rows, any_value(lo_e) AS lo_e,
+       any_value(hi_e) AS hi_e, sum(c)::BIGINT AS win_sum_e,
+       floor(sum(c)::DOUBLE / count(*)::DOUBLE)::BIGINT AS win_mean_e
+FROM clamped GROUP BY g ORDER BY g
+"""
+
+
+# ---------------------------------------------------------------------------
+# x18 — CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_THRESHOLD_E2 = 20000  # 200.00 value-units of accumulated deviation
+
+
+def x18_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user CUSUM drift vs the global value mean (operators/drift.py):
+    broadcast scalar mean + one key-hash cumulative window, all integer."""
+    from bioeco_portal_etl_spark.operators.drift import cusum_drift
+
+    e = T(spark, sf, "events")
+    return cusum_drift(
+        e, "user_id", "ts", "event_id", "value", _CUSUM_THRESHOLD_E2
+    ).orderBy("key")
+
+
+X18_SQL = f"""
+WITH vals AS (
+  SELECT user_id AS key, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+m AS (SELECT (sum(v) // count(*))::BIGINT AS mean_e FROM vals),
+walked AS (
+  SELECT key, event_id,
+         (sum(v - mean_e) OVER (PARTITION BY key ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS s
+  FROM vals CROSS JOIN m
+)
+SELECT key, count(*)::BIGINT AS n_events,
+       max(abs(s))::BIGINT AS max_abs_cusum_e,
+       min(CASE WHEN abs(s) > {_CUSUM_THRESHOLD_E2} THEN event_id END)
+         AS first_cross_id
+FROM walked GROUP BY key ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# sk6 — hash-sampled quantiles
+# ---------------------------------------------------------------------------
+
+
+def sk6_sampled_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p90/p99 order totals per priority from a deterministic 1/8
+    md5 sample (sketches/sampleq.py): scan-stage predicate, rank-exact
+    quantiles on the sampled fraction only."""
+    from bioeco_portal_etl_spark.sketches.sampleq import sampled_quantiles
+
+    o = T(spark, sf, "orders")
+    return sampled_quantiles(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).orderBy("g")
+
+
+def _sk6_sql() -> str:
+    from bioeco_portal_etl_spark.sketches import duck_h60
+
+    h = duck_h60("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH sample AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE ({h}) % 8 = 0
+),
+ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM sample
+)
+SELECT g, max(n)::BIGINT AS n_sample,
+       max(CASE WHEN rn = floor((50 * n + 99)::DOUBLE / 100)::BIGINT
+                THEN v END) AS p50_e,
+       max(CASE WHEN rn = floor((90 * n + 99)::DOUBLE / 100)::BIGINT
+                THEN v END) AS p90_e,
+       max(CASE WHEN rn = floor((99 * n + 99)::DOUBLE / 100)::BIGINT
+                THEN v END) AS p99_e
+FROM ranked GROUP BY g ORDER BY g
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq1 — data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+
+def dq1_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style constraint report over orders (operators/quality.py):
+    seven checks, ONE aggregate pass, long-format (check, value)."""
+    from bioeco_portal_etl_spark.operators.quality import (
+        completeness,
+        profile_checks,
+        uniqueness_gap,
+        violations,
+    )
+
+    o = T(spark, sf, "orders")
+    checks = {
+        "n_rows": F.count(F.lit(1)),
+        "null_custkey": completeness("o_custkey"),
+        "dup_orderkey": uniqueness_gap("o_orderkey"),
+        "bad_status": violations(F.col("o_orderstatus").isin("O", "F", "P")),
+        "nonpositive_total": violations(F.col("o_totalprice") > 0),
+        "bad_priority": violations(F.col("o_orderpriority").rlike(r"^[1-5]-")),
+        "max_date_epochday": F.max(
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        ),
+    }
+    return profile_checks(o, checks)
+
+
+DQ1_SQL = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum((o_custkey IS NULL)::INT)::BIGINT AS null_custkey,
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+           AS dup_orderkey,
+         sum((NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))::INT)
+           ::BIGINT AS bad_status,
+         sum((NOT coalesce(o_totalprice > 0, FALSE))::INT)::BIGINT
+           AS nonpositive_total,
+         sum((NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'),
+                           FALSE))::INT)::BIGINT AS bad_priority,
+         max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           ::BIGINT AS max_date_epochday
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'n_rows' AS "check", n_rows AS value FROM agg
+  UNION ALL SELECT 'null_custkey', null_custkey FROM agg
+  UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM agg
+  UNION ALL SELECT 'bad_status', bad_status FROM agg
+  UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM agg
+  UNION ALL SELECT 'bad_priority', bad_priority FROM agg
+  UNION ALL SELECT 'max_date_epochday', max_date_epochday FROM agg
+) ORDER BY "check"
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -282,4 +506,9 @@ CATALOG_EXT3: dict = {
     "tx15_token_entropy": (tx15_token_entropy, _tx15_sql()),
     "tx16_pmi_bigrams": (tx16_pmi_bigrams, _tx16_sql()),
     "tx17_postings": (tx17_postings, _tx17_sql()),
+    "x16_histogram": (x16_histogram, X16_SQL),
+    "x17_winsorize": (x17_winsorize, X17_SQL),
+    "x18_cusum_drift": (x18_cusum_drift, X18_SQL),
+    "sk6_sampled_quantiles": (sk6_sampled_quantiles, _sk6_sql()),
+    "dq1_profile": (dq1_profile, DQ1_SQL),
 }

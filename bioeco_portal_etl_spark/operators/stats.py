@@ -1,0 +1,137 @@
+"""Distribution statistics over numeric columns at corpus scale:
+equi-width histograms, nearest-rank percentile winsorization, and
+hash-sampled quantiles live in :mod:`sketches.sampleq`.
+
+Everything is fixed-point integer arithmetic (values quantized to
+``scale`` units in the scan stage) so results are engine-exact; rank
+selection uses explicit ``row_number`` ordering instead of
+``percentile_cont`` — interpolation formulas differ across engines, the
+value AT a rank does not (PORTABILITY.md, rel16's convention).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, nbins: int = 20, scale: int = 100
+) -> DataFrame:
+    """Equi-width histogram of ``value_col``: (bin, lo_e, hi_e, n_rows).
+
+    Bounds come from one min/max aggregate broadcast back as a 1-row
+    scalar (no second full scan ordering); the bin index is pure integer
+    arithmetic — ``((v - min) * nbins) div span`` clamped to the last
+    bin — so edge assignment is deterministic on both engines. At 100 TB
+    this is one scan + one tiny aggregate: the per-bin count combine is
+    map-side, the bounds join is a BroadcastNestedLoopJoin of one row."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    vals = df.select(v.alias("__v"))
+    bounds = vals.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo") + 1
+    # floor-division spelled floor(a/b) on doubles — the PORTABILITY
+    # cross-engine spelling (operands here are non-negative longs < 2^53)
+    binned = vals.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                ((F.col("__v") - F.col("__lo")) * nbins).cast("double") / span
+            ),
+            F.lit(nbins - 1).cast("double"),
+        )
+        .cast("long")
+        .alias("bin"),
+        "__lo",
+        "__hi",
+    )
+    edged = binned.select(
+        "bin",
+        (
+            F.col("__lo")
+            + F.floor((F.col("bin") * span).cast("double") / nbins).cast("long")
+        ).alias("lo_e"),
+        (
+            F.col("__lo")
+            + F.floor(((F.col("bin") + 1) * span).cast("double") / nbins).cast(
+                "long"
+            )
+            - 1
+        ).alias("hi_e"),
+    )
+    return edged.groupBy("bin", "lo_e", "hi_e").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: int = 5,
+    p_hi: int = 95,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group winsorized summary: caps values at the nearest-rank
+    ``p_lo``/``p_hi`` percentiles and reports the capped mean — the
+    outlier-robust normalization step before loss-weighting / feature
+    scaling.
+
+    Output: (group, n_rows, lo_e, hi_e, win_sum_e, win_mean_e) — all
+    fixed-point longs. Percentile selection is nearest-rank
+    (k = ceil(p·n/100) via ``(p·n + 99) div 100``): the value AT a rank
+    is deterministic even with duplicate values, immune to the
+    cross-engine interpolation divergence of percentile_cont.
+
+    Plan: ONE group-hash window sort yields ranks; thresholds are the
+    rows at the two ranks, re-joined broadcast (group-cardinality-sized);
+    the clamp + sum is a second pass over the same hash partitioning."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    vals = df.select(F.col(group_col).alias("g"), v.alias("__v"))
+    w = Window.partitionBy("g").orderBy("__v")
+    ranked = vals.select(
+        "g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("__n"),
+    )
+    k_lo = (F.lit(p_lo) * F.col("__n") + 99) / 100
+    k_hi = (F.lit(p_hi) * F.col("__n") + 99) / 100
+    thresholds = (
+        ranked.select(
+            "g",
+            "__v",
+            "__rn",
+            F.floor(k_lo).cast("long").alias("__klo"),
+            F.floor(k_hi).cast("long").alias("__khi"),
+        )
+        .groupBy("g")
+        .agg(
+            F.max(F.when(F.col("__rn") == F.col("__klo"), F.col("__v"))).alias(
+                "lo_e"
+            ),
+            F.max(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias(
+                "hi_e"
+            ),
+        )
+    )
+    clamped = vals.join(F.broadcast(thresholds), "g").select(
+        "g",
+        "lo_e",
+        "hi_e",
+        F.greatest(F.least(F.col("__v"), F.col("hi_e")), F.col("lo_e")).alias(
+            "__c"
+        ),
+    )
+    return clamped.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("lo_e").alias("lo_e"),
+        F.first("hi_e").alias("hi_e"),
+        F.sum("__c").alias("win_sum_e"),
+        F.floor(
+            F.sum("__c").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("win_mean_e"),
+    )
