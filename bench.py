@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "x18_cusum_drift",
     "sk6_sampled_quantiles",
     "dq1_profile",
+    "td10_containment",
+    "w9_streaming_tumbling",
+    "gr4_degree_hist",
+    "x19_group_normalize",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -1005,6 +1005,10 @@ _GATE_FIRST = [
     "x18_cusum_drift",
     "sk6_sampled_quantiles",
     "dq1_profile",
+    "td10_containment",
+    "w9_streaming_tumbling",
+    "gr4_degree_hist",
+    "x19_group_normalize",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

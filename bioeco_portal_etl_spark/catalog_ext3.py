@@ -499,6 +499,192 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# td10 — containment (near-superset) dedupe
+# ---------------------------------------------------------------------------
+
+
+def td10_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment pairs via rare-shingle blocking
+    (text/dedupe.py containment_pairs): catches quote-inclusion pairs
+    whose low Jaccard hides them from td2's minhash bands."""
+    from bioeco_portal_etl_spark.text.dedupe import containment_pairs
+
+    d = T(spark, sf, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _td10_sql() -> str:
+    from bioeco_portal_etl_spark.text.tokenize import duck_shingles, duck_tokens
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingles(duck_tokens("text"), 3)} AS sg
+  FROM (SELECT doc_id, text FROM documents)
+),
+ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+blocked AS (SELECT e.doc_id, e.s FROM ex e JOIN rare r ON r.s = e.s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b ON b.s = a.s AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.sg, y.sg))::BIGINT AS n_common,
+         len(x.sg)::BIGINT AS n_a, len(y.sg)::BIGINT AS n_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_common, n_a, n_b,
+       ((n_common * 10000) // n_a)::BIGINT AS cont_a_e4,
+       ((n_common * 10000) // n_b)::BIGINT AS cont_b_e4
+FROM scored
+WHERE ((n_common * 10000) // n_a) >= 8000
+   OR ((n_common * 10000) // n_b) >= 8000
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# w9 — LIVE streaming tumbling aggregate (append mode)
+# ---------------------------------------------------------------------------
+
+
+def w9_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked streaming face of w1: a REAL readStream tumbling
+    count/sum drained with availableNow into a memory sink in APPEND mode
+    — only windows finalized by the watermark emit, so the result is the
+    batch aggregate minus the trailing watermark horizon (exactly what
+    the oracle computes). The no-data microbatch at drain end advances
+    the watermark to max(ts) - delay, finalizing everything before it;
+    state is one (window, type) row bounded by the horizon, behind the
+    same (window, type) exchange the batch face pays."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming.windows import tumbling_counts
+
+    T(spark, sf, "events")  # pins UTC session tz
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(os.path.join(sf, "events.parquet*"))
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        tumbling_counts(stream)
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+        .writeStream.format("memory")
+        .queryName("w9_tumbling_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        ok = q.awaitTermination(300)
+    finally:
+        q.stop()
+    if not ok:  # pragma: no cover
+        raise RuntimeError("w9 stream did not drain")
+    return spark.table("w9_tumbling_mem").orderBy("window_start", "event_type")
+
+
+W9_SQL = """
+WITH mx AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+FROM events CROSS JOIN mx
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= (SELECT wm FROM mx)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# gr4 — degree distribution
+# ---------------------------------------------------------------------------
+
+def gr4_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """log2-bucketed degree histogram of the customer→order bipartite
+    graph (graph/degrees.py) — the heavy-tail fingerprint that decides
+    skew strategy; integer-exact buckets via binary-string length,
+    vertex-scaled after the first distinct. (The co-order supplier graph
+    is degree-uniform in this corpus — one bucket — so the bipartite
+    graph is the demo with an actual tail.)"""
+    from bioeco_portal_etl_spark.graph.degrees import degree_histogram
+
+    o = T(spark, sf, "orders")
+    edges = o.select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    return degree_histogram(edges).orderBy("bucket")
+
+
+GR4_SQL = """
+WITH deg AS (
+  SELECT src, count(*)::BIGINT AS degree
+  FROM (SELECT DISTINCT o_custkey AS src, o_orderkey AS dst FROM orders)
+  GROUP BY src
+)
+SELECT (length(bin(degree)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_nodes,
+       min(degree) AS min_degree, max(degree) AS max_degree
+FROM deg GROUP BY 1 ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# x19 — per-group z-score normalization
+# ---------------------------------------------------------------------------
+
+
+def x19_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event z-score vs the event-type's global moments
+    (operators/stats.py group_zscore): broadcast moments, div/sqrt/div
+    IEEE chain, output bounded to the first users for the gate."""
+    from bioeco_portal_etl_spark.operators.stats import group_zscore
+
+    e = T(spark, sf, "events").filter(F.col("user_id") < 10)
+    full = T(spark, sf, "events")
+    # moments come from the FULL stream; normalize the bounded slice
+    z = group_zscore(full, "event_type", "value")
+    return (
+        z.filter(F.col("user_id") < 10)
+        .select("event_id", "event_type", "v_e", "z_e4")
+        .orderBy("event_id")
+    )
+
+
+X19_SQL = """
+WITH data AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v_e
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v_e)::BIGINT AS s1,
+         sum(v_e * v_e)::BIGINT AS s2
+  FROM data GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.v_e,
+       CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+         floor((d.v_e::DOUBLE - m.s1::DOUBLE / m.n::DOUBLE)
+               / sqrt((m.n * m.s2 - m.s1 * m.s1)::DOUBLE
+                      / (m.n * m.n)::DOUBLE) * 10000)::BIGINT
+       END AS z_e4
+FROM data d JOIN m ON m.event_type = d.event_type
+WHERE d.user_id < 10
+ORDER BY d.event_id
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -511,4 +697,8 @@ CATALOG_EXT3: dict = {
     "x18_cusum_drift": (x18_cusum_drift, X18_SQL),
     "sk6_sampled_quantiles": (sk6_sampled_quantiles, _sk6_sql()),
     "dq1_profile": (dq1_profile, DQ1_SQL),
+    "td10_containment": (td10_containment, _td10_sql()),
+    "w9_streaming_tumbling": (w9_streaming_tumbling, W9_SQL),
+    "gr4_degree_hist": (gr4_degree_hist, GR4_SQL),
+    "x19_group_normalize": (x19_group_normalize, X19_SQL),
 }

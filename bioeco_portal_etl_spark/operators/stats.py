@@ -135,3 +135,45 @@ def winsorize_stats(
         .cast("long")
         .alias("win_mean_e"),
     )
+
+
+def group_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-row z-score of ``value_col`` against its GROUP's mean/stddev —
+    the feature-normalization step before mixing sources with different
+    value ranges. Output keeps the input's columns plus ``v_e`` (the
+    quantized value) and ``z_e4``; zero-variance groups emit null z.
+
+    Determinism: group moments are exact integer sums (Σv, Σv²); the
+    z chain is div/sqrt/div — every step IEEE-correctly-rounded on both
+    engines (PORTABILITY: + - * / sqrt are safe; no transcendentals) —
+    then floor-e4. Plan: one map-side-combinable moments aggregate,
+    broadcast back (group-cardinality-sized), zero extra shuffles on the
+    data path."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    data = df.withColumn("v_e", v)
+    moments = data.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("v_e").alias("__s1"),
+        F.sum(F.col("v_e") * F.col("v_e")).alias("__s2"),
+    )
+    joined = data.join(F.broadcast(moments), group_col)
+    var_num = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    z = (
+        (
+            F.col("v_e").cast("double")
+            - F.col("__s1").cast("double") / F.col("__n").cast("double")
+        )
+        / F.sqrt(
+            var_num.cast("double")
+            / (F.col("__n") * F.col("__n")).cast("double")
+        )
+    )
+    return joined.withColumn(
+        "z_e4",
+        F.when(var_num > 0, F.floor(z * 10000).cast("long")),
+    ).drop("__n", "__s1", "__s2")

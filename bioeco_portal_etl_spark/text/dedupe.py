@@ -396,3 +396,77 @@ def segment_dedupe(
             ).alias("text_dedup"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A∩B| / |A| (Broder's
+    *containment*, the quote-inclusion / near-superset case that symmetric
+    MinHash-LSH misses by design — a small doc embedded in a big one has
+    high containment but LOW Jaccard, so td2's band buckets never collide).
+
+    Candidates come from RARE-shingle blocking instead of minhash bands:
+    two docs are candidates iff they share a shingle whose document
+    frequency is in [2, ``max_df``]. Stop-shingles (df > max_df) generate
+    quadratic fan-out and near-zero evidence, so they are dropped — the
+    standard prefix/rare-token blocking of set-containment joins; per-
+    shingle join fan-out is bounded by max_df², keeping Σ|block|² linear
+    in the shingle table. The exact |A∩B| then runs on candidates only.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, cont_a_e4, cont_b_e4) for
+    pairs where EITHER direction's containment >= threshold; fixed-point
+    via integer div on non-negative longs (PORTABILITY)."""
+    sh = shingled(df, id_col, text_col, k).persist()
+    ex = sh.select(F.col(id_col).alias("__id"), F.explode("sh").alias("__s"))
+    rare = (
+        ex.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    )
+    blocked = ex.join(rare.select("__s"), "__s")
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias(
+                "n_common"
+            ),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("(n_common * 10000) div n_a").alias("cont_a_e4"),
+            F.expr("(n_common * 10000) div n_b").alias("cont_b_e4"),
+        )
+    )
+    t_e4 = int(threshold * 10000)
+    return scored.filter(
+        (F.col("cont_a_e4") >= t_e4) | (F.col("cont_b_e4") >= t_e4)
+    )
