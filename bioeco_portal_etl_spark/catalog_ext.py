@@ -1975,20 +1975,25 @@ def w5_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(os.path.join(sf, "events.parquet*"))
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
     )
-    q = (
-        streaming_sessionize(stream)
-        .writeStream.format("memory")
-        .queryName("w5_sessions_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        ok = q.awaitTermination(300)
-    finally:
-        q.stop()
-    if not ok:  # pragma: no cover - drain must finish within the timeout
-        raise RuntimeError("w5 stream did not drain")
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    # state-store instance count = shuffle partitions; size to the
+    # drain, scoped + restored (see scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName("w5_sessions_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover - drain must finish within the timeout
+            raise RuntimeError("w5 stream did not drain")
     return spark.table("w5_sessions_mem").orderBy("user_id", "session_start")
 
 
@@ -2042,20 +2047,25 @@ def w6_streaming_dedupe(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("content_hash"),
     )
-    q = (
-        streaming_dedupe(hashed)
-        .writeStream.format("memory")
-        .queryName("w6_dedupe_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        ok = q.awaitTermination(300)
-    finally:
-        q.stop()
-    if not ok:  # pragma: no cover
-        raise RuntimeError("w6 stream did not drain")
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    # state-store instance count = shuffle partitions; size to the
+    # drain, scoped + restored (see scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            streaming_dedupe(hashed)
+            .writeStream.format("memory")
+            .queryName("w6_dedupe_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w6 stream did not drain")
     return (
         spark.table("w6_dedupe_mem")
         .select("doc_id", "content_hash")
@@ -2116,20 +2126,25 @@ def w7_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     j = interval_join(
         errors, clicks, "user_id", "err_ts", "click_ts", -300.0, 300.0
     )
-    q = (
-        j.select("err_id", "user_id", "click_ts", "click_value")
-        .writeStream.format("memory")
-        .queryName("w7_ssjoin_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        ok = q.awaitTermination(300)
-    finally:
-        q.stop()
-    if not ok:  # pragma: no cover
-        raise RuntimeError("w7 stream did not drain")
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    # state-store instance count = shuffle partitions; size to the
+    # drain, scoped + restored (see scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            j.select("err_id", "user_id", "click_ts", "click_value")
+            .writeStream.format("memory")
+            .queryName("w7_ssjoin_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w7 stream did not drain")
     return spark.table("w7_ssjoin_mem").orderBy(
         "err_id", "click_ts", "click_value"
     )

@@ -1018,20 +1018,25 @@ def w8_streaming_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             "value",
         )
     )
-    q = (
-        streaming_zscore(prepare_event_stream(stream))
-        .writeStream.format("memory")
-        .queryName("w8_anomaly_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        ok = q.awaitTermination(300)
-    finally:
-        q.stop()
-    if not ok:  # pragma: no cover
-        raise RuntimeError("w8 stream did not drain")
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    # state-store instance count = shuffle partitions; size to the
+    # drain, scoped + restored (see scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            streaming_zscore(prepare_event_stream(stream))
+            .writeStream.format("memory")
+            .queryName("w8_anomaly_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w8 stream did not drain")
     return (
         spark.table("w8_anomaly_mem")
         .select("event_id", "user_id", "value", "z_e4")

@@ -579,21 +579,26 @@ def w9_streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withWatermark("ts", "2 hours")
     )
-    q = (
-        tumbling_counts(stream)
-        .withColumn("sum_value", F.col("sum_value").cast("double"))
-        .writeStream.format("memory")
-        .queryName("w9_tumbling_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        ok = q.awaitTermination(300)
-    finally:
-        q.stop()
-    if not ok:  # pragma: no cover
-        raise RuntimeError("w9 stream did not drain")
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    # state-store instance count = shuffle partitions; size to the
+    # drain, scoped + restored (see scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            tumbling_counts(stream)
+            .withColumn("sum_value", F.col("sum_value").cast("double"))
+            .writeStream.format("memory")
+            .queryName("w9_tumbling_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w9 stream did not drain")
     return spark.table("w9_tumbling_mem").orderBy("window_start", "event_type")
 
 
