@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "w9_streaming_tumbling",
     "gr4_degree_hist",
     "x19_group_normalize",
+    "rel24_cdc_apply",
+    "tx18_script_detect",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

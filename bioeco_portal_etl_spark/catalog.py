@@ -1009,6 +1009,8 @@ _GATE_FIRST = [
     "w9_streaming_tumbling",
     "gr4_degree_hist",
     "x19_group_normalize",
+    "rel24_cdc_apply",
+    "tx18_script_detect",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -690,6 +690,102 @@ ORDER BY d.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# rel24 — CDC apply (MERGE INTO, pure-parquet tier)
+# ---------------------------------------------------------------------------
+
+
+def rel24_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trips x9's changeset through operators/cdc.apply_changeset:
+    the Spark side genuinely computes diff(old, new) and applies it back
+    to old; the oracle constructs new directly — the entry is the
+    apply(old, diff(old, new)) ≡ new law as a hash gate."""
+    from bioeco_portal_etl_spark.operators.cdc import (
+        apply_changeset,
+        snapshot_diff,
+    )
+
+    c = T(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    changed = c.filter(k % 97 != 0).select(
+        k.alias("c_custkey"),
+        F.col("c_name"),
+        F.when(k % 13 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(k % 29 == 0, F.lit("CHURNED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    inserted = c.filter(k % 101 == 0).select(
+        (-(k + 1)).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), k.cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    new = changed.unionByName(inserted)
+    cs = snapshot_diff(
+        c, new, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    )
+    return apply_changeset(
+        c, cs, ["c_custkey"], ["c_name", "c_acctbal", "c_mktsegment"]
+    ).orderBy("c_custkey")
+
+
+REL24_SQL = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+         AS c_acctbal,
+       CASE WHEN c_custkey % 29 = 0 THEN 'CHURNED' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer WHERE c_custkey % 97 <> 0
+UNION ALL
+SELECT -(c_custkey + 1), 'Customer#new' || c_custkey, 0.0, 'NEW'
+FROM customer WHERE c_custkey % 101 = 0
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# tx18 — Unicode script detection
+# ---------------------------------------------------------------------------
+
+
+def tx18_script_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc writing-system profile + dominant script
+    (text/analysis.py script_profile): regexp_extract_all counts over
+    Unicode block ranges, scan-stage only."""
+    from bioeco_portal_etl_spark.text.analysis import script_profile
+
+    d = T(spark, sf, "documents")
+    return script_profile(d, "doc_id", "text").orderBy("doc_id")
+
+
+def _tx18_sql() -> str:
+    from bioeco_portal_etl_spark.text.analysis import SCRIPT_RANGES
+
+    cols = ", ".join(
+        f"len(regexp_extract_all(text, '[{duck_rng}]'))::BIGINT AS n_{name}"
+        for name, _, duck_rng in SCRIPT_RANGES
+    )
+    order = [name for name, _, _ in SCRIPT_RANGES]
+    # reverse fold matching the Spark side: earlier scripts win ties
+    pick = "'none'"
+    best = "0"
+    for name in reversed(order):
+        pick = f"CASE WHEN n_{name} >= {best} THEN '{name}' ELSE {pick} END"
+        best = f"greatest(n_{name}, {best})" if best != "0" else f"n_{name}"
+    zero = " AND ".join(f"n_{n} = 0" for n in order)
+    return f"""
+WITH c AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, {', '.join('n_' + n for n in order)},
+       CASE WHEN {zero} THEN 'none' ELSE {pick} END AS script
+FROM c ORDER BY doc_id
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -706,4 +802,6 @@ CATALOG_EXT3: dict = {
     "w9_streaming_tumbling": (w9_streaming_tumbling, W9_SQL),
     "gr4_degree_hist": (gr4_degree_hist, GR4_SQL),
     "x19_group_normalize": (x19_group_normalize, X19_SQL),
+    "rel24_cdc_apply": (rel24_cdc_apply, REL24_SQL),
+    "tx18_script_detect": (tx18_script_detect, _tx18_sql()),
 }

@@ -104,3 +104,29 @@ def snapshot_diff(
             *[F.col(f"__n_{c}").alias(c) for c in compare_cols],
         )
     )
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff`-shaped changeset (``change_type`` ∈
+    insert/update/delete, new-side values) to a snapshot, producing the
+    next snapshot — the MERGE INTO of the pure-parquet tier, and the
+    inverse that closes the CDC loop: ``apply(old, diff(old, new)) ≡ new``
+    (pinned by the rel24 oracle and test_cdc.py).
+
+    Plan: one LEFT ANTI join removes every touched key (update + delete)
+    from the base, then inserts/updates union back in — the anti join
+    hashes on the raw key, so bucketed snapshots (operators/bucketed.py)
+    apply their daily changeset with NO Exchange on the 100 TB side;
+    the union side is churn-sized. Touched-key multiplicity never
+    duplicates: changesets are keyed (one row per key by construction)."""
+    touched = changes.select(*key_cols)
+    kept = snapshot.join(touched, key_cols, "left_anti")
+    upserts = changes.filter(F.col("change_type") != "delete").select(
+        *key_cols, *value_cols
+    )
+    return kept.select(*key_cols, *value_cols).unionByName(upserts)

@@ -62,6 +62,50 @@ def _resample_group(pdf):
     )
 
 
+def _resample_batch(pdf):
+    """Vectorized across every complete group in a sorted multi-group
+    batch (operators/grouped_map.py): pure-numpy per-group slices, one
+    output frame per Arrow batch — no per-group pandas construction."""
+    import numpy as np
+    import pandas as pd
+
+    from bioeco_portal_etl_spark.operators.grouped_map import group_bounds
+
+    keys = pdf["user_id"].to_numpy()
+    t_all = pdf["t"].to_numpy(dtype="int64")
+    v_all = pdf["value"].to_numpy(dtype="float64")
+    starts, ends = group_bounds(keys)
+    out_uid, out_ts, out_val = [], [], []
+    for s, e in zip(starts, ends):
+        t, v = t_all[s:e], v_all[s:e]
+        lo = -(-t[0] // HOUR_US)  # ceil-div
+        hi = t[-1] // HOUR_US
+        if hi < lo:
+            continue
+        grid = np.arange(lo, hi + 1, dtype="int64") * HOUR_US
+        i1 = np.searchsorted(t, grid, side="left")
+        i0 = np.searchsorted(t, grid, side="right") - 1
+        t0, t1 = t[i0].astype("float64"), t[i1].astype("float64")
+        v0, v1 = v[i0], v[i1]
+        g = grid.astype("float64")
+        same = t1 == t0
+        dt = np.where(same, 1.0, t1 - t0)
+        # literal oracle expression — see module docstring
+        val = np.where(same, v0, v0 + (v1 - v0) * ((g - t0) / dt))
+        out_uid.append(np.full(len(grid), keys[s], dtype="int64"))
+        out_ts.append(grid)
+        out_val.append(np.floor(val * 10000).astype("int64"))
+    if not out_uid:
+        return pd.DataFrame({"user_id": [], "grid_ts": [], "value_e4": []})
+    return pd.DataFrame(
+        {
+            "user_id": np.concatenate(out_uid),
+            "grid_ts": np.concatenate(out_ts),
+            "value_e4": np.concatenate(out_val),
+        }
+    )
+
+
 def resample_interpolate(
     events: DataFrame, key_col: str, ts_col: str, value_col: str
 ) -> DataFrame:
@@ -69,12 +113,22 @@ def resample_interpolate(
     between a key's first and last event, the linearly interpolated value
     between its bracketing events (exact event hit -> the event's value).
     Input must be unique per (key, ts). Output:
-    (user_id, grid_ts epoch-µs long, value_e4 long)."""
+    (user_id, grid_ts epoch-µs long, value_e4 long).
+
+    Runs on the partition-batched grouped-map tier (grouped_map.py):
+    same hash(key) exchange as applyInPandas, per-group glue amortized
+    across each Arrow batch (measured 6.9s -> see BENCH; arithmetic is
+    byte-identical to the per-group reference kept in
+    ``_resample_group`` and pinned by test)."""
     prepared = events.select(
         F.col(key_col).alias("user_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
         F.col(value_col).cast("double").alias("value"),
     )
-    return prepared.groupBy("user_id").applyInPandas(
-        lambda pdf: _resample_group(pdf), schema=OUT_SCHEMA
+    from bioeco_portal_etl_spark.operators.grouped_map import (
+        map_complete_groups,
+    )
+
+    return map_complete_groups(
+        prepared, "user_id", ["t"], _resample_batch, OUT_SCHEMA
     )

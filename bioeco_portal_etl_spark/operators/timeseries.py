@@ -113,6 +113,41 @@ def ewma(
         F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("t"),
         F.floor(F.col(value_col) * 10000).cast("long").alias("v_e4"),
     )
-    return prepared.groupBy("user_id").applyInPandas(
-        lambda pdf: _ewma_group(pdf, alpha_shift), schema=EWMA_SCHEMA
+    from bioeco_portal_etl_spark.operators.grouped_map import (
+        map_complete_groups,
+    )
+
+    def batch(pdf):
+        return _ewma_batch(pdf, alpha_shift)
+
+    # partition-batched tier (grouped_map.py): one Python call per Arrow
+    # batch instead of per key; the sequential recurrence runs as ONE row
+    # loop with state reset at group boundaries — trajectory identical to
+    # the per-group reference (_ewma_group, pinned by test)
+    return map_complete_groups(
+        prepared, "user_id", ["t", "event_id"], batch, EWMA_SCHEMA
+    )
+
+
+def _ewma_batch(pdf, shift: int):
+    import pandas as pd
+
+    keys = pdf["user_id"].to_numpy()
+    vs = pdf["v_e4"].to_numpy()
+    out = [0] * len(vs)
+    s = 0
+    prev = None
+    for i in range(len(vs)):
+        k = keys[i]
+        v = int(vs[i])
+        if k != prev:
+            s = v
+            prev = k
+        else:
+            # integer EWMA, alpha = 2^-shift: Python // floors (DuckDB
+            # oracle spells floor(delta / 4.0) — see ewma docstring)
+            s = s + (v - s) // (1 << shift)
+        out[i] = s
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_e4": out}
     )

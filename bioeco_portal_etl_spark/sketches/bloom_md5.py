@@ -28,23 +28,25 @@ from bioeco_portal_etl_spark.sketches import h60
 WORD_BITS = 60
 
 
-def _positions(c: Column, m_bits: int, k: int) -> Column:
-    h1 = h60(c)
-    h2 = h60(F.concat(F.lit("b2:"), c))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(h1 + i * h2, F.lit(m_bits)),
-    )
-
-
 def bloom_build_md5(
     history: DataFrame, key_col: Column | str, m_bits: int, k: int
 ) -> DataFrame:
     """(word, bits) bitset over the history keys: one scan, map-side
     bit_or combine, <= ceil(m_bits/60) rows out of the shuffle."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
+    # h1/h2 materialized as named columns: referencing them from inside
+    # the transform() lambda would re-run the md5 chain per array element
+    # (k times) — the CollapseProject trap (see cms_build)
     pos = history.select(
-        F.explode(_positions(c.cast("string"), m_bits, k)).alias("pos")
+        h60(c.cast("string")).alias("__h1"),
+        h60(F.concat(F.lit("b2:"), c.cast("string"))).alias("__h2"),
+    ).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(F.col("__h1") + i * F.col("__h2"), F.lit(m_bits)),
+            )
+        ).alias("pos")
     )
     return (
         pos.select(
@@ -68,7 +70,19 @@ def bloom_contains_md5(
     The word table broadcasts (bounded by m_bits/60 rows); the only
     shuffle is the groupBy collapsing the k probes per batch row."""
     keyed = batch.select(
-        key_col, F.explode(_positions(F.col(key_col).cast("string"), m_bits, k)).alias("pos")
+        key_col,
+        h60(F.col(key_col).cast("string")).alias("__h1"),
+        h60(F.concat(F.lit("b2:"), F.col(key_col).cast("string"))).alias(
+            "__h2"
+        ),
+    ).select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(F.col("__h1") + i * F.col("__h2"), F.lit(m_bits)),
+            )
+        ).alias("pos"),
     ).select(
         key_col,
         F.expr(f"pos div {WORD_BITS}").alias("word"),

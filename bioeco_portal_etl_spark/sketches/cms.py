@@ -44,7 +44,11 @@ def cms_build(
     if not 1 <= d <= len(PERM_A):
         raise ValueError(f"d must be in [1, {len(PERM_A)}], got {d}")
     k = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = h60(k.cast("string"))
+    # materialize the md5 base hash as a NAMED column before fanning out
+    # to d buckets: inlining h60 into the array would re-evaluate the
+    # md5+conv chain d times per row (the shingled() CollapseProject
+    # trap)
+    h = F.col("__h")
     rows = F.array(
         *[
             F.struct(F.lit(j).alias("row"), _bucket(h, j, w).alias("bucket"))
@@ -52,7 +56,8 @@ def cms_build(
         ]
     )
     return (
-        df.select(F.explode(rows).alias("rb"))
+        df.select(h60(k.cast("string")).alias("__h"))
+        .select(F.explode(rows).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -65,15 +70,22 @@ def cms_estimate(
     cells the key hashes to. ``grid`` is broadcast (<= d*w rows by
     construction); the only shuffle is the tiny groupBy over ``keys``."""
     k = F.col(key_col)
-    h = h60(k.cast("string"))
+    # same named-column materialization as cms_build (one md5 per key)
+    h = F.col("__h")
     rows = F.array(
         *[
             F.struct(F.lit(j).alias("row"), _bucket(h, j, w).alias("bucket"))
             for j in range(d)
         ]
     )
-    probes = keys.select(key_col, F.explode(rows).alias("rb")).select(
-        key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    probes = (
+        keys.select(key_col, h60(k.cast("string")).alias("__h"))
+        .select(key_col, F.explode(rows).alias("rb"))
+        .select(
+            key_col,
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
     )
     return (
         probes.join(F.broadcast(grid), ["row", "bucket"], "left")

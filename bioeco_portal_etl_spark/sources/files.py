@@ -68,6 +68,18 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the second columnar lake format next to parquet
+    (SURVEY.md §2.1 extension). Same pushdown properties as the parquet
+    scans: predicate pushdown + column pruning reach the ORC reader
+    (ORC holds min/max stripe statistics like parquet row groups), so a
+    filtered 2-column projection over a 100 TB ORC lake reads stripes
+    and columns, not files. ``columns`` prunes eagerly at the API edge
+    for callers that know their projection."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def read_excel(spark: SparkSession, path: str, sheet: int = 0) -> DataFrame:
     """S4: Excel scan (reference read.xlsx, notebooks/index.Rmd:135,547).
     Driver-side by design — xlsx files are dimension-scale configuration

