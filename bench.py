@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "x19_group_normalize",
     "rel24_cdc_apply",
     "tx18_script_detect",
+    "tx19_boilerplate",
+    "gr5_node_similarity",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the
@@ -142,6 +144,18 @@ def main() -> None:
     qmap = catalog.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
 
+    # Fixed CPU-bound calibration, timed with the same protocol: a pure
+    # codegen aggregate over a literal range, no I/O, no data dependence.
+    # Cross-round comparisons divide by this — the box's effective speed
+    # varies run-to-run (host contention / frequency scaling; a uniform
+    # 1.4x swing across byte-identical queries was measured in round 4),
+    # and the calibration row lets a reader separate machine drift from
+    # code drift.
+    def _calibration():
+        return spark.range(1_500_000_000).selectExpr(
+            "sum(id * 3 + 1) AS s", "count(*) AS n"
+        )
+
     # Steady-state protocol: one untimed warm-up pass per query (parquet
     # footers, broadcast relations, codegen JIT), then MIN of three timed
     # passes. Min-of-3 (raised from 2 in round 4) is the noise methodology:
@@ -152,6 +166,13 @@ def main() -> None:
     # measures operator throughput, not JVM warmup.
     for name in names:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    _calibration().write.format("noop").mode("overwrite").save()
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration().write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - t0)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -174,6 +195,9 @@ def main() -> None:
                 "sf": sf,
                 # cross-round comparable subset (see STABLE_26 above)
                 "stable26_sec": stable26,
+                # machine-speed yardstick (see _calibration) — divide the
+                # stable26/total numbers by this before cross-round compare
+                "calibration_sec": round(calib, 3),
                 "n_queries": len(timings),
             }
         )

@@ -1011,6 +1011,8 @@ _GATE_FIRST = [
     "x19_group_normalize",
     "rel24_cdc_apply",
     "tx18_script_detect",
+    "tx19_boilerplate",
+    "gr5_node_similarity",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -525,11 +525,26 @@ WITH sh AS (
   FROM (SELECT doc_id, text FROM documents)
 ),
 ex AS (SELECT doc_id, unnest(sg) AS s FROM sh),
-rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
-blocked AS (SELECT e.doc_id, e.s FROM ex e JOIN rare r ON r.s = e.s),
+dfreq AS (SELECT s, count(*)::BIGINT AS df FROM ex GROUP BY s),
+ranked AS (
+  SELECT e.doc_id, e.s, d.df,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rk,
+         count(*) OVER (PARTITION BY e.doc_id) AS n
+  FROM ex e JOIN dfreq d ON d.s = e.s
+),
+prefix AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rk <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+    AND df BETWEEN 2 AND 1000
+),
+probe AS (
+  SELECT e.doc_id, e.s FROM ex e JOIN dfreq d ON d.s = e.s
+  WHERE d.df <= 1000
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM blocked a JOIN blocked b ON b.s = a.s AND a.doc_id < b.doc_id
+  SELECT DISTINCT least(p.doc_id, q.doc_id) AS id_a,
+                  greatest(p.doc_id, q.doc_id) AS id_b
+  FROM prefix p JOIN probe q ON q.s = p.s AND q.doc_id <> p.doc_id
 ),
 scored AS (
   SELECT c.id_a, c.id_b,
@@ -786,6 +801,93 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# tx19 — boilerplate n-gram coverage
+# ---------------------------------------------------------------------------
+
+
+def tx19_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-contamination coverage per doc (text/analysis.py
+    boilerplate_coverage): occurrence shingles vs the corpus shingle-df
+    table, joined on the posting shard key."""
+    from bioeco_portal_etl_spark.text.analysis import boilerplate_coverage
+
+    d = T(spark, sf, "documents")
+    return boilerplate_coverage(d, "doc_id", "text").orderBy("doc_id")
+
+
+def _tx19_sql() -> str:
+    from bioeco_portal_etl_spark.text.tokenize import duck_shingles, duck_tokens
+
+    return f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest({duck_shingles(duck_tokens("text"), 3, distinct=False)}) AS s
+  FROM documents
+),
+dfreq AS (
+  SELECT s, count(*)::BIGINT AS docs
+  FROM (SELECT DISTINCT doc_id, s FROM occ) GROUP BY s
+)
+SELECT o.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum((d.docs > 3)::INT)::BIGINT AS n_boiler,
+       ((10000 * sum((d.docs > 3)::INT)) // count(*))::BIGINT AS coverage_e4
+FROM occ o JOIN dfreq d ON d.s = o.s
+GROUP BY o.doc_id ORDER BY o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# gr5 — co-purchase neighborhood similarity
+# ---------------------------------------------------------------------------
+
+
+def gr5_node_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer co-purchase similarity (graph/similarity.py node_jaccard):
+    neighbor-bounded self-join with a hub-degree guard; top-100 pairs."""
+    from bioeco_portal_etl_spark.graph.similarity import node_jaccard
+
+    o = T(spark, sf, "orders")
+    li = T(spark, sf, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+    )
+    return (
+        node_jaccard(edges, min_common=2, max_item_degree=64)
+        .orderBy(F.desc("jaccard_e4"), "src_a", "src_b")
+        .limit(100)
+    )
+
+
+GR5_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+idf AS (SELECT dst, count(*)::BIGINT AS idf FROM e GROUP BY dst),
+pruned AS (SELECT e.src, e.dst FROM e JOIN idf ON idf.dst = e.dst
+           WHERE idf.idf <= 64),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_common
+  FROM pruned a JOIN pruned b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src HAVING count(*) >= 2
+)
+SELECT p.src_a, p.src_b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       ((10000 * p.n_common) // (da.deg + db.deg - p.n_common))::BIGINT
+         AS jaccard_e4
+FROM pairs p
+JOIN deg da ON da.src = p.src_a
+JOIN deg db ON db.src = p.src_b
+ORDER BY jaccard_e4 DESC, p.src_a, p.src_b
+LIMIT 100
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -804,4 +906,6 @@ CATALOG_EXT3: dict = {
     "x19_group_normalize": (x19_group_normalize, X19_SQL),
     "rel24_cdc_apply": (rel24_cdc_apply, REL24_SQL),
     "tx18_script_detect": (tx18_script_detect, _tx18_sql()),
+    "tx19_boilerplate": (tx19_boilerplate, _tx19_sql()),
+    "gr5_node_similarity": (gr5_node_similarity, GR5_SQL),
 }

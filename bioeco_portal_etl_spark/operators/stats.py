@@ -84,37 +84,38 @@ def winsorize_stats(
     is deterministic even with duplicate values, immune to the
     cross-engine interpolation divergence of percentile_cont.
 
-    Plan: ONE group-hash window sort yields ranks; thresholds are the
-    rows at the two ranks, re-joined broadcast (group-cardinality-sized);
-    the clamp + sum is a second pass over the same hash partitioning."""
+    Plan: FREQUENCY-TABLE rank selection, not a per-group row sort. A
+    ``row_number`` over (group ORDER BY value) hashes every row of a
+    group into ONE task — with low group cardinality (the common case:
+    a handful of return flags over 100 TB of rows) that is a
+    parallelism-3 sort no cluster size can speed up. Instead: pass 1
+    reduces rows to the per-(group, value) count table (map-side
+    combined, bounded by DISTINCT values — cents quantization bounds it
+    by the value range, not the row count); the rank scan is a window
+    over THAT table (the 10.7x probe ratio came from sorting rows; the
+    frequency table is ~50x smaller here and range-bounded at any
+    scale); thresholds re-join broadcast; the clamp + sum is a second
+    pass over the original hash partitioning."""
     v = F.floor(F.col(value_col) * scale).cast("long")
     vals = df.select(F.col(group_col).alias("g"), v.alias("__v"))
-    w = Window.partitionBy("g").orderBy("__v")
-    ranked = vals.select(
+    freq = vals.groupBy("g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
         "g",
         "__v",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("__n"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("g")).alias("__n"),
     )
-    k_lo = (F.lit(p_lo) * F.col("__n") + 99) / 100
-    k_hi = (F.lit(p_hi) * F.col("__n") + 99) / 100
-    thresholds = (
-        ranked.select(
-            "g",
-            "__v",
-            "__rn",
-            F.floor(k_lo).cast("long").alias("__klo"),
-            F.floor(k_hi).cast("long").alias("__khi"),
-        )
-        .groupBy("g")
-        .agg(
-            F.max(F.when(F.col("__rn") == F.col("__klo"), F.col("__v"))).alias(
-                "lo_e"
-            ),
-            F.max(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias(
-                "hi_e"
-            ),
-        )
+    k_lo = F.floor((F.lit(p_lo) * F.col("__n") + 99) / 100).cast("long")
+    k_hi = F.floor((F.lit(p_hi) * F.col("__n") + 99) / 100).cast("long")
+    # nearest-rank value = smallest v whose cumulative count reaches k
+    thresholds = cum.groupBy("g").agg(
+        F.min(F.when(F.col("__cum") >= k_lo, F.col("__v"))).alias("lo_e"),
+        F.min(F.when(F.col("__cum") >= k_hi, F.col("__v"))).alias("hi_e"),
     )
     clamped = vals.join(F.broadcast(thresholds), "g").select(
         "g",

@@ -44,12 +44,21 @@ def sampled_quantiles(
     sample = df.filter(keep).select(
         F.col(group_col).alias("g"), v.alias("__v")
     )
-    w = Window.partitionBy("g").orderBy("__v")
-    ranked = sample.select(
+    # frequency-table rank selection (same plan rationale as
+    # operators/stats.winsorize_stats): the window runs over the
+    # per-(group, value) count table — distinct-value-bounded — never a
+    # per-group sort of the sampled rows themselves
+    freq = sample.groupBy("g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.select(
         "g",
         "__v",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("__n"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("g")).alias("__n"),
     )
     aggs = [F.max("__n").alias("n_sample")]
     for q in qs:
@@ -57,6 +66,6 @@ def sampled_quantiles(
             (F.lit(q) * F.col("__n") + 99).cast("double") / 100
         ).cast("long")
         aggs.append(
-            F.max(F.when(F.col("__rn") == k, F.col("__v"))).alias(f"p{q}_e")
+            F.min(F.when(F.col("__cum") >= k, F.col("__v"))).alias(f"p{q}_e")
         )
-    return ranked.groupBy("g").agg(*aggs)
+    return cum.groupBy("g").agg(*aggs)

@@ -495,3 +495,45 @@ def script_profile(df, id_col: str, text_col: str):
         z = F.col(f"n_{name}") == 0
         zero = z if zero is None else (zero & z)
     return out.withColumn("script", F.when(zero, F.lit("none")).otherwise(best))
+
+
+def boilerplate_coverage(df, id_col: str, text_col: str, k: int = 3, min_docs: int = 3):
+    """Per-doc boilerplate coverage: the fraction of a document's k-shingle
+    OCCURRENCES that also appear in >= ``min_docs`` other documents — the
+    RefinedWeb/Gopher-style template-contamination signal (a page whose
+    text is mostly site-chrome shows high coverage even when no single
+    duplicate pair exists).
+
+    Columns: (id, n_shingles, n_boiler, coverage_e4) — integer counts,
+    coverage = floor(1e4·n_boiler/n_shingles) via the div spelling on
+    non-negative longs.
+
+    Plan: shingles with MULTIPLICITY (occurrences, not the set) explode
+    once; the shingle->doc-frequency table is vocab-bounded and joins
+    back BROADCAST-free as a plain key join on the shingle hash (the df
+    table is Heaps-bounded but can exceed broadcast size at 100 TB —
+    the equi-join co-partitions on the shingle, which is the posting
+    shard key anyway)."""
+    from bioeco_portal_etl_spark.text.tokenize import shingles, tokens
+
+    tok = df.select(F.col(id_col), tokens(text_col).alias("__tok")).filter(
+        F.size("__tok") >= k
+    )
+    occ = tok.select(
+        F.col(id_col),
+        F.explode(shingles(F.col("__tok"), k, distinct=False)).alias("__s"),
+    )
+    dfreq = (
+        occ.select(F.col(id_col), F.col("__s")).distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+    )
+    joined = occ.join(dfreq, "__s").select(
+        F.col(id_col),
+        (F.col("__docs") > min_docs).cast("long").alias("__b"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("__b").alias("n_boiler"),
+        F.expr("(10000 * sum(__b)) div count(*)").alias("coverage_e4"),
+    )

@@ -404,41 +404,68 @@ def containment_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
-    max_df: int = 20,
+    max_df: int = 1000,
+    stage_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: |A∩B| / |A| (Broder's
     *containment*, the quote-inclusion / near-superset case that symmetric
     MinHash-LSH misses by design — a small doc embedded in a big one has
     high containment but LOW Jaccard, so td2's band buckets never collide).
 
-    Candidates come from RARE-shingle blocking instead of minhash bands:
-    two docs are candidates iff they share a shingle whose document
-    frequency is in [2, ``max_df``]. Stop-shingles (df > max_df) generate
-    quadratic fan-out and near-zero evidence, so they are dropped — the
-    standard prefix/rare-token blocking of set-containment joins; per-
-    shingle join fan-out is bounded by max_df², keeping Σ|block|² linear
-    in the shingle table. The exact |A∩B| then runs on candidates only.
+    Candidate generation is PREFIX FILTERING (the PPJoin/AllPairs family,
+    Bayardo et al. WWW'07, adapted to containment): order each doc's
+    shingles by global rarity (df asc, shingle asc — one canonical order
+    everywhere) and index only the first ``floor((1-t)·|A|) + 1`` of them.
+    If a pair shares NO shingle in either side's prefix, one side must
+    miss more than ``(1-t)`` of the other's set — it cannot reach the
+    threshold, so prefix∩ = ∅ proves non-candidacy. Measured at sf0.1:
+    naive rare-shingle blocking generated 1.12 M candidates for 256 true
+    pairs; the prefix index generates the candidates actually worth
+    scoring. df=1 shingles can never match (still counted in |A| — they
+    are guaranteed misses, correctly consuming the miss budget);
+    ``max_df`` guards the degenerate stop-shingle tail.
+
+    The exact |A∩B| then runs on candidates only (array_intersect over
+    the persisted shingle arrays).
 
     Output: (id_a, id_b, n_common, n_a, n_b, cont_a_e4, cont_b_e4) for
     pairs where EITHER direction's containment >= threshold; fixed-point
     via integer div on non-negative longs (PORTABILITY)."""
+    from pyspark.sql import Window
+
+    # same persisted-stage + caller-unpersist convention as
+    # ngram_jaccard_pairs (stage_handles docstring there)
     sh = shingled(df, id_col, text_col, k).persist()
+    if stage_handles is not None:
+        stage_handles.append(sh)
     ex = sh.select(F.col(id_col).alias("__id"), F.explode("sh").alias("__s"))
-    rare = (
-        ex.groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+    dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    exf = ex.join(dfreq, "__s")
+    # canonical rarity order per doc; |A| counts ALL shingles
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    nw = Window.partitionBy("__id")
+    ranked = exf.select(
+        "__id",
+        "__s",
+        "__df",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(nw).alias("__n"),
     )
-    blocked = ex.join(rare.select("__s"), "__s")
+    miss_budget = F.floor((1.0 - threshold) * F.col("__n")).cast("long")
+    prefix = ranked.filter(
+        (F.col("__rk") <= miss_budget + 1)
+        & (F.col("__df") >= 2)
+        & (F.col("__df") <= max_df)
+    ).select("__id", "__s")
+    probe = exf.filter(F.col("__df") <= max_df).select(
+        F.col("__id").alias("__id2"), "__s"
+    )
     cand = (
-        blocked.alias("a")
-        .join(
-            blocked.alias("b"),
-            (F.col("a.__s") == F.col("b.__s"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+        prefix.join(probe, "__s")
+        .filter(F.col("__id") != F.col("__id2"))
         .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            F.least("__id", "__id2").alias("id_a"),
+            F.greatest("__id", "__id2").alias("id_b"),
         )
         .distinct()
     )

@@ -47,6 +47,28 @@ from bioeco_portal_etl_spark.graph.triangles import triangle_stats  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import rolling_zscore  # noqa: E402
 from bioeco_portal_etl_spark.operators.sampling import priority_sample  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import vocab_growth  # noqa: E402
+from bioeco_portal_etl_spark.operators.attribution import (  # noqa: E402
+    attribute_conversions,
+)
+from bioeco_portal_etl_spark.operators.stats import winsorize_stats  # noqa: E402
+from bioeco_portal_etl_spark.operators.resample import resample_interpolate  # noqa: E402
+from bioeco_portal_etl_spark.operators.timeseries import ewma  # noqa: E402
+from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
+    pmi_bigrams,
+    postings_table,
+    token_entropy_table,
+)
+from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
+    containment_pairs,
+    exact_dedupe,
+)
+
+
+def _exact_canonical(d):
+    """Exact-dup pre-collapse: keep one doc per content hash (the step a
+    curation pipeline always runs before any near-dup stage)."""
+    keep = exact_dedupe(d, "doc_id", "text").filter(~F.col("is_duplicate"))
+    return d.join(keep.select("doc_id"), "doc_id")
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -277,6 +299,69 @@ def main() -> None:
             lambda s: vocab_growth(
                 docs if s == 1 else scaled(docs, s, ["doc_id"]),
                 "source", "text",
+            )
+        ),
+        # round-4 continued: one window pass over the scaled stream
+        "attribution": (
+            lambda s: attribute_conversions(
+                events if s == 1 else scaled(events, s, ["user_id"]),
+                "user_id", "ts", "event_type", "value", "purchase",
+            )
+        ),
+        # explode-heavy corpus stats: post-explode stages are
+        # vocab/type-bounded, the scan is the cost
+        "token_entropy": (
+            lambda s: token_entropy_table(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id", "text",
+            )
+        ),
+        "pmi_bigrams": (
+            lambda s: pmi_bigrams(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]), "text"
+            )
+        ),
+        "postings": (
+            lambda s: postings_table(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id", "text",
+            )
+        ),
+        # two-pass rank selection: the window sort is the data-sized cost
+        "winsorize": (
+            lambda s: winsorize_stats(
+                li if s == 1 else scaled(li, s, ["l_orderkey"]),
+                "l_returnflag", "l_extendedprice",
+            )
+        ),
+        # containment's OUTPUT is quadratic in the duplication factor (a
+        # text with c exact copies owns c*(c-1)/2 true 100%-containment
+        # pairs — no candidate scheme avoids emitting real pairs), so the
+        # raw op probes superlinear on this repeat-text fixture (13.8x
+        # measured). The production composition collapses exact dups
+        # FIRST (content-hash, one window) and runs containment on the
+        # canonical docs only — which is what this case probes.
+        "containment_deduped": (
+            lambda s: containment_pairs(
+                _exact_canonical(
+                    docs if s == 1 else scaled(docs, s, ["doc_id"])
+                ),
+                "doc_id", "text",
+            )
+        ),
+        # partition-batched grouped-map tier (grouped_map.py): glue is
+        # per-Arrow-batch, so the ratio should track row count, not
+        # group count
+        "resample_batched": (
+            lambda s: resample_interpolate(
+                events if s == 1 else scaled(events, s, ["user_id"]),
+                "user_id", "ts", "value",
+            )
+        ),
+        "ewma_batched": (
+            lambda s: ewma(
+                events if s == 1 else scaled(events, s, ["user_id"]),
+                "user_id", "ts", "event_id", "value",
             )
         ),
     }

@@ -69,3 +69,37 @@ def test_postings_tf_tie_breaks_to_lowest_doc(spark):
     rows = [(2, "z z"), (1, "z z"), (3, "z")]
     out = postings_table(_docs(spark, rows), "doc_id", "text", min_df=1).collect()
     assert len(out) == 1 and out[0]["top_doc"] == 1
+
+
+def test_boilerplate_coverage_flags_template(spark):
+    from bioeco_portal_etl_spark.text.analysis import boilerplate_coverage
+
+    template = "all rights reserved contact us today"
+    rows = [(i, f"{template} unique{i} body{i} text{i}") for i in range(5)]
+    rows.append((99, "completely original document body here"))
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_coverage(df, "doc_id", "text", min_docs=3).collect()
+    }
+    # the template's shingles appear in 5 docs (> 3): flagged as boiler
+    assert out[0]["n_boiler"] >= 4
+    assert out[0]["coverage_e4"] > 0
+    assert out[99]["n_boiler"] == 0 and out[99]["coverage_e4"] == 0
+
+
+def test_node_jaccard_hub_guard_and_score(spark):
+    from bioeco_portal_etl_spark.graph.similarity import node_jaccard
+
+    # customers 1,2 share items 10,11; item 99 is a hub everyone buys
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 10), (2, 11), (2, 99), (3, 99), (4, 99)],
+        "src long, dst long",
+    )
+    out = node_jaccard(edges, min_common=2, max_item_degree=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == (1, 2)
+    # common counted over NON-hub items only (99 pruned): 2 of union 4
+    assert r["n_common"] == 2 and r["deg_a"] == 3 and r["deg_b"] == 3
+    assert r["jaccard_e4"] == 5000
