@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "tx18_script_detect",
     "tx19_boilerplate",
     "gr5_node_similarity",
+    "mm5_scene_cuts",
+    "ts8_mmr_rerank",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

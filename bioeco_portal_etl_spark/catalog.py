@@ -1013,6 +1013,8 @@ _GATE_FIRST = [
     "tx18_script_detect",
     "tx19_boilerplate",
     "gr5_node_similarity",
+    "mm5_scene_cuts",
+    "ts8_mmr_rerank",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -888,6 +888,143 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# mm5 — video scene-cut detection
+# ---------------------------------------------------------------------------
+
+
+def mm5_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary flags over the payload as u8 frames
+    (multimodal/media.py scene_cuts): per-frame integer mean + lag
+    delta, mapInPandas, first 8 frames of 64 bytes."""
+    from bioeco_portal_etl_spark.multimodal.media import (
+        attach_payload,
+        scene_cuts,
+    )
+
+    d = T(spark, sf, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    return scene_cuts(media, frame_bytes=64, threshold=8, max_frames=8).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+MM5_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, least(8, (length(text) + 63) // 64))) AS frame_idx,
+         text
+  FROM documents
+),
+m AS (
+  SELECT media_id, frame_idx,
+         (list_sum(list_transform(
+            range(1, length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) + 1),
+            j -> unicode(substr(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64), CAST(j AS INT), 1))
+          )) // length(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)))::BIGINT
+           AS mean_u8
+  FROM f
+),
+lagged AS (
+  SELECT media_id, frame_idx, mean_u8,
+         lag(mean_u8) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+  FROM m
+)
+SELECT media_id, frame_idx, mean_u8,
+       coalesce(abs(mean_u8 - prev) > 8, FALSE) AS is_cut
+FROM lagged ORDER BY media_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts8 — MMR diversified re-rank
+# ---------------------------------------------------------------------------
+
+
+def ts8_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy MMR top-5 from a 20-candidate JVM shortlist per query
+    (similarity/rerank.py): the diversity stage after ANN retrieval,
+    sequential per query, grouped-map tier over shortlist-sized data."""
+    from bioeco_portal_etl_spark.similarity.rerank import mmr_rerank
+
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return mmr_rerank(
+        e, q, "embedding", "vec_id", k_shortlist=20, k_select=5
+    ).orderBy("query_id", "sel_rank")
+
+
+def _ts8_sql() -> str:
+    from bioeco_portal_etl_spark.catalog_ext import _DUCK_COS, _DUCK_VEC
+
+    pair_cos = (
+        "list_reduce(list_transform(range(1, 65), i -> x.e[i] * y.e[i]),"
+        " (a, b) -> a + b) / (x.nrm * y.nrm)"
+    )
+    steps = []
+    prev = "sel1"
+    for k in range(2, 6):
+        steps.append(f"""
+ms{k} AS (
+  SELECT s.query_id, s.id_a AS match_id, max(s.sim_e4) AS ms
+  FROM sims s JOIN {prev} p ON p.query_id = s.query_id
+                            AND p.match_id = s.id_b
+  GROUP BY s.query_id, s.id_a
+),
+sc{k} AS (
+  SELECT c.query_id, c.match_id, c.rel_e4,
+         5000 * c.rel_e4 - 5000 * coalesce(m.ms, 0) AS mmr_e8
+  FROM cand c
+  LEFT JOIN ms{k} m ON m.query_id = c.query_id AND m.match_id = c.match_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.query_id = c.query_id
+                      AND p.match_id = c.match_id)
+),
+pick{k} AS (
+  SELECT query_id, {k}::BIGINT AS sel_rank, match_id, rel_e4, mmr_e8 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr_e8 DESC, match_id) AS rn
+    FROM sc{k}) WHERE rn = 1
+),
+sel{k} AS (SELECT query_id, sel_rank, match_id, rel_e4, mmr_e8 FROM {prev}
+           UNION ALL SELECT * FROM pick{k})""")
+        prev = f"sel{k}"
+    step_sql = ",".join(steps)
+    return f"""
+WITH {_DUCK_VEC},
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         floor(({_DUCK_COS}) * 10000)::BIGINT AS rel_e4
+  FROM (SELECT * FROM n WHERE vec_id < 10) q
+  JOIN n c ON q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, match_id, rel_e4 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_e4 DESC, match_id) AS rn
+    FROM p) WHERE rn <= 20
+),
+sims AS (
+  SELECT a.query_id, a.match_id AS id_a, b.match_id AS id_b,
+         floor(({pair_cos}) * 10000)::BIGINT AS sim_e4
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.match_id <> a.match_id
+  JOIN n x ON x.vec_id = a.match_id
+  JOIN n y ON y.vec_id = b.match_id
+),
+sel1 AS (
+  SELECT query_id, 1::BIGINT AS sel_rank, match_id, rel_e4,
+         (5000 * rel_e4)::BIGINT AS mmr_e8
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_e4 DESC, match_id) AS rn
+    FROM cand) WHERE rn = 1
+),{step_sql}
+SELECT query_id, sel_rank, match_id, rel_e4, mmr_e8::BIGINT AS mmr_e8
+FROM sel5 ORDER BY query_id, sel_rank
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -908,4 +1045,6 @@ CATALOG_EXT3: dict = {
     "tx18_script_detect": (tx18_script_detect, _tx18_sql()),
     "tx19_boilerplate": (tx19_boilerplate, _tx19_sql()),
     "gr5_node_similarity": (gr5_node_similarity, GR5_SQL),
+    "mm5_scene_cuts": (mm5_scene_cuts, MM5_SQL),
+    "ts8_mmr_rerank": (ts8_mmr_rerank, _ts8_sql()),
 }

@@ -254,3 +254,55 @@ def audio_frame_features(
             )
 
     return df.mapInPandas(frames, schema=AUDIO_FRAME_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = "media_id long, frame_idx long, mean_u8 long, is_cut boolean"
+
+
+def scene_cuts(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    threshold: int = 8,
+    max_frames: int = 8,
+    decode_fn=None,
+) -> DataFrame:
+    """mapInPandas video stage: (media_id, payload) -> per-frame mean
+    intensity + scene-cut flags — the shot-boundary detection a video
+    curation pipeline runs before frame sampling (a cut = adjacent-frame
+    intensity jump above ``threshold``; real systems use histogram
+    deltas, same plumbing).
+
+    ``decode_fn`` is the real-codec seam (``bytes -> sequence[int]``
+    per-frame intensity samples — where ffmpeg plugs in). The default
+    reads the payload as u8 "pixels" in ``frame_bytes`` windows. Frame
+    mean is integer floor division (non-negative); frame 0 is never a
+    cut. Same contract as the other media stages: payload never leaves
+    the Arrow batch, only typed rows return."""
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, means, cuts = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = (
+                    list(payload) if decode_fn is None else list(decode_fn(payload))
+                )
+                prev = None
+                for fi in range(min(max_frames, -(-len(samples) // frame_bytes))):
+                    fr = samples[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    m = sum(fr) // len(fr)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    means.append(m)
+                    cuts.append(prev is not None and abs(m - prev) > threshold)
+                    prev = m
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "mean_u8": means,
+                    "is_cut": cuts,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=SCENE_CUT_SCHEMA)

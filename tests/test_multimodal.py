@@ -120,3 +120,41 @@ def test_real_codec_through_decode_seam(spark):
     assert out[3] == (2, 9, "bmp", len(blobs[2][1]))
     # header sanity: the blobs really are BMP (independent re-parse)
     assert parse_bmp_header(blobs[1][1]) == (640, 480, "bmp")
+
+
+def test_scene_cuts_flags_intensity_jump(spark):
+    from bioeco_portal_etl_spark.multimodal.media import scene_cuts
+
+    # frame 0: 4 bytes of 'A'(65); frame 1: 4 bytes of 'z'(122) -> jump
+    df = spark.createDataFrame(
+        [(1, bytearray(b"AAAAzzzzAAAA"))], "media_id long, payload binary"
+    )
+    out = scene_cuts(df, frame_bytes=4, threshold=8, max_frames=8).collect()
+    rows = {r["frame_idx"]: r.asDict() for r in out}
+    assert rows[0]["mean_u8"] == 65 and rows[0]["is_cut"] is False
+    assert rows[1]["mean_u8"] == 122 and rows[1]["is_cut"] is True
+    assert rows[2]["mean_u8"] == 65 and rows[2]["is_cut"] is True
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from bioeco_portal_etl_spark.similarity.rerank import mmr_rerank
+
+    # candidates: two near-identical highly relevant vecs + one diverse
+    # moderately relevant vec. MMR rank 2 must pick the diverse one.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (10, [0.99, 0.14, 0.0, 0.0]),     # top relevance
+        (11, [0.99, 0.141, 0.0, 0.0]),    # near-copy of 10
+        (12, [0.7, -0.7, 0.1, 0.0]),      # diverse, lower relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = {
+        r["sel_rank"]: r["match_id"]
+        for r in mmr_rerank(
+            df, q, "embedding", "vec_id", k_shortlist=10, k_select=3
+        ).collect()
+    }
+    assert out[1] == 10          # pure relevance first
+    assert out[2] == 12          # diversity beats the near-copy
+    assert out[3] == 11
