@@ -991,20 +991,13 @@ _GATE_FIRST = [
     "x15_temporal_split",
     "tx13_bigram_lm",
     "gr3_khop_reach",
-    "rel20_rolling_distinct",
     "tx14_readability",
     "w8_streaming_anomaly",
     "rel21_attribution",
-    "rel22_cohort_retention",
-    "rel23_transitions",
     "tx15_token_entropy",
     "tx16_pmi_bigrams",
-    "tx17_postings",
-    "x16_histogram",
     "x17_winsorize",
-    "x18_cusum_drift",
     "sk6_sampled_quantiles",
-    "dq1_profile",
     "td10_containment",
     "w9_streaming_tumbling",
     "gr4_degree_hist",
@@ -1015,6 +1008,19 @@ _GATE_FIRST = [
     "gr5_node_similarity",
     "mm5_scene_cuts",
     "ts8_mmr_rerank",
+    # (2b) round-4 entries displaced from the 50-slot window (57 candidates
+    # never driver-green > 50 slots): the seven SIMPLEST single-pass,
+    # SQL-trivial entries — each green in VALIDATE_r04.json's full-catalog
+    # run and unit-tested — wait here for the round-5 rotation; the window
+    # keeps the entries with real cross-engine risk (streaming drains,
+    # Python tiers, float/log fixed-point, prefix-filtered joins):
+    "rel20_rolling_distinct",
+    "rel22_cohort_retention",
+    "rel23_transitions",
+    "tx17_postings",
+    "x16_histogram",
+    "x18_cusum_drift",
+    "dq1_profile",
     # (3) oldest driver verdicts (r1/r2) — regression rotation:
     "q1_pricing_summary",
     "q3_shipping_priority",
