@@ -23,6 +23,7 @@ Guidance:
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -55,3 +56,48 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned layout back (partition columns are recovered
     from directory names by the file index)."""
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    max_records_per_file: int,
+    partition_predicate: str | None = None,
+) -> None:
+    """Small-file compaction — the maintenance job every streaming /
+    incremental sink eventually needs: micro-batch and per-task writers
+    leave thousands of KB-sized files per partition, and at 100 TB the
+    file-listing + open overhead starts to dominate scans long before
+    the bytes do.
+
+    Rewrites the selected partitions in place: read -> sort within the
+    partition on ``sort_cols`` (restores clustering for min/max row-group
+    skipping, which interleaved appends destroy) -> write with
+    ``maxRecordsPerFile`` bounding file size -> DYNAMIC partition
+    overwrite, so only the partitions actually read are replaced and a
+    concurrent reader never sees a half-table. ``partition_predicate``
+    (e.g. ``"event_date = '2024-01-01'"``) scopes the job to the
+    partitions worth compacting — partition pruning makes the read side
+    touch only those directories.
+
+    Idempotent: re-running compaction over the same partitions rewrites
+    byte-equivalent content (deterministic sort, deterministic file
+    splits)."""
+    df = spark.read.parquet(path)
+    if partition_predicate is not None:
+        df = df.filter(partition_predicate)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .sortWithinPartitions(*partition_cols, *sort_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -77,3 +77,54 @@ def test_write_partitioned_validates(spark):
         write_partitioned(df, "/tmp/x", [])
     with pytest.raises(ValueError):
         write_partitioned(df, "/tmp/x", ["nope"])
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from bioeco_portal_etl_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("part"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    # simulate a micro-batch sink: many tiny files per partition
+    df.repartition(16).write.partitionBy("part").parquet(path)
+    before = len(glob.glob(f"{path}/part=*/*.parquet"))
+    assert before >= 16
+    snapshot = sorted((r["part"], r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+
+    compact_partitions(
+        spark, path, ["part"], ["k"], max_records_per_file=10_000
+    )
+    after = len(glob.glob(f"{path}/part=*/*.parquet"))
+    assert after < before and after <= 4
+    # data identical after compaction
+    got = sorted((r["part"], r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == snapshot
+
+
+def test_compact_partitions_scoped_predicate_leaves_others(spark, tmp_path):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from bioeco_portal_etl_spark.sinks.partitioned import compact_partitions
+
+    path = str(tmp_path / "t2")
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("part"), F.col("id").alias("k")
+    )
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    files_p1_before = set(glob.glob(f"{path}/part=1/*.parquet"))
+
+    compact_partitions(
+        spark, path, ["part"], ["k"], 10_000, partition_predicate="part = 0"
+    )
+    # partition 1 untouched (dynamic overwrite only replaces what was read)
+    assert set(glob.glob(f"{path}/part=1/*.parquet")) == files_p1_before
+    assert len(glob.glob(f"{path}/part=0/*.parquet")) <= 2
