@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "gr5_node_similarity",
     "mm5_scene_cuts",
     "ts8_mmr_rerank",
+    "x20_equidepth_bins",
+    "dq2_referential",
+    "rel25_missing_days",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -1025,6 +1025,164 @@ FROM sel5 ORDER BY query_id, sel_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# x20 — equi-depth (quantile) binning
+# ---------------------------------------------------------------------------
+
+
+def x20_equidepth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile binning of order totals (operators/stats.py equi_depth_bins):
+    frequency-table boundaries, broadcast assignment."""
+    from bioeco_portal_etl_spark.operators.stats import equi_depth_bins
+
+    o = T(spark, sf, "orders")
+    return equi_depth_bins(o, "o_totalprice", nbins=10).orderBy("bin")
+
+
+X20_SQL = """
+WITH vals AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+freq AS (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v,
+         (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))::BIGINT AS cm,
+         (sum(c) OVER ())::BIGINT AS n
+  FROM freq
+),
+bounds AS (
+  SELECT b.bin,
+         (SELECT min(v) FROM cum
+          WHERE cm >= CAST(floor((b.bin * cum2.n + 9)::DOUBLE / 10) AS BIGINT))
+           AS hi_e
+  FROM (SELECT unnest(range(1, 11)) AS bin) b
+  CROSS JOIN (SELECT max(n) AS n FROM cum) cum2
+),
+edged AS (
+  SELECT bin, hi_e, lag(hi_e) OVER (ORDER BY bin) AS lo_excl FROM bounds
+)
+SELECT e.bin, e.hi_e, count(*)::BIGINT AS n_rows
+FROM vals x JOIN edged e
+  ON x.v <= e.hi_e AND (e.lo_excl IS NULL OR x.v > e.lo_excl)
+GROUP BY e.bin, e.hi_e ORDER BY e.bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq2 — cross-table referential integrity
+# ---------------------------------------------------------------------------
+
+
+def dq2_referential(spark: SparkSession, sf: str) -> DataFrame:
+    """FK orphan audit across the star schema: anti-join counts for
+    lineitem→orders, orders→customer, customer→nation — the
+    cross-table face of dq1's single-table checks. Each check is ONE
+    anti join on the key (dimension sides broadcast where size-eligible);
+    a healthy warehouse reports zeros, and the row format matches dq1's
+    (check, value) so dashboards union them."""
+    li = T(spark, sf, "lineitem")
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    n = T(spark, sf, "nation")
+    checks = {
+        "lineitem_orphan_orders": li.join(
+            o, li.l_orderkey == o.o_orderkey, "left_anti"
+        ),
+        "orders_orphan_customers": o.join(
+            c, o.o_custkey == c.c_custkey, "left_anti"
+        ),
+        "customer_orphan_nations": c.join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"
+        ),
+    }
+    out = None
+    for name, df in checks.items():
+        one = df.agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).alias("value"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("check")
+
+
+DQ2_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orders' AS "check",
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS value
+  UNION ALL
+  SELECT 'orders_orphan_customers',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))::BIGINT
+  UNION ALL
+  SELECT 'customer_orphan_nations',
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+) ORDER BY "check"
+"""
+
+
+# ---------------------------------------------------------------------------
+# rel25 — calendar gap detection (date-spine anti join)
+# ---------------------------------------------------------------------------
+
+
+def rel25_missing_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user missing-activity dates against the January 2024 calendar
+    spine — the gap-detection face of time-series completeness (x11
+    interpolates BETWEEN events; this reports which calendar slots have
+    none at all). The 31-day spine is built IN-ROW with sequence() (no
+    spine-table shuffle or cross join); activity reduces to a per-user
+    distinct day set in one groupBy; the gaps are array_except(spine,
+    days) exploded — so the only data-sized exchange is the (user, day)
+    distinct. Bounded to the first 20 users for the gate's output."""
+    e = T(spark, sf, "events")
+    spine = F.transform(
+        F.sequence(F.lit(0), F.lit(30)),
+        lambda i: F.date_add(F.to_date(F.lit("2024-01-01")), i.cast("int")),
+    )
+    days = (
+        e.filter(F.col("user_id") < 20)
+        .select(
+            F.col("user_id"),
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("d").alias("__days"))
+    )
+    return (
+        days.select(
+            "user_id",
+            F.explode(
+                F.array_sort(F.array_except(spine, F.col("__days")))
+            ).alias("missing_day"),
+        )
+        .orderBy("user_id", "missing_day")
+    )
+
+
+REL25_SQL = """
+WITH days AS (
+  SELECT user_id, list(DISTINCT CAST(ts AS DATE)) AS ds
+  FROM events WHERE user_id < 20 GROUP BY user_id
+),
+spine AS (
+  SELECT list_transform(range(0, 31),
+                        i -> DATE '2024-01-01' + CAST(i AS INT)) AS sp
+)
+SELECT user_id,
+       unnest(list_sort(list_filter(sp, d -> NOT list_contains(ds, d))))
+         AS missing_day
+FROM days CROSS JOIN spine
+ORDER BY user_id, missing_day
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -1047,4 +1205,7 @@ CATALOG_EXT3: dict = {
     "gr5_node_similarity": (gr5_node_similarity, GR5_SQL),
     "mm5_scene_cuts": (mm5_scene_cuts, MM5_SQL),
     "ts8_mmr_rerank": (ts8_mmr_rerank, _ts8_sql()),
+    "x20_equidepth_bins": (x20_equidepth_bins, X20_SQL),
+    "dq2_referential": (dq2_referential, DQ2_SQL),
+    "rel25_missing_days": (rel25_missing_days, REL25_SQL),
 }

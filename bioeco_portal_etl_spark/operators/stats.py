@@ -178,3 +178,68 @@ def group_zscore(
         "z_e4",
         F.when(var_num > 0, F.floor(z * 10000).cast("long")),
     ).drop("__n", "__s1", "__s2")
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    nbins: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-DEPTH (quantile) binning summary: nearest-rank bin boundaries
+    + per-bin counts — the feature-engineering partner of
+    :func:`equi_width_histogram` (equal POPULATION per bin instead of
+    equal width; the right default for skewed features).
+
+    Same frequency-table plan as :func:`winsorize_stats`: the boundary
+    scan is a window over the per-value count table (distinct-value-
+    bounded), never a row sort; bin assignment is a broadcast join of the
+    nbins-row boundary table. Duplicate-heavy values make true equi-depth
+    impossible (a value straddling a boundary lands wholly in the lower
+    bin — counts are reported, not assumed equal); boundaries are
+    nearest-rank ceil(q·n/nbins) values, deterministic on both engines.
+
+    Output: (bin, hi_e, n_rows) — bin b holds values <= hi_e(b) and
+    > hi_e(b-1)."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    vals = df.select(v.alias("__v"))
+    freq = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "__v",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    # boundary b (1..nbins): smallest v whose cum count reaches
+    # ceil(b*n/nbins) — all-integer rank arithmetic, every boundary
+    # resolved in ONE aggregate over the value-count table
+    aggs = []
+    for b in range(1, nbins + 1):
+        k = F.floor(
+            (F.lit(b) * F.col("__n") + nbins - 1).cast("double") / nbins
+        ).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k, F.col("__v"))).alias(f"__h{b}")
+        )
+    one_row = cum.agg(*aggs)
+    stack = ", ".join(f"{b}L, __h{b}" for b in range(1, nbins + 1))
+    bounds = one_row.select(
+        F.expr(f"stack({nbins}, {stack}) AS (bin, hi_e)")
+    )
+    lagw = Window.orderBy("bin")
+    edged = bounds.select(
+        "bin",
+        "hi_e",
+        F.lag("hi_e").over(lagw).alias("__lo_excl"),
+    )
+    assigned = vals.join(F.broadcast(edged)).filter(
+        (F.col("__v") <= F.col("hi_e"))
+        & (F.col("__lo_excl").isNull() | (F.col("__v") > F.col("__lo_excl")))
+    )
+    return assigned.groupBy("bin", "hi_e").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
