@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "x20_equidepth_bins",
     "dq2_referential",
     "rel25_missing_days",
+    "w10_streaming_update_counts",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

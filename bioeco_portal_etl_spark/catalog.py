@@ -970,7 +970,6 @@ _GATE_FIRST = [
     "g12_poly_measure",
     "mm3_frame_sample",
     "rel14_hierarchy_flatten",
-    "x10_url_dedupe",  # relative-URL passthrough added to query + oracle
     "sk1_kmv_distinct",
     "sk2_cms_heavy_hitters",
     "sk3_hll_distinct",
@@ -1008,11 +1007,15 @@ _GATE_FIRST = [
     "mm5_scene_cuts",
     "ts8_mmr_rerank",
     "x20_equidepth_bins",
-    # (2b) (continued below: rel15 swapped out for x20 — rank_quantiles is
-    # plain built-in window ranks; the equi-depth boundary logic is new)
+    "w10_streaming_update_counts",
+    # (2b) (continued below: rel15 swapped out for x20, x10 for w10 —
+    # rank_quantiles is plain built-in window ranks and the URL
+    # canonicalizer was r3-driver-green before its r4 edge fix; the
+    # equi-depth boundary logic and the update-mode drain are new)
     "dq2_referential",
     "rel25_missing_days",
     "rel15_rank_quantiles",
+    "x10_url_dedupe",
     # (2b) round-4 entries displaced from the 50-slot window (57 candidates
     # never driver-green > 50 slots): the seven SIMPLEST single-pass,
     # SQL-trivial entries — each green in VALIDATE_r04.json's full-catalog

@@ -1183,6 +1183,71 @@ ORDER BY user_id, missing_day
 """
 
 
+# ---------------------------------------------------------------------------
+# w10 — update-mode streaming aggregation converged via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+def w10_streaming_update_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The UPDATE-mode face of streaming aggregation (w9 is append):
+    per-event-type count/sum where every trigger emits the CHANGED groups
+    and a foreachBatch merge keeps the latest row per key — the
+    convergent-table pattern behind every streaming dashboard sink
+    (streaming/sink.py's JDBC upsert is the productionized form; here the
+    merge target is a driver dict because the state is group-cardinality-
+    sized by construction). After the drain the merged table must equal
+    the batch aggregate exactly — which is what the oracle checks."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+
+    T(spark, sf, "events")  # pins UTC session tz
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(os.path.join(sf, "events.parquet*"))
+        .select("event_type", F.col("value").cast("decimal(18,6)").alias("v"))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+    final: dict = {}
+
+    def merge(batch_df, _batch_id):
+        for r in batch_df.collect():  # group-cardinality rows, never events
+            final[r["event_type"]] = (r["n_events"], r["sum_value"])
+
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w10 stream did not drain")
+    rows = [
+        (k, n, s) for k, (n, s) in sorted(final.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, sum_value double"
+    ).orderBy("event_type")
+
+
+W10_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -1206,6 +1271,7 @@ CATALOG_EXT3: dict = {
     "mm5_scene_cuts": (mm5_scene_cuts, MM5_SQL),
     "ts8_mmr_rerank": (ts8_mmr_rerank, _ts8_sql()),
     "x20_equidepth_bins": (x20_equidepth_bins, X20_SQL),
+    "w10_streaming_update_counts": (w10_streaming_update_counts, W10_SQL),
     "dq2_referential": (dq2_referential, DQ2_SQL),
     "rel25_missing_days": (rel25_missing_days, REL25_SQL),
 }
