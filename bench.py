@@ -123,6 +123,37 @@ BENCH_QUERIES = [
     "dq2_referential",
     "rel25_missing_days",
     "w10_streaming_update_counts",
+    # full TPC-H plan-family sweep (q1/3/4/5/6/17/18/19 already above) —
+    # all 22 now carry wall-time so no plan family regresses silently
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_value_suppliers",
+    "q12_lateness_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_part_stock_chain",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    # heavier previously-unbenched operators
+    "rel6_asof_join",
+    "rel7_range_join",
+    "rel9_cube",
+    "td3_simhash",
+    "td5_embedding_neardup",
+    "td6_decontamination",
+    "td7_dup_clusters",
+    "ts2_lsh_bucket_topk",
+    "ts4_kmeans_ivf",
+    "ts5_pq_topk",
+    "tx9_repetition",
+    "tx10_tfidf_top_terms",
+    "x2_stratified_split",
+    "x3_sequence_packing",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the
