@@ -58,6 +58,8 @@ from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     postings_table,
     token_entropy_table,
 )
+from bioeco_portal_etl_spark.graph.similarity import node_jaccard  # noqa: E402
+from bioeco_portal_etl_spark.operators.stats import equi_depth_bins  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     containment_pairs,
     exact_dedupe,
@@ -362,6 +364,34 @@ def main() -> None:
             lambda s: ewma(
                 events if s == 1 else scaled(events, s, ["user_id"]),
                 "user_id", "ts", "event_id", "value",
+            )
+        ),
+        # frequency-table boundaries: the window runs over distinct cents
+        # values (range-bounded), so scaling rows should barely move it
+        "equi_depth": (
+            lambda s: equi_depth_bins(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+                "o_totalprice",
+            )
+        ),
+        # Sigma deg^2 with the hub guard: customers AND parts both scale
+        # (shifted keys make disjoint bipartite blocks), so pair volume
+        # scales ~linearly — the guard is what prevents the quadratic tail
+        "node_similarity": (
+            lambda s: node_jaccard(
+                (li if s == 1 else scaled(li, s, ["l_orderkey", "l_partkey"]))
+                .join(
+                    orders
+                    if s == 1
+                    else scaled(orders, s, ["o_orderkey", "o_custkey"]),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .select(
+                    F.col("o_custkey").alias("src"),
+                    F.col("l_partkey").alias("dst"),
+                ),
+                min_common=2,
+                max_item_degree=64,
             )
         ),
     }
