@@ -161,3 +161,51 @@ def test_enrich_stream_equals_batch_join(spark, event_dir):
         .select("event_id", "user_id", "tier")
     )
     assert got == batch
+
+
+def test_update_mode_foreachbatch_converges_across_batches(spark, tmp_path):
+    """w10's claim pinned under MULTI-batch replay: with one file per
+    trigger the changed groups re-emit each batch, and the keep-latest
+    merge still converges to the batch aggregate."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "stream_src")
+    rows1 = [(1, "a", 1.0), (2, "b", 2.0)]
+    rows2 = [(3, "a", 3.0), (4, "a", 4.0)]
+    spark.createDataFrame(rows1, "id long, k string, v double").write.parquet(
+        src + "/f1.parquet"
+    )
+    spark.createDataFrame(rows2, "id long, k string, v double").write.parquet(
+        src + "/f2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("id long, k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    final = {}
+    emissions = []
+
+    def merge(batch_df, batch_id):
+        got = batch_df.collect()
+        emissions.append((batch_id, sorted(r["k"] for r in got)))
+        for r in got:
+            final[r["k"]] = (r["n"], r["s"])
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    assert final == {"a": (3, 8.0), "b": (1, 2.0)}
+    # multi-batch actually happened and 'a' was re-emitted with new state
+    nonempty = [e for e in emissions if e[1]]
+    assert len(nonempty) >= 2
+    assert any("a" in ks for _, ks in nonempty[1:])
