@@ -27,7 +27,7 @@ from bioeco_portal_etl_spark.functions.strings import (
     null_quote,
     str_trunc,
 )
-from bioeco_portal_etl_spark.geo.wkt import geom_type, linestring_agg, multipoint_agg, point_wkt
+from bioeco_portal_etl_spark.geo.wkt import geom_type, linestring_agg, multipoint_agg
 from bioeco_portal_etl_spark.operators.aggregate import (
     bool_any,
     distinct_concat,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
 

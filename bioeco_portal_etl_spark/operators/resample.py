@@ -22,8 +22,6 @@ the group, so no grid table ever shuffles.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
