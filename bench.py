@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "dq2_referential",
     "rel25_missing_days",
     "w10_streaming_update_counts",
+    "x21_dup_matrix",
     # full TPC-H plan-family sweep (q1/3/4/5/6/17/18/19 already above) —
     # all 22 now carry wall-time so no plan family regresses silently
     "q2_min_cost_supplier",

@@ -1014,6 +1014,7 @@ _GATE_FIRST = [
     # equi-depth boundary logic and the update-mode drain are new)
     "dq2_referential",
     "rel25_missing_days",
+    "x21_dup_matrix",
     "rel15_rank_quantiles",
     "x10_url_dedupe",
     # (2b) round-4 entries displaced from the 50-slot window (57 candidates

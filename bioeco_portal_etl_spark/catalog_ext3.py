@@ -1248,6 +1248,59 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# x21 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def x21_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Where near-duplication comes FROM: td2's LSH pairs rolled up into a
+    (source_a, source_b) matrix — the curation diagnostic that tells you
+    whether dup mass is intra-crawl (same source both sides) or
+    cross-source mirroring, i.e. which ingest to fix. The pair table is
+    candidate-sized; the source lookup joins broadcast at any corpus
+    scale (sources are a dimension)."""
+    from bioeco_portal_etl_spark.text.dedupe import minhash_lsh_pairs
+
+    d = T(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    src = d.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _x21_sql() -> str:
+    from bioeco_portal_etl_spark.catalog_ext import _DUCK_SH
+
+    return f"""
+WITH {_DUCK_SH},
+labeled AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+FROM labeled GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
 CATALOG_EXT3: dict = {
     "rel21_attribution": (rel21_attribution, REL21_SQL),
     "rel22_cohort_retention": (rel22_cohort_retention, REL22_SQL),
@@ -1272,6 +1325,7 @@ CATALOG_EXT3: dict = {
     "ts8_mmr_rerank": (ts8_mmr_rerank, _ts8_sql()),
     "x20_equidepth_bins": (x20_equidepth_bins, X20_SQL),
     "w10_streaming_update_counts": (w10_streaming_update_counts, W10_SQL),
+    "x21_dup_matrix": (x21_dup_matrix, _x21_sql()),
     "dq2_referential": (dq2_referential, DQ2_SQL),
     "rel25_missing_days": (rel25_missing_days, REL25_SQL),
 }
