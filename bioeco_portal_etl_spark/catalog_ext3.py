@@ -1,6 +1,17 @@
-"""Round-4 (continued) catalog extensions: event-stream product analytics
-(attribution, cohort retention, Markov transitions), distribution /
-data-quality operators, corpus statistics, and containment dedupe.
+"""Round-4 (continued) catalog extensions — 26 entries:
+
+- event-stream analytics: attribution (rel21), cohort retention (rel22),
+  Markov transitions (rel23), CUSUM drift (x18), calendar gaps (rel25);
+- corpus statistics: token entropy (tx15), PMI collocations (tx16),
+  postings (tx17), script detection (tx18), boilerplate coverage (tx19);
+- distribution / DQ: histogram (x16), winsorize (x17), equi-depth bins
+  (x20), sampled quantiles (sk6), constraint suite (dq1), referential
+  integrity (dq2), group z-score (x19);
+- dedupe / similarity / graph: containment pairs (td10), dup-source
+  matrix (x21), degree histogram (gr4), node similarity (gr5), MMR
+  re-rank (ts8);
+- CDC apply (rel24), video scene cuts (mm5), and the streaming
+  append/update aggregate faces (w9, w10).
 
 Same contract as catalog.py: every entry is a (spark_fn, oracle_sql)
 pair over the driver's synthetic tables, aliased identically on both
