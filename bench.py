@@ -155,6 +155,44 @@ BENCH_QUERIES = [
     "tx10_tfidf_top_terms",
     "x2_stratified_split",
     "x3_sequence_packing",
+    # round-5: complete the sweep — every catalog entry with a batch face
+    # carries wall-time (test_bench_contract.py pins bench==catalog), so
+    # nothing regresses silently. These are the light r1-r2 entries.
+    "a3_duplicate_audit",
+    "f_filters",
+    "g1_point_wkt",
+    "g5_geom_type",
+    "g9_union_points_geojson",
+    "j4_differing_key_names",
+    "mm1_media_metadata",
+    "p0_canonical_entities",
+    "p12_make_identifier",
+    "p18_row_number",
+    "p19_sql_script",
+    "p1_select_rename",
+    "p3_blanks_to_null",
+    "p4_flag_columns",
+    "p6_recode_passthrough",
+    "p7_str_trunc",
+    "p8_p9_year_dates",
+    "rel10_window_suite",
+    "rel11_scd2_merge",
+    "rel1_rollup",
+    "rel2_lead_lag",
+    "rel3_semi_anti",
+    "rel4_conditional_pivot",
+    "rel8_json_props",
+    "tx2_language_id",
+    "tx4_fingerprint",
+    "tx5_normalize",
+    "tx6_pii_redact",
+    "tx7_top_bigrams",
+    "tx8_length_quantiles",
+    "w2_sliding",
+    "w3_session",
+    "x4_source_cap",
+    "x5_chunk_windows",
+    "x6_corpus_stats",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the
@@ -171,6 +209,32 @@ STABLE_26 = [
     "tx1_token_counts", "tx3_quality", "u1_union_by_name",
     "w1_tumbling", "x1_salted_agg",
 ]
+
+
+def compact_line(
+    timings: dict[str, float], sf: float, stable26: float, calib: float
+) -> str:
+    """The FINAL stdout line the external driver parses (it keeps only the
+    last ~2000 chars). Carries the top-10 slowest queries, not the full map —
+    length must stay bounded no matter how large the catalog grows."""
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # top-10 slowest; full 100+-query map is in bench_full.json and the
+        # preceding stdout line
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
+        "sf": sf,
+        # cross-round comparable subset (see STABLE_26 above)
+        "stable26_sec": stable26,
+        # machine-speed yardstick (see _calibration) — divide the
+        # stable26/total numbers by this before cross-round compare
+        "calibration_sec": round(calib, 3),
+        "n_queries": len(timings),
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"final bench line too long ({len(line)} B)"
+    return line
 
 
 def main() -> None:
@@ -223,23 +287,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     stable26 = round(sum(timings[n] for n in STABLE_26 if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # cross-round comparable subset (see STABLE_26 above)
-                "stable26_sec": stable26,
-                # machine-speed yardstick (see _calibration) — divide the
-                # stable26/total numbers by this before cross-round compare
-                "calibration_sec": round(calib, 3),
-                "n_queries": len(timings),
-            }
-        )
-    )
+
+    # The external driver keeps only the LAST ~2000 chars of stdout and
+    # parses the final line as JSON. Round 4's final line carried all 125
+    # per-query timings (~4 kB) and silently failed to parse — the round
+    # published no bench number. So: the FULL map goes to its own earlier
+    # stdout line and a committable file; the FINAL line is the compact
+    # headline (top-10 slowest only, < ~700 bytes) and must stay that way.
+    full = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "stable26_sec": stable26,
+        "calibration_sec": round(calib, 3),
+        "n_queries": len(timings),
+    }
+    print(json.dumps(full))
+    with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
+        json.dump(full, f, indent=1)
+
+    print(compact_line(timings, sf, stable26, calib))
     spark.stop()
 
 

@@ -947,16 +947,84 @@ _CATALOG.update(CATALOG_TPCH2)
 # scripts/validate.py run the identical spark-vs-DuckDB comparison over
 # ALL entries every round, so nothing is ever *unchecked* locally — this
 # list only decides which 50 the external driver re-confirms this round.
-# Round-4 policy (per round-3 ADVICE): (1) entries with NO green driver
-# verdict in any round come first — the 7 never-sampled round-3 queries
-# plus tx9_repetition, whose only driver row (r2) was a hash FAIL fixed
-# in f310ec7; (2) new round-4 entries are inserted right after them as
-# they land (least-proven code gets gated the round it ships); (3) the
-# remaining slots rotate in the entries whose last driver verdict is
-# OLDEST (the r1/r2-gated set), so every entry's verdict gets refreshed
-# across rounds instead of a fixed prefix being re-confirmed forever.
+# Round-5 policy: (1) the 11 entries NEVER driver-sampled in r1-r4 (they
+# sat at window positions 51+ in round 4 — with them sampled, cumulative
+# driver coverage reaches 160/160); (2) the 3 round-4 hash-reds, whose
+# DuckDB oracles surfaced HUGEINT (now cast ::BIGINT, lint-enforced in
+# tests/oracle.py) — they stay gated until driver-green; (3) backfill
+# with the longest-unsampled entries (last driver verdict r2), riskier
+# families first (TPC-H joins/aggs, dedup/ANN float paths, text
+# analysis) — the 13 simplest r2 projections wait for round 6.
 _GATE_FIRST = [
-    # (1) never driver-green:
+    # (1) never driver-sampled (r1-r4 cumulative):
+    "dq1_profile",
+    "dq2_referential",
+    "rel15_rank_quantiles",
+    "rel20_rolling_distinct",
+    "rel22_cohort_retention",
+    "rel23_transitions",
+    "rel25_missing_days",
+    "tx17_postings",
+    "x16_histogram",
+    "x18_cusum_drift",
+    "x21_dup_matrix",
+    # (2) round-4 driver-reds, oracle HUGEINT surfaces now cast ::BIGINT:
+    "gr1_pagerank",
+    "tx12_vocab_growth",
+    "mm4_audio_energy",
+    # (3) longest-unsampled rotation (last driver verdict r2):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "j1_broadcast_left_join",
+    "j4_differing_key_names",
+    "a1_grouped_merge",
+    "a2_dedupe_keep_first",
+    "a3_duplicate_audit",
+    "a4_make_unique",
+    "u1_union_by_name",
+    "r2_unpivot_flags",
+    "g2_multipoint_union",
+    "g7_linestring_track",
+    "g9_union_points_geojson",
+    "td1_exact_dedupe",
+    "td2_minhash_lsh",
+    "td3_simhash",
+    "td4_jaccard_pairs",
+    "td5_embedding_neardup",
+    "td6_decontamination",
+    "td7_dup_clusters",
+    "td8_segment_dedupe",
+    "ts1_cosine_topk",
+    "ts2_lsh_bucket_topk",
+    "ts3_ivf_topk",
+    "ts4_kmeans_ivf",
+    "ts5_pq_topk",
+    "ts6_ivfpq_topk",
+    "x1_salted_agg",
+    "tx1_token_counts",
+    "tx2_language_id",
+    "tx3_quality",
+    "tx7_top_bigrams",
+    "tx8_length_quantiles",
+    "tx10_tfidf_top_terms",
+    # ---- position 51+ below (not driver-sampled this round) ----
+    # simplest r2 remainder, next in line for round 6:
+    "p1_select_rename",
+    "p6_recode_passthrough",
+    "p7_str_trunc",
+    "p8_p9_year_dates",
+    "p12_make_identifier",
+    "p18_row_number",
+    "p19_sql_script",
+    "f_filters",
+    "g1_point_wkt",
+    "g5_geom_type",
+    "tx4_fingerprint",
+    "tx5_normalize",
+    "tx6_pii_redact",
+    # r3/r4-green entries, refreshed again in later rounds:
     "mm2_resize_meta",
     "rel12_setops",
     "rel13_range_frame",
@@ -965,7 +1033,6 @@ _GATE_FIRST = [
     "w7_stream_interval_join",
     "x11_resample_interpolate",
     "tx9_repetition",
-    # (2) new or semantics-changed in round 4:
     "g11_pip_grid",
     "g12_poly_measure",
     "mm3_frame_sample",
@@ -974,17 +1041,14 @@ _GATE_FIRST = [
     "sk2_cms_heavy_hitters",
     "sk3_hll_distinct",
     "sk4_bloom_gate",
-    "gr1_pagerank",
     "gr2_triangles",
     "rel16_median_mad",
     "rel17_islands",
     "x12_weighted_sample",
     "x13_rolling_zscore",
-    "tx12_vocab_growth",
     "sk5_kmv_setops",
     "rel18_interval_merge",
     "x14_ewma",
-    "mm4_audio_energy",
     "rel19_funnel",
     "x15_temporal_split",
     "tx13_bigram_lm",
@@ -1008,78 +1072,7 @@ _GATE_FIRST = [
     "ts8_mmr_rerank",
     "x20_equidepth_bins",
     "w10_streaming_update_counts",
-    # (2b) (continued below: rel15 swapped out for x20, x10 for w10 —
-    # rank_quantiles is plain built-in window ranks and the URL
-    # canonicalizer was r3-driver-green before its r4 edge fix; the
-    # equi-depth boundary logic and the update-mode drain are new)
-    "dq2_referential",
-    "rel25_missing_days",
-    "x21_dup_matrix",
-    "rel15_rank_quantiles",
     "x10_url_dedupe",
-    # (2b) round-4 entries displaced from the 50-slot window (57 candidates
-    # never driver-green > 50 slots): the seven SIMPLEST single-pass,
-    # SQL-trivial entries — each green in VALIDATE_r04.json's full-catalog
-    # run and unit-tested — wait here for the round-5 rotation; the window
-    # keeps the entries with real cross-engine risk (streaming drains,
-    # Python tiers, float/log fixed-point, prefix-filtered joins):
-    "rel20_rolling_distinct",
-    "rel22_cohort_retention",
-    "rel23_transitions",
-    "tx17_postings",
-    "x16_histogram",
-    "x18_cusum_drift",
-    "dq1_profile",
-    # (3) oldest driver verdicts (r1/r2) — regression rotation:
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "p1_select_rename",
-    "p6_recode_passthrough",
-    "p7_str_trunc",
-    "p8_p9_year_dates",
-    "p12_make_identifier",
-    "p18_row_number",
-    "p19_sql_script",
-    "f_filters",
-    "j1_broadcast_left_join",
-    "j4_differing_key_names",
-    "a1_grouped_merge",
-    "a2_dedupe_keep_first",
-    "a3_duplicate_audit",
-    "a4_make_unique",
-    "u1_union_by_name",
-    "r2_unpivot_flags",
-    "g1_point_wkt",
-    "g2_multipoint_union",
-    "g5_geom_type",
-    "g7_linestring_track",
-    "g9_union_points_geojson",
-    "td1_exact_dedupe",
-    "td2_minhash_lsh",
-    "td3_simhash",
-    "td4_jaccard_pairs",
-    "td5_embedding_neardup",
-    "ts1_cosine_topk",
-    "ts2_lsh_bucket_topk",
-    "ts3_ivf_topk",
-    "ts4_kmeans_ivf",
-    "ts5_pq_topk",
-    "ts6_ivfpq_topk",
-    "x1_salted_agg",
-    "tx1_token_counts",
-    "tx2_language_id",
-    "tx3_quality",
-    "tx4_fingerprint",
-    "tx5_normalize",
-    "tx6_pii_redact",
-    "tx7_top_bigrams",
-    "tx8_length_quantiles",
-    "td6_decontamination",
-    "td7_dup_clusters",
-    "td8_segment_dedupe",
-    "tx10_tfidf_top_terms",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

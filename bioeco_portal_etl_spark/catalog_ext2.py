@@ -485,12 +485,12 @@ ranked AS (
   FROM tf
 )
 SELECT source,
-       sum(tfc) AS n_tokens,
+       CAST(sum(tfc) AS BIGINT) AS n_tokens,
        count(*) AS n_types,
-       sum(CASE WHEN tfc = 1 THEN 1 ELSE 0 END) AS hapax_types,
-       (1000000 * count(*)) // sum(tfc) AS ttr_e6,
-       (1000000 * sum(CASE WHEN rk <= 10 THEN tfc ELSE 0 END)) // sum(tfc)
-         AS top_share_e6
+       CAST(sum(CASE WHEN tfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+       CAST((1000000 * count(*)) // sum(tfc) AS BIGINT) AS ttr_e6,
+       CAST((1000000 * sum(CASE WHEN rk <= 10 THEN tfc ELSE 0 END)) // sum(tfc)
+         AS BIGINT) AS top_share_e6
 FROM ranked
 GROUP BY source
 ORDER BY source
@@ -684,7 +684,7 @@ sub AS (
 )
 SELECT media_id, frame_idx,
        len(dev) AS n_samples,
-       list_sum(list_transform(dev, d -> d * d)) AS energy,
+       CAST(list_sum(list_transform(dev, d -> d * d)) AS BIGINT) AS energy,
        list_max(list_transform(dev, d -> abs(d))) AS peak
 FROM sub
 ORDER BY media_id, frame_idx

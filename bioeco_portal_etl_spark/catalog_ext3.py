@@ -682,7 +682,6 @@ def x19_group_normalize(spark: SparkSession, sf: str) -> DataFrame:
     IEEE chain, output bounded to the first users for the gate."""
     from bioeco_portal_etl_spark.operators.stats import group_zscore
 
-    e = T(spark, sf, "events").filter(F.col("user_id") < 10)
     full = T(spark, sf, "events")
     # moments come from the FULL stream; normalize the bounded slice
     z = group_zscore(full, "event_type", "value")
@@ -868,7 +867,11 @@ def gr5_node_similarity(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        node_jaccard(edges, min_common=2, max_item_degree=64)
+        # pair_partitions=256 pins the pair-expansion width in-plan so the
+        # Σ deg² stream never spills at one-task-per-32nd of the data (the
+        # round-4 10x probe's 13.9x outlier); AQE coalesces the surplus at
+        # small SF
+        node_jaccard(edges, min_common=2, max_item_degree=64, pair_partitions=256)
         .orderBy(F.desc("jaccard_e4"), "src_a", "src_b")
         .limit(100)
     )

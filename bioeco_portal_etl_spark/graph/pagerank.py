@@ -124,7 +124,8 @@ def duck_pagerank(edges_select: str, iterations: int = 3) -> str:
     for i in range(iterations):
         parts.append(
             f"""s{i} AS (
-  SELECT e.dst AS node, sum(({DAMP_NUM} * r.pr_e9) // ({DAMP_DEN} * r.outdeg)) AS in_mass
+  SELECT e.dst AS node,
+         CAST(sum(({DAMP_NUM} * r.pr_e9) // ({DAMP_DEN} * r.outdeg)) AS BIGINT) AS in_mass
   FROM e JOIN pr{i} r ON r.node = e.src AND r.outdeg > 0
   GROUP BY e.dst
 ),

@@ -25,11 +25,24 @@ def node_jaccard(
     edges: DataFrame,
     min_common: int = 2,
     max_item_degree: int = 64,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """(src_a, src_b, n_common, deg_a, deg_b, jaccard_e4) for src pairs
     sharing >= ``min_common`` distinct neighbors, via neighbors of degree
     <= ``max_item_degree``. jaccard = common / (deg_a + deg_b - common),
-    floor-e4 on non-negative longs."""
+    floor-e4 on non-negative longs.
+
+    ``pair_partitions`` widens the pair-expansion stage: the self-join's
+    per-task output is Σ deg(dst)² over the dsts hashed to that task, so
+    at the session's default shuffle width a 10× input can push a task's
+    expanded pair stream past executor memory and into spill (the round-4
+    probe measured 3.9×–13.9× run-to-run variance at 10× from exactly
+    this). An explicit ``repartition(n, dst)`` pins the join width in the
+    PLAN (a scoped conf can't — the catalog returns lazy frames that
+    execute after the scope closes), shrinking per-task pair volume; the
+    partial aggregate on (src_a, src_b) then shrinks each task's output
+    to its distinct-pair count before the final exchange. Size it like a
+    shuffle: total expanded pairs / (a few hundred MB of rows)."""
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     item_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("__idf"))
@@ -37,6 +50,8 @@ def node_jaccard(
         item_deg.filter(F.col("__idf") <= max_item_degree).select("dst"),
         "dst",
     )
+    if pair_partitions is not None:
+        pruned = pruned.repartition(pair_partitions, "dst")
     pairs = (
         pruned.alias("a")
         .join(

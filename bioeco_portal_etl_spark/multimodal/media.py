@@ -3,12 +3,15 @@
 Images/audio/video travel through the pipeline as ``BinaryType`` payload
 columns plus a typed metadata struct; decode / feature-extract runs as
 ``mapInPandas`` (Arrow batches, one Python process per task — the ONLY
-sanctioned Python hot path in the engine). The actual codec work is stubbed
-(no PIL/ffmpeg in this environment): ``decode_media_metadata`` derives
-deterministic fake dimensions from the byte stream so the Spark-side contract
-— schema, batch shape, partitioning — is real and oracle-checkable, while
-``decode_image`` raises NotImplementedError at the exact point a codec would
-plug in.
+sanctioned Python hot path in the engine). Codec status: PNG decodes
+PIXEL-LEVEL for real via the pure-stdlib codec in :mod:`multimodal.png`
+(``decode_image``, and the ``decode_fn`` seams on the metadata/resize
+stages); other containers (JPEG/WebP, ffmpeg audio/video) still need a
+library wired at the same seams and raise until then. The default-path
+stubs (``decode_media_metadata`` with ``decode_fn=None`` etc.) derive
+deterministic fake dimensions from the byte stream so the Spark-side
+contract — schema, batch shape, partitioning — stays oracle-checkable with
+no codec at all.
 
 Scale notes: binary payloads make rows wide -> keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks stay
@@ -106,13 +109,22 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, str]:
     return w, abs(h), "bmp"
 
 
-def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """Full-pixel decode plug-point. STUB: no raster image library in this
-    environment; pass a codec into ``decode_media_metadata(decode_fn=...)``
-    (header-level, works today — see parse_bmp_header) or wire PIL here."""
+def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Full-pixel decode plug-point: (width, height, channels, rows of flat
+    8-bit samples). REAL for PNG — the pure-stdlib codec in
+    :mod:`multimodal.png` (zlib inflate + all five scanline filters) runs
+    actual raster decode with no image library. Other container formats
+    (JPEG/WebP/...) need PIL/opencv wired HERE — same signature, same
+    mapInPandas batch contract — and raise until then: the seam's error
+    contract is "raise on what you can't decode", never silent fake pixels."""
+    from bioeco_portal_etl_spark.multimodal.png import decode_png, is_png
+
+    if is_png(payload):
+        return decode_png(payload)
     raise NotImplementedError(
-        "pixel decode requires PIL/opencv; wire the codec here and keep the "
-        "mapInPandas batch contract of decode_media_metadata"
+        "only PNG decodes pixel-level in this environment (multimodal/png.py); "
+        "JPEG/WebP need PIL/opencv wired here with the same "
+        "(w, h, channels, rows) contract"
     )
 
 
@@ -121,18 +133,47 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_media(df: DataFrame, max_dim: int = 64) -> DataFrame:
+def resize_media(df: DataFrame, max_dim: int = 64, decode_fn=None) -> DataFrame:
     """Resize stage: (media_id, payload) -> thumbnail payload + dims.
 
-    The real implementation decodes, resamples, re-encodes inside the batch
-    loop (PIL.thumbnail / cv2.resize). STUB: emits a deterministic byte
-    slice with proportionally-scaled fake dims so the Spark-side contract —
-    binary-in/binary-out schema, Arrow batch shape, size reduction — is real
-    and testable."""
+    ``decode_fn`` is the REAL-CODEC SEAM: ``bytes -> (width, height,
+    channels, rows)`` (the :func:`decode_image` signature — PNG works
+    pixel-level today via multimodal/png.py). When given, each payload is
+    actually decoded, nearest-neighbor downsampled to fit ``max_dim``
+    (aspect-preserving, no upscale), and re-encoded as PNG — a genuine
+    decode→resample→re-encode loop inside the Arrow batch, which is
+    exactly what a PIL-backed deployment does at this seam. With the
+    default ``None`` the deterministic stub runs instead (byte slice +
+    proportionally-scaled fake dims) so the Spark-side contract —
+    binary-in/binary-out schema, Arrow batch shape, size reduction — stays
+    testable without any codec."""
     import pandas as pd
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.png import (
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
+            if decode_fn is not None:
+                ids, thumbs, tws, ths = [], [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    w, h, ch, rows = decode_fn(payload)
+                    tw, th, trows = resize_nearest(w, h, ch, rows, max_dim)
+                    ids.append(mid)
+                    thumbs.append(encode_png(trows, channels=ch))
+                    tws.append(tw)
+                    ths.append(th)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "thumb": thumbs,
+                        "thumb_width": tws,
+                        "thumb_height": ths,
+                    }
+                )
+                continue
             n = pdf["payload"].map(len)
             w = n % FAKE_W_MOD + FAKE_DIM_OFF
             h = n // FAKE_H_DIV % FAKE_H_MOD + FAKE_DIM_OFF
@@ -277,7 +318,15 @@ def scene_cuts(
     reads the payload as u8 "pixels" in ``frame_bytes`` windows. Frame
     mean is integer floor division (non-negative); frame 0 is never a
     cut. Same contract as the other media stages: payload never leaves
-    the Arrow batch, only typed rows return."""
+    the Arrow batch, only typed rows return.
+
+    ASCII-payload assumption (same caveat as audio_frame_features): the
+    default decode windows over UTF-8 *bytes*, while the mm5 catalog
+    oracle windows over per-character codepoints (substr/unicode) —
+    frame boundaries and means agree only while payloads are ASCII
+    (one byte == one codepoint). A non-ASCII corpus must supply a
+    ``decode_fn`` (or the oracle must window bytewise) or the mm5 hash
+    gate silently diverges."""
     import pandas as pd
 
     def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

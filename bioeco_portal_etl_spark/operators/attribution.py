@@ -33,9 +33,13 @@ def attribute_conversions(
     type_col: str,
     value_col: str,
     conversion_type: str,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Per-channel (ft/lt conversions, ft/lt revenue) for ``conversion_type``
     events, attributed to the user's first / most recent OTHER event type.
+
+    ``id_col`` is the unique-id tie-break for same-timestamp events (same
+    parameterization as markov_transitions / cusum_drift).
 
     Output: (channel, ft_conversions, ft_revenue, lt_conversions,
     lt_revenue) — channels with zero touches on one model surface 0/0.0.
@@ -44,7 +48,7 @@ def attribute_conversions(
     touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
     w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col, "event_id")
+        .orderBy(ts_col, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     conv = (

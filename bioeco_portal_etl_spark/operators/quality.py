@@ -13,8 +13,12 @@ runs.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+
+_CHECK_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def completeness(col: str) -> Column:
@@ -35,7 +39,16 @@ def violations(pred: Column) -> Column:
 def profile_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Evaluate all ``checks`` (name -> BIGINT aggregate Column) in one
     pass; returns the long-format report (check, value) — one row per
-    check, ordered by name for deterministic output."""
+    check, ordered by name for deterministic output.
+
+    Check names are interpolated into a ``stack()`` SQL string, so they
+    are restricted to ``[A-Za-z0-9_]+`` — a quote/backtick in a name
+    would otherwise produce a parse error or a malformed report."""
+    bad = [n for n in checks if not _CHECK_NAME.match(n)]
+    if bad:
+        raise ValueError(
+            f"check names must match [A-Za-z0-9_]+, got: {bad!r}"
+        )
     agg = df.agg(
         *[c.cast("long").alias(name) for name, c in checks.items()]
     )

@@ -392,6 +392,7 @@ def main() -> None:
                 ),
                 min_common=2,
                 max_item_degree=64,
+                pair_partitions=256,
             )
         ),
     }

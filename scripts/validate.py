@@ -21,7 +21,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tests.oracle import compare, spark_signature  # noqa: E402
+from tests.oracle import (  # noqa: E402
+    OraclePortabilityError,
+    assert_portable_types,
+    compare,
+    spark_signature,
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -76,6 +81,17 @@ def main() -> int:
             status = "rows-only" if ok else "FAIL"
             detail[name] = {"mode": "rows-only", "ok": ok, "spark_rows": rn}
         else:
+            # Machine-enforced portability rule (PORTABILITY.md): an oracle
+            # whose output schema surfaces HUGEINT/UHUGEINT/DECIMAL fails
+            # HERE, before the external driver's differing stringification
+            # can turn it into a silent hash-red (round-4 postmortem).
+            try:
+                assert_portable_types(con, oracles[name], name=name)
+            except OraclePortabilityError as e:
+                fails.append(name)
+                detail[name] = {"mode": "oracle", "ok": False, "lint": str(e)}
+                print(f"{name}: FAIL {e}")
+                continue
             r = compare(fn(spark, args.sf_dir), con, oracles[name])
             ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
             status = "OK" if ok else f"FAIL {r}"

@@ -1,9 +1,46 @@
 """Local replica of the driver's DuckDB-oracle comparison: row count, sorted
-column names, and an order-insensitive value hash over stringified cells."""
+column names, and an order-insensitive value hash over stringified cells.
+
+Portability guard (round-5): the external driver's hash normalization
+stringifies DuckDB HUGEINT/DECIMAL surfaces differently from a plain
+``fetchall`` (Arrow/decimal fetch path), which made 3 round-4 oracles
+driver-red while locally green. ``duck_signature`` therefore DESCRIBEs
+every oracle and *raises* on non-portable output types, so the local
+harness flags type drift instead of forgiving it (PORTABILITY.md rule,
+now machine-enforced)."""
 
 from __future__ import annotations
 
+import decimal
 import math
+
+#: DuckDB output types whose cross-harness stringification is not stable.
+NON_PORTABLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+class OraclePortabilityError(ValueError):
+    """An oracle's output schema or a fetched cell is of a type the external
+    driver may stringify differently than this harness (HUGEINT / DECIMAL /
+    out-of-int64 integer)."""
+
+
+def assert_portable_types(con, sql: str, *, name: str = "<oracle>") -> None:
+    """DESCRIBE ``sql`` and raise if any output column is HUGEINT/UHUGEINT/
+    DECIMAL — the builder must CAST those surfaces (``::BIGINT`` for integer
+    sums, ``::DOUBLE`` for money) before the driver gate sees them."""
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    bad = [
+        (cname, ctype)
+        for cname, ctype, *_ in rows
+        if any(t in str(ctype).upper() for t in NON_PORTABLE_TYPES)
+    ]
+    if bad:
+        raise OraclePortabilityError(
+            f"{name}: non-portable oracle output type(s) {bad}; cast integer "
+            "sums ::BIGINT and money ::DOUBLE (see PORTABILITY.md)"
+        )
 
 
 def _norm_cell(v) -> str:
@@ -11,6 +48,18 @@ def _norm_cell(v) -> str:
         return "\0NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        # Never silently format like an int/float: a Decimal cell means a
+        # DECIMAL/HUGEINT oracle surface leaked through — surface it.
+        raise OraclePortabilityError(
+            f"Decimal cell {v!r} reached the hash normalizer; cast the "
+            "oracle surface (::DOUBLE / ::BIGINT)"
+        )
+    if isinstance(v, int) and not (_INT64_MIN <= v <= _INT64_MAX):
+        raise OraclePortabilityError(
+            f"out-of-int64 integer cell {v!r} (HUGEINT-shaped); cast the "
+            "oracle surface ::BIGINT"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -34,6 +83,7 @@ def spark_signature(df) -> tuple[int, list[str], int]:
 
 
 def duck_signature(con, sql: str):
+    assert_portable_types(con, sql)
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()

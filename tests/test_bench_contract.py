@@ -1,0 +1,47 @@
+"""Pin bench.py's driver-facing output contract. Round 4's final stdout line
+carried all 125 per-query timings (~4 kB); the external driver keeps only the
+last ~2000 chars of stdout, so `BENCH_r04.json` recorded `parsed: null` and
+the round published no bench number. The final line must stay compact and
+parseable no matter how large the catalog grows."""
+
+import json
+
+import bench
+from bioeco_portal_etl_spark import catalog
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"very_long_query_name_family_{i:04d}": 123.456 for i in range(n)}
+
+
+def test_compact_line_bounded_at_large_catalog():
+    # 400 queries — far past any realistic catalog size.
+    line = bench.compact_line(_fake_timings(400), 0.1, 14.8, 1.9)
+    assert len(line) < 1500
+    d = json.loads(line)
+    assert d["metric"] == "headline_suite_wall_clock"
+    assert d["unit"] == "sec"
+    assert d["n_queries"] == 400
+    assert len(d["queries"]) == 10  # top-10 slowest only
+    assert d["value"] == round(123.456 * 400, 3)
+    assert d["stable26_sec"] == 14.8 and d["calibration_sec"] == 1.9
+
+
+def test_compact_line_keeps_slowest():
+    t = _fake_timings(50)
+    t["the_slow_one"] = 999.0
+    d = json.loads(bench.compact_line(t, 0.1, 1.0, 1.0))
+    assert "the_slow_one" in d["queries"]
+
+
+def test_bench_list_covers_catalog_batch_faces():
+    """Every batch-faced catalog entry is benched (VERDICT r4 item 7).
+    Streaming w* entries each time a full availableNow drain and are included
+    explicitly; anything newly added to the catalog must land here too."""
+    qnames = set(catalog.queries())
+    benched = set(bench.BENCH_QUERIES)
+    missing = qnames - benched
+    assert not missing, f"catalog entries without bench coverage: {sorted(missing)}"
+    # and bench doesn't reference queries that no longer exist
+    stale = benched - qnames
+    assert not stale, f"bench references unknown queries: {sorted(stale)}"

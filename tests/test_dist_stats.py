@@ -127,3 +127,17 @@ def test_profile_checks_one_pass_report(spark):
         "dup_id": 1,
         "nonpositive_amount": 1,
     }
+
+
+def test_profile_checks_rejects_unsafe_names(spark):
+    """Check names are interpolated into a stack() SQL string, so anything
+    outside [A-Za-z0-9_]+ must be rejected up front (round-4 ADVICE) —
+    not parsed into a malformed report."""
+    import pytest
+
+    from bioeco_portal_etl_spark.operators.quality import profile_checks
+
+    df = spark.createDataFrame([(1,)], "id long")
+    for bad in ("n'rows", "a`b", "x y", "semi;colon", ""):
+        with pytest.raises(ValueError, match="check names"):
+            profile_checks(df, {bad: F.count(F.lit(1))})

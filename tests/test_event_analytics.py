@@ -69,6 +69,33 @@ def test_attribution_purchase_never_self_credits(spark):
     assert out[0]["lt_conversions"] == 1 and out[0]["lt_revenue"] == 2.0
 
 
+def test_attribution_custom_id_col(spark):
+    """The tie-break id column is a parameter (round-4 ADVICE): a stream
+    whose unique id is NOT named event_id must work, and same-timestamp
+    touches must resolve by id order."""
+    from bioeco_portal_etl_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    rows = [
+        # same-ts touches: id order decides ft=click, lt=view
+        (1, _ts(1, 1), 1, "click", 0.0),
+        (2, _ts(1, 1), 1, "view", 0.0),
+        (3, _ts(1, 2), 1, "purchase", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["channel"]: r.asDict()
+        for r in attribute_conversions(
+            df, "user_id", "ts", "event_type", "value", "purchase", id_col="uid"
+        ).collect()
+    }
+    assert got["click"]["ft_conversions"] == 1
+    assert got["view"]["lt_conversions"] == 1
+
+
 def test_cohort_retention_triangle(spark):
     from bioeco_portal_etl_spark.operators.cohorts import cohort_retention
 

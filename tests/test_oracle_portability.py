@@ -1,0 +1,82 @@
+"""The round-4 driver gate went red on 3 oracles whose DuckDB SQL surfaced
+HUGEINT (unguarded ``sum(BIGINT)`` / ``list_sum`` / int-division-of-sum):
+the driver's hash normalization stringifies HUGEINT/DECIMAL differently than
+a plain ``fetchall``, so the local harness was green while the driver was
+red.  These tests pin the machine-enforcement added in round 5: the local
+harness must *flag* oracle type drift, not forgive it."""
+
+import decimal
+
+import duckdb
+import pytest
+
+from tests.oracle import (
+    NON_PORTABLE_TYPES,
+    OraclePortabilityError,
+    _norm_cell,
+    assert_portable_types,
+    duck_signature,
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE t AS SELECT * FROM range(5) r(i)")
+    return c
+
+
+def test_lint_fails_on_sum_bigint(con):
+    # DuckDB promotes sum(BIGINT) -> HUGEINT: the exact round-4 failure shape.
+    with pytest.raises(OraclePortabilityError, match="HUGEINT"):
+        assert_portable_types(con, "SELECT sum(i) AS s FROM t", name="inj")
+
+
+def test_lint_fails_on_list_sum(con):
+    with pytest.raises(OraclePortabilityError):
+        assert_portable_types(
+            con, "SELECT list_sum([i, i]) AS s FROM t", name="inj"
+        )
+
+
+def test_lint_fails_on_decimal_surface(con):
+    with pytest.raises(OraclePortabilityError, match="DECIMAL"):
+        assert_portable_types(
+            con, "SELECT CAST(i AS DECIMAL(18,2)) AS d FROM t", name="inj"
+        )
+
+
+def test_lint_passes_on_cast_bigint(con):
+    assert_portable_types(
+        con, "SELECT CAST(sum(i) AS BIGINT) AS s FROM t", name="ok"
+    )
+    # count(*) is BIGINT, avg is DOUBLE — both portable.
+    assert_portable_types(
+        con, "SELECT count(*) AS c, avg(i) AS a FROM t", name="ok"
+    )
+
+
+def test_duck_signature_enforces_lint(con):
+    with pytest.raises(OraclePortabilityError):
+        duck_signature(con, "SELECT sum(i) AS s FROM t")
+
+
+def test_norm_cell_raises_on_decimal():
+    with pytest.raises(OraclePortabilityError):
+        _norm_cell(decimal.Decimal("1.50"))
+
+
+def test_norm_cell_raises_on_out_of_int64():
+    with pytest.raises(OraclePortabilityError):
+        _norm_cell(2**63)  # HUGEINT-shaped
+    with pytest.raises(OraclePortabilityError):
+        _norm_cell(-(2**63) - 1)
+
+
+def test_norm_cell_accepts_int64_bounds():
+    assert _norm_cell(2**63 - 1) == str(2**63 - 1)
+    assert _norm_cell(-(2**63)) == str(-(2**63))
+
+
+def test_non_portable_type_list_is_closed():
+    assert NON_PORTABLE_TYPES == ("HUGEINT", "UHUGEINT", "DECIMAL")
