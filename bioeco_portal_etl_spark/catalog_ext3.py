@@ -867,11 +867,11 @@ def gr5_node_similarity(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        # pair_partitions=256 pins the pair-expansion width in-plan so the
+        # pair_partitions=512 pins the pair-expansion width in-plan so the
         # Σ deg² stream never spills at one-task-per-32nd of the data (the
         # round-4 10x probe's 13.9x outlier); AQE coalesces the surplus at
         # small SF
-        node_jaccard(edges, min_common=2, max_item_degree=64, pair_partitions=256)
+        node_jaccard(edges, min_common=2, max_item_degree=64, pair_partitions=512)
         .orderBy(F.desc("jaccard_e4"), "src_a", "src_b")
         .limit(100)
     )

@@ -32,17 +32,28 @@ def node_jaccard(
     <= ``max_item_degree``. jaccard = common / (deg_a + deg_b - common),
     floor-e4 on non-negative longs.
 
-    ``pair_partitions`` widens the pair-expansion stage: the self-join's
-    per-task output is Σ deg(dst)² over the dsts hashed to that task, so
-    at the session's default shuffle width a 10× input can push a task's
-    expanded pair stream past executor memory and into spill (the round-4
-    probe measured 3.9×–13.9× run-to-run variance at 10× from exactly
-    this). An explicit ``repartition(n, dst)`` pins the join width in the
-    PLAN (a scoped conf can't — the catalog returns lazy frames that
-    execute after the scope closes), shrinking per-task pair volume; the
-    partial aggregate on (src_a, src_b) then shrinks each task's output
-    to its distinct-pair count before the final exchange. Size it like a
-    shuffle: total expanded pairs / (a few hundred MB of rows)."""
+    ``pair_partitions`` widens the TWO pair-sized stages in the PLAN (a
+    scoped conf can't — the catalog returns lazy frames that execute
+    after the scope closes):
+
+    1. ``repartition(n, dst)`` on the pruned edges before the self-join,
+       so a task's expanded output (Σ deg(dst)² over its dsts) stays
+       memory-bounded — at the session's default width a 10× input
+       pushed tasks into spill (round-4 probe: 3.9×–13.9× run-to-run
+       variance from exactly this).
+    2. ``repartition(n, src_a, src_b)`` on the raw pair stream before
+       the count aggregate. This matters MORE than (1): a pair's
+       duplicate occurrences live under *different* dst values, i.e. in
+       different join tasks, so the map-side partial aggregate combines
+       almost nothing and ~the whole pair stream funnels into the final
+       exchange — at the session's default width that meant 32 final-agg
+       tasks each sort/spilling 1/32nd of the pair stream (measured 4×
+       the whole-query time of the widened plan at 10×). The explicit
+       repartition satisfies the aggregate's distribution requirement,
+       so the agg runs complete at width n with no further exchange.
+
+    Size it like a shuffle: total expanded pairs / (a few hundred MB of
+    rows per task)."""
     e = edges.select("src", "dst").distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     item_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("__idf"))
@@ -52,16 +63,21 @@ def node_jaccard(
     )
     if pair_partitions is not None:
         pruned = pruned.repartition(pair_partitions, "dst")
-    pairs = (
+    raw_pairs = (
         pruned.alias("a")
         .join(
             pruned.alias("b"),
             (F.col("a.dst") == F.col("b.dst"))
             & (F.col("a.src") < F.col("b.src")),
         )
-        .groupBy(
+        .select(
             F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
         )
+    )
+    if pair_partitions is not None:
+        raw_pairs = raw_pairs.repartition(pair_partitions, "src_a", "src_b")
+    pairs = (
+        raw_pairs.groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )

@@ -87,7 +87,10 @@ def scaled(df, n, key_cols):
 
 
 def main() -> None:
+    # usage: scale_probe.py [N] [case-substring ...] — with substrings,
+    # probe only matching cases (targeted re-runs of a flagged operator)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -392,12 +395,16 @@ def main() -> None:
                 ),
                 min_common=2,
                 max_item_degree=64,
-                pair_partitions=256,
+                pair_partitions=512,
             )
         ),
     }
 
     results = {}
+    if only:
+        cases = {
+            k: v for k, v in cases.items() if any(s in k for s in only)
+        }
     for name, mk in cases.items():
         for s in (1, n):
             mk(s).write.format("noop").mode("overwrite").save()  # warm
