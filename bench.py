@@ -193,6 +193,11 @@ BENCH_QUERIES = [
     "x4_source_cap",
     "x5_chunk_windows",
     "x6_corpus_stats",
+    # round-5 additions
+    "gr6_dup_components",
+    "dq3_split_leakage",
+    "x22_incremental_agg",
+    "mm6_png_channel_stats",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

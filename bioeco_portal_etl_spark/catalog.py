@@ -931,6 +931,7 @@ _CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext2 import CATALOG_EXT2  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext3 import CATALOG_EXT3  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext4 import CATALOG_EXT4  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
@@ -938,6 +939,7 @@ from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 _CATALOG.update(CATALOG_EXT)
 _CATALOG.update(CATALOG_EXT2)
 _CATALOG.update(CATALOG_EXT3)
+_CATALOG.update(CATALOG_EXT4)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -972,6 +974,11 @@ _GATE_FIRST = [
     "gr1_pagerank",
     "tx12_vocab_growth",
     "mm4_audio_energy",
+    # (2b) NEW round-5 entries — least-proven code gates the round it ships:
+    "gr6_dup_components",
+    "dq3_split_leakage",
+    "x22_incremental_agg",
+    "mm6_png_channel_stats",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1005,12 +1012,13 @@ _GATE_FIRST = [
     "x1_salted_agg",
     "tx1_token_counts",
     "tx2_language_id",
+    # ---- position 51+ below (not driver-sampled this round) ----
+    # r2 rotation overflow (displaced by the 4 new round-5 entries) and
+    # the simplest r2 remainder, next in line for round 6:
     "tx3_quality",
     "tx7_top_bigrams",
     "tx8_length_quantiles",
     "tx10_tfidf_top_terms",
-    # ---- position 51+ below (not driver-sampled this round) ----
-    # simplest r2 remainder, next in line for round 6:
     "p1_select_rename",
     "p6_recode_passthrough",
     "p7_str_trunc",

@@ -128,6 +128,89 @@ def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     )
 
 
+# Deterministic synthetic raster: dims and per-pixel channel values derive
+# from the id alone, so an oracle can compute ground-truth statistics with
+# PURE ARITHMETIC (no codec) while the Spark side must round-trip the same
+# values through a REAL PNG encode->decode. Single source of truth for both
+# synth_rgb_png below and the MM6 oracle SQL (catalog_ext4 builds the SQL
+# from these constants): w = W_BASE + id % W_MOD, h = H_BASE + id % H_MOD,
+# v(id, x, y, c) = (id*7 + x*3 + y*5 + c*11) % 256.
+SYNTH_W_BASE, SYNTH_W_MOD = 8, 5
+SYNTH_H_BASE, SYNTH_H_MOD = 6, 3
+
+
+def synth_rgb_png(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, payload) with payload a REAL RGB PNG (multimodal/png.py
+    encoder) of the deterministic gradient above — the harness source for
+    pixel-level stages in an environment with no image corpus: every
+    downstream number is independently recomputable from the id."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.png import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = SYNTH_W_BASE + mid % SYNTH_W_MOD
+                h = SYNTH_H_BASE + mid % SYNTH_H_MOD
+                rows = [
+                    [
+                        (mid * 7 + x * 3 + y * 5 + c * 11) % 256
+                        for x in range(w)
+                        for c in range(3)
+                    ]
+                    for y in range(h)
+                ]
+                ids.append(mid)
+                blobs.append(encode_png(rows, channels=3))
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+CHANNEL_STATS_SCHEMA = (
+    "media_id long, channel long, n_px long, mean_v long, min_v long, max_v long"
+)
+
+
+def png_channel_stats(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> per-channel pixel statistics via a FULL
+    :func:`decode_image` raster reconstruction inside the Arrow batch:
+    n_px, floor mean, min, max per channel — the per-image QA numbers an
+    image-curation pipeline gates on (dead channels, clipped exposure).
+    All integer arithmetic, so results are engine-exact for an oracle
+    that knows the source pixels. Payload never returns to the JVM."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, chans, ns, means, mins, maxs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, rows = decode_image(bytes(payload))
+                for c in range(ch):
+                    vals = [r[i] for r in rows for i in range(c, len(r), ch)]
+                    ids.append(mid)
+                    chans.append(c)
+                    ns.append(len(vals))
+                    means.append(sum(vals) // len(vals))
+                    mins.append(min(vals))
+                    maxs.append(max(vals))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "channel": chans,
+                    "n_px": ns,
+                    "mean_v": means,
+                    "min_v": mins,
+                    "max_v": maxs,
+                }
+            )
+
+    return df.mapInPandas(stats, schema=CHANNEL_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = (
     "media_id long, thumb binary, thumb_width long, thumb_height long"
 )
