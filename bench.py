@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "dq3_split_leakage",
     "x22_incremental_agg",
     "mm6_png_channel_stats",
+    "ts9_recall_at_k",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -979,6 +979,7 @@ _GATE_FIRST = [
     "dq3_split_leakage",
     "x22_incremental_agg",
     "mm6_png_channel_stats",
+    "ts9_recall_at_k",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1011,10 +1012,10 @@ _GATE_FIRST = [
     "ts6_ivfpq_topk",
     "x1_salted_agg",
     "tx1_token_counts",
-    "tx2_language_id",
     # ---- position 51+ below (not driver-sampled this round) ----
-    # r2 rotation overflow (displaced by the 4 new round-5 entries) and
+    # r2 rotation overflow (displaced by the 5 new round-5 entries) and
     # the simplest r2 remainder, next in line for round 6:
+    "tx2_language_id",
     "tx3_quality",
     "tx7_top_bigrams",
     "tx8_length_quantiles",

@@ -277,9 +277,117 @@ GROUP BY doc_id, channel
 ORDER BY media_id, channel"""
 
 
+# ---------------------------------------------------------------------------
+# ts9 — ANN quality measurement: recall@k of IVF vs exact
+# ---------------------------------------------------------------------------
+
+
+def ts9_recall_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query recall@5 of the IVF index (ts3 configuration: injected
+    centroids vec_id<8, nprobe=2) against brute-force cosine (ts1) — the
+    accept/reject number every ANN deployment tracks before trading exact
+    search for the bucketed path. Both sides are the engine's own
+    operators; the measurement is a key-join of two top-k tables (query
+    count × k rows each — tiny regardless of corpus size)."""
+    from bioeco_portal_etl_spark.catalog_ext import _query_vectors
+    from bioeco_portal_etl_spark.similarity.ivf import ivf_topk
+    from bioeco_portal_etl_spark.similarity.knn import cosine_topk
+
+    e = T(spark, sf, "embeddings")
+    q = _query_vectors(spark, sf)
+    exact = cosine_topk(e, q, "embedding", "vec_id", k=5).select(
+        "query_id", "match_id"
+    )
+    approx = ivf_topk(
+        e,
+        q,
+        e.filter(F.col("vec_id") < 8),
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=2,
+    ).select("query_id", "match_id", F.lit(1).alias("__hit"))
+    return (
+        exact.join(approx, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(10000 * n_hits) div n_exact").alias("recall_e4"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ts9_sql() -> str:
+    from bioeco_portal_etl_spark.catalog_ext import _DUCK_COS, _DUCK_VEC
+
+    return f"""
+WITH {_DUCK_VEC},
+xp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         floor(({_DUCK_COS}) * 10000)::BIGINT AS score_e4
+  FROM (SELECT * FROM n WHERE vec_id < 10) q
+  JOIN n c ON q.vec_id <> c.vec_id
+),
+exact AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e4 DESC, match_id) AS rank
+    FROM xp)
+  WHERE rank <= 5
+),
+cent AS (SELECT vec_id AS cell_id, e, nrm FROM n WHERE vec_id < 8),
+ca AS (
+  SELECT x.vec_id AS cid, x.e AS xe, x.nrm AS xn, c.cell_id,
+         floor(
+           list_reduce(list_transform(range(1, 65), i -> x.e[i] * c.e[i]),
+                       (a, b) -> a + b) / (x.nrm * c.nrm) * 10000)::BIGINT AS c_score
+  FROM n x CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c_score DESC, cell_id) AS rk
+  FROM ca
+),
+assigned AS (SELECT cell_id, cid, xe, xn FROM ranked WHERE rk = 1),
+probes AS (SELECT cell_id, cid AS q_id, xe AS qe, xn AS qn
+           FROM ranked WHERE cid < 10 AND rk <= 2),
+ap AS (
+  SELECT pr.q_id AS query_id, a.cid AS match_id,
+         floor(
+           list_reduce(list_transform(range(1, 65), i -> pr.qe[i] * a.xe[i]),
+                       (x, y) -> x + y) / (pr.qn * a.xn) * 10000)::BIGINT AS score_e4
+  FROM probes pr JOIN assigned a USING (cell_id)
+  WHERE pr.q_id <> a.cid
+),
+approx AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e4 DESC, match_id) AS rank
+    FROM ap)
+  WHERE rank <= 5
+)
+SELECT e.query_id,
+       count(*)::BIGINT AS n_exact,
+       CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((10000 * sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS recall_e4
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.match_id = e.match_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
+
 CATALOG_EXT4 = {
     "gr6_dup_components": (gr6_dup_components, _gr6_sql()),
     "dq3_split_leakage": (dq3_split_leakage, _dq3_sql()),
     "x22_incremental_agg": (x22_incremental_agg, X22_SQL),
     "mm6_png_channel_stats": (mm6_png_channel_stats, _mm6_sql()),
+    "ts9_recall_at_k": (ts9_recall_at_k, _ts9_sql()),
 }

@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
 
 from bioeco_portal_etl_spark.session import get_spark  # noqa: E402
 from bioeco_portal_etl_spark.sources.files import read_parquet_table  # noqa: E402
@@ -59,6 +60,13 @@ from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     token_entropy_table,
 )
 from bioeco_portal_etl_spark.graph.similarity import node_jaccard  # noqa: E402
+from bioeco_portal_etl_spark.graph.cc import connected_components  # noqa: E402
+from bioeco_portal_etl_spark.operators.leakage import split_leakage  # noqa: E402
+from bioeco_portal_etl_spark.operators.sampling import hash_split  # noqa: E402
+from bioeco_portal_etl_spark.operators.incremental import (  # noqa: E402
+    merge_aggs,
+    partial_agg,
+)
 from bioeco_portal_etl_spark.operators.stats import equi_depth_bins  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     containment_pairs,
@@ -396,6 +404,64 @@ def main() -> None:
                 min_common=2,
                 max_item_degree=64,
                 pair_partitions=512,
+            )
+        ),
+        # round-5: CC is iterative — scaling must not add ROUNDS (disjoint
+        # copies keep component diameter constant), only per-round volume
+        "connected_components": (
+            lambda s: connected_components(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"]))
+                .select(
+                    "doc_id",
+                    F.coalesce("text", F.lit("")).alias("t"),
+                    F.col("lang"),
+                )
+                .select(
+                    F.md5(F.substring("t", 1, 100)).alias("h"), "doc_id"
+                )
+                .withColumn("m", F.min("doc_id").over(Window.partitionBy("h")))
+                .filter(F.col("doc_id") != F.col("m"))
+                .select(F.col("m").alias("src"), F.col("doc_id").alias("dst"))
+            )
+        ),
+        # one md5 + one combinable groupBy; output = leaked hashes only
+        "split_leakage": (
+            lambda s: split_leakage(
+                hash_split(
+                    (docs if s == 1 else scaled(docs, s, ["doc_id"])),
+                    "doc_id",
+                ),
+                "doc_id",
+                "text",
+                "split",
+            )
+        ),
+        # merge of two agg-cardinality tables: cost ~ group count, which
+        # scales with the month keys, never with base row count
+        "incremental_agg": (
+            lambda s: (
+                lambda o: merge_aggs(
+                    partial_agg(
+                        o.filter(F.col("o_orderdate") < "1997-01-01"),
+                        ["o_orderpriority", "order_month"],
+                        "o_totalprice",
+                    ),
+                    partial_agg(
+                        o.filter(F.col("o_orderdate") >= "1997-01-01"),
+                        ["o_orderpriority", "order_month"],
+                        "o_totalprice",
+                    ),
+                    ["o_orderpriority", "order_month"],
+                )
+            )(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"])).select(
+                    "o_orderpriority",
+                    F.date_format("o_orderdate", "yyyy-MM").alias(
+                        "order_month"
+                    ),
+                    "o_orderdate",
+                    "o_totalprice",
+                )
             )
         ),
     }

@@ -277,3 +277,56 @@ def test_ts8_mmr_python_sees_only_shortlist(spark):
     plan = _physical(spark, "ts8_mmr_rerank")
     assert plan.count("MapInPandas") == 1
     assert "row_number" in plan.lower()  # shortlist rank window upstream
+
+
+def test_dq3_leakage_single_shuffle_partial_agg(spark):
+    """The leakage audit is one md5 projection + ONE hash aggregate: a
+    single Exchange (the groupBy on content_hash), partial aggregation
+    map-side, no join, no window — at 100 TB that's one shuffle of
+    (hash, flag) pairs and nothing else."""
+    from bioeco_portal_etl_spark.operators.leakage import split_leakage
+    from bioeco_portal_etl_spark.operators.sampling import hash_split
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    d = read_parquet_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    out = split_leakage(hash_split(d, "doc_id"), "doc_id", "text", "split")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # map-side combine before the one shuffle
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_x22_merge_never_rescans_base_rows(spark):
+    """Incremental maintenance contract in the plan: the merge joins two
+    AGGREGATED (group-cardinality) relations — every scan is followed by
+    a partial aggregate BEFORE any join, so the join inputs are rollup-
+    sized, never row-sized."""
+    plan = _physical(spark, "x22_incremental_agg")
+    assert "partial_count" in plan  # both sides pre-aggregated
+    # the full-outer merge join exists, and no cartesian anywhere
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mm6_payload_stays_inside_python_stages(spark):
+    """The PNG payload is born in one mapInPandas stage and consumed by the
+    next: it must not survive into the output schema, and the final sort
+    shuffles only the six stat columns."""
+    df = catalog.queries()["mm6_png_channel_stats"](spark, SF_SMOKE)
+    assert "payload" not in df.columns
+    assert [f.name for f in df.schema.fields] == [
+        "media_id", "channel", "n_px", "mean_v", "min_v", "max_v",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # doc_id predicate reached the parquet scan (only <200 ids decode)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "doc_id" in scan
+
+
+def test_gr6_star_edges_stay_linear(spark):
+    """The dup-components entry never materializes all-pairs: edges come
+    from min-over-window stars (|group|-1 edges per block). The optimized
+    plan must contain window mins over the two hash keys and no cartesian
+    or nested-loop join anywhere in the edge build."""
+    plan = _optimized(spark, "gr6_dup_components")
+    assert "Cartesian" not in plan and "Nested" not in plan
