@@ -26,7 +26,7 @@ rollups from scratch each run — `notebooks/index.Rmd` is single-shot).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 #: maintained-state columns produced by partial_agg / consumed by merge_aggs
 STATE_COLS = ("n_rows", "sum_val", "min_val", "max_val")
@@ -51,19 +51,21 @@ def merge_aggs(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
     identical to partial_agg over the concatenated inputs."""
     b, d = base.alias("b"), delta.alias("d")
     merged = b.join(d, keys, "full_outer")
-    zero = F.lit(0).cast("decimal(28,6)")
-
-    def _sum(col: str) -> Column:
-        return F.coalesce(F.col(f"b.{col}"), F.lit(0)) + F.coalesce(
-            F.col(f"d.{col}"), F.lit(0)
-        )
 
     return merged.select(
         *keys,
-        _sum("n_rows").alias("n_rows"),
         (
-            F.coalesce(F.col("b.sum_val"), zero)
-            + F.coalesce(F.col("d.sum_val"), zero)
+            F.coalesce(F.col("b.n_rows"), F.lit(0))
+            + F.coalesce(F.col("d.n_rows"), F.lit(0))
+        ).alias("n_rows"),
+        # SUM partials merge as coalesce(b+d, b, d): both present → add;
+        # one side absent/all-null → the other; both null → NULL (a group
+        # whose every value is NULL must keep sum NULL, exactly like a
+        # from-scratch SUM — coalescing to 0 here silently fabricates a 0)
+        F.coalesce(
+            F.col("b.sum_val") + F.col("d.sum_val"),
+            F.col("b.sum_val"),
+            F.col("d.sum_val"),
         ).alias("sum_val"),
         F.least(
             F.coalesce(F.col("b.min_val"), F.col("d.min_val")),
