@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "x22_incremental_agg",
     "mm6_png_channel_stats",
     "ts9_recall_at_k",
+    "mm7_wav_clip_stats",
+    "x23_scd2_history",
+    "tx20_winnow_fingerprints",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -932,6 +932,7 @@ from bioeco_portal_etl_spark.catalog_ext import CATALOG_EXT  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext2 import CATALOG_EXT2  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext3 import CATALOG_EXT3  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext4 import CATALOG_EXT4  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext5 import CATALOG_EXT5  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
@@ -940,6 +941,7 @@ _CATALOG.update(CATALOG_EXT)
 _CATALOG.update(CATALOG_EXT2)
 _CATALOG.update(CATALOG_EXT3)
 _CATALOG.update(CATALOG_EXT4)
+_CATALOG.update(CATALOG_EXT5)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -980,6 +982,9 @@ _GATE_FIRST = [
     "x22_incremental_agg",
     "mm6_png_channel_stats",
     "ts9_recall_at_k",
+    "mm7_wav_clip_stats",
+    "x23_scd2_history",
+    "tx20_winnow_fingerprints",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1,0 +1,205 @@
+"""Round-5 catalog extensions, second batch — 3 entries:
+
+- mm7_wav_clip_stats: per-clip PCM statistics through a REAL mono-16-bit
+  WAV encode->decode round-trip (multimodal/wavpcm.py, stdlib wave) — the
+  audio twin of mm6: the oracle recomputes the deterministic samples with
+  pure SQL arithmetic, so a hash match proves the container codec path
+  end-to-end on genuine RIFF bytes;
+- x23_scd2_history: type-2 slowly-changing-dimension history built from
+  the event log (operators/scd.py) — change-point collapse + lead-stitched
+  validity intervals, the point-in-time-state primitive;
+- tx20_winnow_fingerprints: winnowing (Schleimer–Wilkerson–Aiken / MOSS)
+  rolling k-gram fingerprints with window-min selection (text/winnow.py) —
+  the positional fingerprint scheme for substring-level overlap, distinct
+  from MinHash's bag-of-shingles similarity.
+
+Same contract as catalog.py: (spark_fn, oracle_sql) pairs over the
+driver's synthetic tables, aliased identically on both sides, ending in a
+deterministic ORDER BY; integer surfaces BIGINT-cast per PORTABILITY.md
+(machine-enforced by tests/oracle.py's type lint).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bioeco_portal_etl_spark.sources.files import read_parquet_table as T
+
+# ---------------------------------------------------------------------------
+# mm7 — WAV codec round-trip proven by clip statistics
+# ---------------------------------------------------------------------------
+
+
+def mm7_wav_clip_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence/clipping/voicing triage stats through the REAL audio codec:
+    deterministic sawtooth PCM is encoded to genuine RIFF/WAVE bytes
+    (multimodal/wavpcm.py) in one mapInPandas stage, then fully parsed
+    back and reduced to (n_samples, energy, min, max, zero-crossings) in a
+    second — a binary column crossing a stage boundary, like a real audio
+    pipeline. The oracle recomputes the same numbers from the sample
+    FORMULA with pure SQL arithmetic; matching hashes prove encode->decode
+    is the identity on every sample."""
+    from bioeco_portal_etl_spark.multimodal.media import (
+        synth_pcm_wav,
+        wav_clip_stats,
+    )
+
+    ids = (
+        T(spark, sf, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+    return wav_clip_stats(synth_pcm_wav(ids, "doc_id")).orderBy("media_id")
+
+
+def _mm7_sql() -> str:
+    from bioeco_portal_etl_spark.multimodal.media import (
+        SYNTH_N_BASE,
+        SYNTH_N_MOD,
+    )
+
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+idx AS (
+  SELECT doc_id,
+         unnest(range(0, {SYNTH_N_BASE} + doc_id % {SYNTH_N_MOD})) AS i
+  FROM ids
+),
+smp AS (
+  SELECT doc_id, i, (doc_id * 13 + i * 7) % 2048 - 1024 AS s FROM idx
+),
+lagd AS (
+  SELECT doc_id, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p
+  FROM smp
+)
+SELECT doc_id AS media_id,
+       count(*)::BIGINT AS n_samples,
+       sum(s * s)::BIGINT AS energy,
+       min(s)::BIGINT AS min_s,
+       max(s)::BIGINT AS max_s,
+       sum(CASE WHEN p IS NOT NULL AND ((s >= 0) <> (p >= 0))
+                THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+FROM lagd
+GROUP BY doc_id
+ORDER BY media_id"""
+
+
+# ---------------------------------------------------------------------------
+# x23 — SCD2 dimension history from the event log
+# ---------------------------------------------------------------------------
+
+
+def x23_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Each user's event_type treated as a time-variant attribute:
+    operators/scd.py collapses consecutive duplicates into versions and
+    stitches [valid_from, valid_to) intervals with an open current row —
+    the SCD2 build a warehouse runs on every dimension change feed. One
+    shuffle on user_id serves both window passes."""
+    from bioeco_portal_etl_spark.operators.scd import scd2_history
+
+    e = T(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    return (
+        scd2_history(
+            e,
+            ["user_id"],
+            "event_type",
+            ["ts", "event_id"],
+            ts_col="ts",
+        )
+        .filter(F.col("user_id") < 40)
+        .orderBy("user_id", "version")
+    )
+
+
+X23_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id < 40
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id, ts AS valid_from
+  FROM c
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       row_number() OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+       CAST(CASE WHEN lead(valid_from) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM chg
+ORDER BY user_id, version"""
+
+
+# ---------------------------------------------------------------------------
+# tx20 — winnowing fingerprints (MOSS), per-doc summary
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def tx20_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc winnowing summary (text/winnow.py, k=5 char-grams, w=4
+    windows): selected-fingerprint count plus the lexicographic min/max
+    fingerprint — enough to pin the full selection set across engines
+    without shipping every (doc, fp) row through the gate. Docs shorter
+    than k+w-1 chars legitimately vanish (no complete window)."""
+    from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(
+        d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _tx20_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, length(t) - {k + w - 2} AS nw,
+         unnest(range(1, greatest(length(t) - {k - 1}, 0) + 1)) AS p
+  FROM d
+),
+g AS (SELECT doc_id, nw, p, md5(substr(t, p, {k})) AS h FROM pos),
+sel AS (
+  SELECT doc_id, p, nw,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM g
+),
+fps AS (
+  SELECT doc_id, fp, min(p) AS pos
+  FROM sel WHERE p <= nw GROUP BY doc_id, fp
+)
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+CATALOG_EXT5 = {
+    "mm7_wav_clip_stats": (mm7_wav_clip_stats, _mm7_sql()),
+    "x23_scd2_history": (x23_scd2_history, X23_SQL),
+    "tx20_winnow_fingerprints": (tx20_winnow_fingerprints, _tx20_sql()),
+}

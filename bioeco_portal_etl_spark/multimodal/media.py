@@ -438,3 +438,88 @@ def scene_cuts(
             )
 
     return df.mapInPandas(frames, schema=SCENE_CUT_SCHEMA)
+
+
+# Deterministic synthetic PCM: clip length and per-sample values derive
+# from the id alone — the audio twin of the SYNTH_* raster above. Single
+# source of truth for synth_pcm_wav below and the MM7 oracle SQL
+# (catalog_ext5 builds the SQL from these constants):
+# n = N_BASE + id % N_MOD, s(id, i) = (id*13 + i*7) % 2048 - 1024.
+SYNTH_N_BASE, SYNTH_N_MOD = 800, 257
+
+
+def synth_pcm_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, payload) with payload a REAL mono 16-bit PCM WAV
+    (multimodal/wavpcm.py encoder) of the deterministic waveform above —
+    the harness source for sample-level audio stages in an environment
+    with no audio corpus: every downstream number is independently
+    recomputable from the id."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = SYNTH_N_BASE + mid % SYNTH_N_MOD
+                ids.append(mid)
+                blobs.append(
+                    encode_wav(
+                        [(mid * 13 + i * 7) % 2048 - 1024 for i in range(n)]
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+CLIP_STATS_SCHEMA = (
+    "media_id long, n_samples long, energy long, min_s long, max_s long, "
+    "zero_cross long"
+)
+
+
+def wav_clip_stats(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> per-clip PCM statistics via a FULL
+    :func:`wavpcm.decode_wav` container parse inside the Arrow batch:
+    sample count, integer energy (sum of squares), min/max amplitude and
+    zero-crossing count — the silence/clipping/voicing triage numbers an
+    audio-curation pipeline gates on before any expensive featurizer.
+    All-integer arithmetic, so results are engine-exact for an oracle that
+    knows the source samples. Payload never returns to the JVM."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "n_samples",
+                    "energy",
+                    "min_s",
+                    "max_s",
+                    "zero_cross",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["energy"].append(sum(v * v for v in s))
+                out["min_s"].append(min(s))
+                out["max_s"].append(max(s))
+                out["zero_cross"].append(
+                    sum(
+                        1
+                        for a, b in zip(s, s[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(stats, schema=CLIP_STATS_SCHEMA)

@@ -72,6 +72,8 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     containment_pairs,
     exact_dedupe,
 )
+from bioeco_portal_etl_spark.operators.scd import scd2_history  # noqa: E402
+from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints  # noqa: E402
 
 
 def _exact_canonical(d):
@@ -462,6 +464,31 @@ def main() -> None:
                     "o_orderdate",
                     "o_totalprice",
                 )
+            )
+        ),
+        # SCD2: both windows ride one user_id shuffle; change-point filter
+        # drops unchanged rows before the stitch pass
+        "scd2_history": (
+            lambda s: scd2_history(
+                (events if s == 1 else scaled(events, s, ["user_id"])).select(
+                    "user_id", "event_type", "ts", "event_id"
+                ),
+                ["user_id"],
+                "event_type",
+                ["ts", "event_id"],
+                ts_col="ts",
+            )
+        ),
+        # winnowing: position-row explosion (∝ corpus chars) + streaming
+        # window-min + same-shuffle aggregates — the volume driver is the
+        # explode, which scales with data, not with any key cardinality
+        "winnow_fingerprints": (
+            lambda s: winnow_fingerprints(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "doc_id", "text"
+                ),
+                "doc_id",
+                "text",
             )
         ),
     }

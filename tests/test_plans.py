@@ -330,3 +330,39 @@ def test_gr6_star_edges_stay_linear(spark):
     or nested-loop join anywhere in the edge build."""
     plan = _optimized(spark, "gr6_dup_components")
     assert "Cartesian" not in plan and "Nested" not in plan
+
+
+def test_mm7_payload_stays_inside_python_stages(spark):
+    """Audio twin of the mm6 pin: WAV bytes are born in one mapInPandas
+    stage and consumed by the next — never in the output schema, and the
+    id predicate prunes the parquet scan before any synth happens."""
+    df = catalog.queries()["mm7_wav_clip_stats"](spark, SF_SMOKE)
+    assert "payload" not in df.columns
+    assert [f.name for f in df.schema.fields] == [
+        "media_id", "n_samples", "energy", "min_s", "max_s", "zero_cross",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "doc_id" in scan
+
+
+def test_x23_scd2_single_shuffle_no_join(spark):
+    """SCD2 contract: both window passes (change detection, interval
+    stitching) ride ONE shuffle on the entity key — no join, no extra
+    exchange; only the presentation sort adds a range exchange."""
+    plan = _physical(spark, "x23_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_tx20_winnow_single_shuffle_no_python(spark):
+    """Winnowing contract: k-gram explosion and md5 run in codegen (no
+    Python stage); the doc_id shuffle feeding the window-min also serves
+    BOTH downstream aggregates (doc_id is a prefix of their grouping
+    keys), so the whole operator is one hash exchange + the output sort."""
+    plan = _physical(spark, "tx20_winnow_fingerprints")
+    assert "Generate" in plan  # posexplode, not a UDF
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine on the summary agg

@@ -1,0 +1,216 @@
+"""Unit semantics for the round-5 second-batch operators — WAV codec
+round-trip, SCD2 history, winnowing fingerprints — on hand-built inputs
+where the expected output is computable by eye; the catalog oracle
+re-checks the same ops statistically at sf0.001/0.01."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+# ---------------------------------------------------------------------------
+# WAV codec (pure Python — no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    from bioeco_portal_etl_spark.multimodal.wavpcm import (
+        SAMPLE_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1000, -999, 7]
+    rate, back = decode_wav(encode_wav(samples))
+    assert back == samples
+    assert rate == SAMPLE_RATE
+
+
+def test_wav_is_real_riff():
+    """The payload must be a genuine RIFF/WAVE container, not a pickle."""
+    from bioeco_portal_etl_spark.multimodal.wavpcm import encode_wav
+
+    b = encode_wav([1, 2, 3])
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    import wave as stdlib_wave
+    import io
+
+    with stdlib_wave.open(io.BytesIO(b), "rb") as w:
+        assert w.getnframes() == 3
+        assert w.getsampwidth() == 2
+
+
+def test_wav_rejects_stereo():
+    import io
+    import struct
+    import wave as stdlib_wave
+
+    import pytest
+
+    from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+    buf = io.BytesIO()
+    with stdlib_wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(buf.getvalue())
+
+
+def test_wav_clip_stats_stage(spark):
+    """End-to-end Spark stages: synth -> real WAV bytes -> parse -> stats,
+    checked against a driver-side recompute of the same formula."""
+    from bioeco_portal_etl_spark.multimodal.media import (
+        SYNTH_N_BASE,
+        SYNTH_N_MOD,
+        synth_pcm_wav,
+        wav_clip_stats,
+    )
+
+    ids = spark.createDataFrame([(0,), (3,), (17,)], "doc_id long")
+    rows = {
+        r.media_id: r
+        for r in wav_clip_stats(synth_pcm_wav(ids, "doc_id")).collect()
+    }
+    for mid in (0, 3, 17):
+        n = SYNTH_N_BASE + mid % SYNTH_N_MOD
+        s = [(mid * 13 + i * 7) % 2048 - 1024 for i in range(n)]
+        r = rows[mid]
+        assert r.n_samples == n
+        assert r.energy == sum(v * v for v in s)
+        assert r.min_s == min(s) and r.max_s == max(s)
+        assert r.zero_cross == sum(
+            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
+        )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def _scd(spark, rows):
+    from bioeco_portal_etl_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(rows, "k string, v string, ts long, id long")
+    return (
+        scd2_history(df, ["k"], "v", ["ts", "id"], ts_col="ts")
+        .orderBy("k", "version")
+        .collect()
+    )
+
+
+def test_scd2_collapses_and_stitches(spark):
+    got = _scd(
+        spark,
+        [
+            ("a", "x", 1, 1),
+            ("a", "x", 2, 2),  # unchanged -> same version
+            ("a", "y", 3, 3),  # change
+            ("a", "x", 4, 4),  # change BACK -> new version (append-only)
+            ("b", "z", 1, 5),
+        ],
+    )
+    a = [(r.v, r.valid_from, r.valid_to, r.version, r.is_current)
+         for r in got if r.k == "a"]
+    assert a == [
+        ("x", 1, 3, 1, 0),
+        ("y", 3, 4, 2, 0),
+        ("x", 4, None, 3, 1),
+    ]
+    b = [(r.v, r.valid_from, r.valid_to, r.version, r.is_current)
+         for r in got if r.k == "b"]
+    assert b == [("z", 1, None, 1, 1)]
+
+
+def test_scd2_null_transitions(spark):
+    """NULL->x, x->NULL and a first-row NULL all open versions."""
+    got = _scd(
+        spark,
+        [
+            ("a", None, 1, 1),
+            ("a", "x", 2, 2),
+            ("a", None, 3, 3),
+            ("a", None, 4, 4),  # unchanged NULL -> no new version
+        ],
+    )
+    assert [(r.v, r.version) for r in got] == [
+        (None, 1),
+        ("x", 2),
+        (None, 3),
+    ]
+
+
+def test_scd2_equal_timestamp_ties_deterministic(spark):
+    """Two changes at the same ts version by the id tie-break."""
+    got = _scd(spark, [("a", "x", 5, 2), ("a", "y", 5, 1)])
+    assert [(r.v, r.version, r.is_current) for r in got] == [
+        ("y", 1, 0),
+        ("x", 2, 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k, w):
+    """Reference winnowing in pure Python (md5 hex hashes, min per
+    window, dedup by (fp -> first selecting window position))."""
+    import hashlib
+
+    grams = [
+        hashlib.md5(text[p : p + k].encode()).hexdigest()
+        for p in range(len(text) - k + 1)
+    ]
+    out = {}
+    for p in range(len(grams) - w + 1):
+        fp = min(grams[p : p + w])
+        out.setdefault(fp, p + 1)  # 1-based
+    return out
+
+
+def test_winnow_matches_reference(spark):
+    from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the quick brown dog"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.fp: r.pos
+        for r in winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    }
+    assert got == _winnow_py(text, 5, 4)
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= w + k - 1 share at least one selected fingerprint."""
+    from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints
+
+    shared = "identical-passage!"  # 18 >= 5 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "zzzzzz " + shared + " qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    fps1 = {r.fp for r in rows if r.doc_id == 1}
+    fps2 = {r.fp for r in rows if r.doc_id == 2}
+    assert fps1 & fps2
+
+
+def test_winnow_short_and_null_docs_vanish(spark):
+    from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "mini"), (2, None), (3, "1234567"), (4, "12345678")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    # len 8 = k + w - 1 -> exactly one complete window; shorter -> none
+    assert {r.doc_id for r in rows} == {4}
+    assert len(rows) == 1 and rows[0].pos == 1
