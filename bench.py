@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "mm7_wav_clip_stats",
     "x23_scd2_history",
     "tx20_winnow_fingerprints",
+    "w11_stream_static_enrich",
+    "dq4_psi_drift",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -985,6 +985,8 @@ _GATE_FIRST = [
     "mm7_wav_clip_stats",
     "x23_scd2_history",
     "tx20_winnow_fingerprints",
+    "w11_stream_static_enrich",
+    "dq4_psi_drift",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -198,8 +198,154 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# w11 — stream-static dimension enrichment (LIVE streaming)
+# ---------------------------------------------------------------------------
+
+
+def w11_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """THE production streaming staple the w-family still lacked: a live
+    event stream broadcast-joined per microbatch against a BATCH dimension
+    (customer market segment keyed by user id; left join so facts without
+    a dimension row survive as 'UNKNOWN'), then a watermarked tumbling
+    aggregate drained append-mode with availableNow. The stream never
+    shuffles for the join and the join itself holds NO state — the static
+    side re-resolves every trigger — so state is just the (window,
+    segment) aggregate rows inside the watermark horizon. Oracle = the
+    batch join+window minus the trailing horizon (w9 drain semantics)."""
+    import os
+
+    from bioeco_portal_etl_spark.streaming import scoped_shuffle_partitions
+    from bioeco_portal_etl_spark.streaming.joins import static_enrich
+
+    T(spark, sf, "events")  # pins UTC session tz
+    dim = (
+        T(spark, sf, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(os.path.join(sf, "events.parquet*"))
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    enriched = static_enrich(stream, dim, "user_id").withColumn(
+        "segment", F.coalesce("segment", F.lit("UNKNOWN"))
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("w11_enrich_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            ok = q.awaitTermination(300)
+        finally:
+            q.stop()
+        if not ok:  # pragma: no cover
+            raise RuntimeError("w11 stream did not drain")
+    return spark.table("w11_enrich_mem").orderBy("window_start", "segment")
+
+
+W11_SQL = """
+WITH dim AS (SELECT c_custkey AS user_id, c_mktsegment AS segment
+             FROM customer),
+mx AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       coalesce(d.segment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+FROM events e LEFT JOIN dim d USING (user_id)
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        <= (SELECT wm FROM mx)
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# dq4 — PSI distribution drift between time slices
+# ---------------------------------------------------------------------------
+
+_DQ4_SPLIT = "2024-01-16"
+
+
+def dq4_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type, first half of the month (reference) vs second half (current) —
+    the cross-dataset drift score a feature pipeline gates refreshes on,
+    next to x18's within-stream CUSUM. Per-bin e4-floored terms sum as
+    integers (operators/drift.py psi_drift), so the one ln() sits inside
+    a floor and the reduction is associative."""
+    from bioeco_portal_etl_spark.operators.drift import psi_drift
+
+    e = T(spark, sf, "events").select(
+        "event_type",
+        "value",
+        (F.col("ts") >= F.lit(_DQ4_SPLIT).cast("timestamp")).alias("is_cur"),
+    )
+    return psi_drift(e, "event_type", "value", "is_cur").orderBy(
+        "event_type"
+    )
+
+
+DQ4_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(floor(value / 25.0), 19)::BIGINT AS bin,
+         CASE WHEN ts >= TIMESTAMP '{_DQ4_SPLIT}' THEN 1 ELSE 0 END AS c
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(1 - c)::BIGINT AS n_ref_b, sum(c)::BIGINT AS n_cur_b
+  FROM binned GROUP BY event_type, bin
+),
+terms AS (
+  SELECT event_type, n_ref_b, n_cur_b,
+         floor(
+           ((n_cur_b + 1)::DOUBLE / (sum(n_cur_b) OVER (PARTITION BY event_type) + 20)::DOUBLE
+            - (n_ref_b + 1)::DOUBLE / (sum(n_ref_b) OVER (PARTITION BY event_type) + 20)::DOUBLE)
+           * ln(((n_cur_b + 1)::DOUBLE / (sum(n_cur_b) OVER (PARTITION BY event_type) + 20)::DOUBLE)
+                / ((n_ref_b + 1)::DOUBLE / (sum(n_ref_b) OVER (PARTITION BY event_type) + 20)::DOUBLE))
+           * 10000)::BIGINT AS term_e4
+  FROM counts
+)
+SELECT event_type,
+       sum(n_ref_b)::BIGINT AS n_ref,
+       sum(n_cur_b)::BIGINT AS n_cur,
+       sum(term_e4)::BIGINT AS psi_e4
+FROM terms
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 CATALOG_EXT5 = {
     "mm7_wav_clip_stats": (mm7_wav_clip_stats, _mm7_sql()),
     "x23_scd2_history": (x23_scd2_history, X23_SQL),
     "tx20_winnow_fingerprints": (tx20_winnow_fingerprints, _tx20_sql()),
+    "w11_stream_static_enrich": (w11_stream_static_enrich, W11_SQL),
+    "dq4_psi_drift": (dq4_psi_drift, DQ4_SQL),
 }

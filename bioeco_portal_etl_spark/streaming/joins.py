@@ -49,3 +49,17 @@ def interval_join(
         & (right[right_ts] <= left[left_ts] + hi)
     )
     return left.join(right, cond).drop(right[on])
+
+
+def static_enrich(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment — THE most common production
+    streaming join: every microbatch joins against the (slowly-changing)
+    batch dimension, broadcast so the stream never shuffles for the join
+    and no streaming state exists at all (unlike stream-stream joins, the
+    static side is re-resolvable per batch, so nothing must be retained
+    across triggers). Left join keeps events whose key has no dimension
+    row — enrichment must never drop facts. Works identically on a batch
+    frame (the unified-face convention of interval_join above)."""
+    return stream.join(F.broadcast(dim), key, how)

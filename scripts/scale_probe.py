@@ -72,6 +72,7 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     containment_pairs,
     exact_dedupe,
 )
+from bioeco_portal_etl_spark.operators.drift import psi_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.scd import scd2_history  # noqa: E402
 from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints  # noqa: E402
 
@@ -477,6 +478,20 @@ def main() -> None:
                 "event_type",
                 ["ts", "event_id"],
                 ts_col="ts",
+            )
+        ),
+        # PSI: one combinable (key, bin) groupBy collapses the corpus;
+        # the window/term stages touch only bins-sized tables
+        "psi_drift": (
+            lambda s: psi_drift(
+                (events if s == 1 else scaled(events, s, ["user_id"])).select(
+                    "event_type",
+                    "value",
+                    (F.col("user_id") % 2 == 0).alias("is_cur"),
+                ),
+                "event_type",
+                "value",
+                "is_cur",
             )
         ),
         # winnowing: position-row explosion (∝ corpus chars) + streaming

@@ -366,3 +366,14 @@ def test_tx20_winnow_single_shuffle_no_python(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan  # map-side combine on the summary agg
+
+
+def test_dq4_psi_first_exchange_carries_aggregated_bins(spark):
+    """PSI contract: the data-scale shuffle is the (key, bin) groupBy with
+    map-side combine — everything after (window totals, term sum) moves
+    bins-sized tables. No join anywhere; the one ln() is a JVM expression,
+    not a Python stage."""
+    plan = _physical(spark, "dq4_psi_drift")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan

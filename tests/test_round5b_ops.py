@@ -214,3 +214,101 @@ def test_winnow_short_and_null_docs_vanish(spark):
     # len 8 = k + w - 1 -> exactly one complete window; shorter -> none
     assert {r.doc_id for r in rows} == {4}
     assert len(rows) == 1 and rows[0].pos == 1
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_slices_zero(spark):
+    """Identical ref/cur distributions -> every term is exactly 0 (ln(1)
+    on equal smoothed proportions), so psi_e4 == 0."""
+    from bioeco_portal_etl_spark.operators.drift import psi_drift
+
+    rows = [("k", float(v), c) for v in (10, 60, 110, 470) for c in (True, False)]
+    df = spark.createDataFrame(rows, "k string, value double, cur boolean")
+    r = psi_drift(df, "k", "value", "cur").collect()[0]
+    assert (r.n_ref, r.n_cur, r.psi_e4) == (4, 4, 0)
+
+
+def test_psi_matches_python_reference(spark):
+    from math import floor, log
+
+    from bioeco_portal_etl_spark.operators.drift import psi_drift
+
+    vals_ref = [5.0, 5.0, 30.0, 55.0, 480.0, 499.0]
+    vals_cur = [5.0, 130.0, 130.0, 155.0]
+    rows = [("k", v, False) for v in vals_ref] + [
+        ("k", v, True) for v in vals_cur
+    ]
+    df = spark.createDataFrame(rows, "k string, value double, cur boolean")
+    got = psi_drift(df, "k", "value", "cur").collect()[0]
+
+    def bin_of(v):
+        return min(int(v // 25), 19)
+
+    bins = sorted({bin_of(v) for v in vals_ref + vals_cur})
+    nr = {b: sum(1 for v in vals_ref if bin_of(v) == b) for b in bins}
+    nc = {b: sum(1 for v in vals_cur if bin_of(v) == b) for b in bins}
+    expect = sum(
+        floor(
+            (
+                (nc[b] + 1) / (len(vals_cur) + 20)
+                - (nr[b] + 1) / (len(vals_ref) + 20)
+            )
+            * log(
+                ((nc[b] + 1) / (len(vals_cur) + 20))
+                / ((nr[b] + 1) / (len(vals_ref) + 20))
+            )
+            * 10000
+        )
+        for b in bins
+    )
+    assert got.psi_e4 == expect
+    assert got.n_ref == len(vals_ref) and got.n_cur == len(vals_cur)
+
+
+def test_psi_shifted_distribution_positive(spark):
+    """A hard distribution shift scores a large positive PSI."""
+    from bioeco_portal_etl_spark.operators.drift import psi_drift
+
+    rows = [("k", 10.0, False)] * 50 + [("k", 400.0, True)] * 50
+    df = spark.createDataFrame(rows, "k string, value double, cur boolean")
+    r = psi_drift(df, "k", "value", "cur").collect()[0]
+    assert r.psi_e4 > 25000  # PSI > 2.5 — way past the 0.25 action bar
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment (batch face of the unified join)
+# ---------------------------------------------------------------------------
+
+
+def test_static_enrich_left_keeps_unmatched(spark):
+    from bioeco_portal_etl_spark.streaming.joins import static_enrich
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (99, 5.0)], "user_id long, value double"
+    )
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "IRON")], "user_id long, segment string"
+    )
+    got = {
+        r.user_id: r.segment
+        for r in static_enrich(facts, dim, "user_id").collect()
+    }
+    assert got == {1: "GOLD", 2: "IRON", 99: None}
+
+
+def test_static_enrich_broadcasts(spark):
+    from bioeco_portal_etl_spark.streaming.joins import static_enrich
+
+    facts = spark.range(100).withColumnRenamed("id", "user_id")
+    dim = spark.createDataFrame([(1, "GOLD")], "user_id long, segment string")
+    plan = (
+        static_enrich(facts, dim, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
