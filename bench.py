@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "tx20_winnow_fingerprints",
     "w11_stream_static_enrich",
     "dq4_psi_drift",
+    "ts10_sq8_topk",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

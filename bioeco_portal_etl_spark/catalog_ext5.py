@@ -342,10 +342,70 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+# ---------------------------------------------------------------------------
+# ts10 — SQ8 scalar-quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def ts10_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 neighbors per query over symmetric-int8 scalar-quantized
+    codes (similarity/sq.py): L2-normalize, one corpus-wide abs-max
+    scale, floor-quantized signed codes, integer dot-product scores —
+    the 4x-compressed scan big vector indexes offer next to PQ, with a
+    fully integer scoring path so the oracle matches bit-for-bit (see
+    sq.py's docstring for why symmetric-global beats per-dim affine when
+    the scorer is code·code)."""
+    from bioeco_portal_etl_spark.catalog_ext import _query_vectors
+    from bioeco_portal_etl_spark.similarity.sq import sq8_topk
+
+    e = T(spark, sf, "embeddings")
+    q = _query_vectors(spark, sf)
+    return sq8_topk(e, q, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ts10_sql() -> str:
+    from bioeco_portal_etl_spark.catalog_ext import _DUCK_VEC
+
+    return f"""
+WITH {_DUCK_VEC},
+nv AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> e[i] / nrm) AS e
+  FROM n
+),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+scale AS (SELECT max(abs(e[i])) AS amax FROM nv CROSS JOIN dims),
+codes AS (
+  SELECT vec_id, i,
+         CASE WHEN amax > 0
+              THEN floor(e[i] / amax * 127)::BIGINT
+              ELSE 0 END AS c
+  FROM nv CROSS JOIN dims CROSS JOIN scale
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         sum(q.c * c.c)::BIGINT AS score
+  FROM codes q JOIN codes c USING (i)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, score, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
+
 CATALOG_EXT5 = {
     "mm7_wav_clip_stats": (mm7_wav_clip_stats, _mm7_sql()),
     "x23_scd2_history": (x23_scd2_history, X23_SQL),
     "tx20_winnow_fingerprints": (tx20_winnow_fingerprints, _tx20_sql()),
     "w11_stream_static_enrich": (w11_stream_static_enrich, W11_SQL),
     "dq4_psi_drift": (dq4_psi_drift, DQ4_SQL),
+    "ts10_sq8_topk": (ts10_sq8_topk, _ts10_sql()),
 }

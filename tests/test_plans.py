@@ -377,3 +377,14 @@ def test_dq4_psi_first_exchange_carries_aggregated_bins(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts10_sq8_stays_jvm_one_window_exchange(spark):
+    """SQ8 contract: quantization params ride a single-row broadcast (no
+    collect), encoding is a transform lambda in codegen, scoring is an
+    integer fold — zero Python stages; the only hash exchange is the
+    per-query top-k window."""
+    plan = _physical(spark, "ts10_sq8_topk")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # intended brute-force scan

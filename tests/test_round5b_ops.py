@@ -312,3 +312,101 @@ def test_static_enrich_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_codes_bounded_and_symmetric(spark):
+    """Signed codes live in [-127, 127]; the global-abs-max element
+    encodes exactly +/-127; codes are proportional to the normalized
+    values (single scale, no per-dim affine shift)."""
+    from bioeco_portal_etl_spark.similarity.sq import (
+        l2_normalize,
+        sq_encode,
+        sq_scale,
+    )
+
+    vecs = [
+        (1, [3.0] + [0.0] * 63),          # unit vector along dim 0
+        (2, [-4.0] + [0.0] * 63),         # unit vector along -dim 0
+        (3, [1.0, 1.0] + [0.0] * 62),     # 45 degrees: 1/sqrt(2) per dim
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    nd = l2_normalize(df, "embedding", "vec_id")
+    codes = {
+        r.vec_id: r.code
+        for r in sq_encode(nd, "embedding", sq_scale(nd, "embedding")).collect()
+    }
+    assert codes[1][0] == 127 and codes[2][0] == -127
+    # 1/sqrt(2) of the abs-max (1.0) -> floor(0.7071 * 127) = 89
+    assert codes[3][0] == codes[3][1] == 89
+    assert all(-127 <= c <= 127 for v in codes.values() for c in v)
+
+
+def test_sq8_topk_matches_python_reference(spark):
+    """Integer-dot ranking over symmetric codes agrees with a pure-Python
+    recompute of the same normalize+quantize+dot pipeline."""
+    from math import floor, sqrt
+
+    from bioeco_portal_etl_spark.similarity.sq import DIM, sq8_topk
+
+    vecs = [
+        (i, [((i * 7 + j * 3) % 97) / 96.0 for j in range(DIM)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    got = [
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in sq8_topk(df, q, "embedding", "vec_id", k=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+
+    def normed(v):
+        n = sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    nv = {i: normed(v) for i, v in vecs}
+    amax = max(abs(x) for v in nv.values() for x in v)
+    codes = {i: [floor(x / amax * 127) for x in v] for i, v in nv.items()}
+    expect = []
+    for qi in range(3):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(codes[qi], codes[ci])), ci)
+                for ci in codes
+                if ci != qi
+            ),
+        )[:3]
+        expect += [
+            (qi, rk + 1, ci, -neg) for rk, (neg, ci) in enumerate(scored)
+        ]
+    assert got == expect
+
+
+def test_sq8_recall_vs_exact_is_high(spark):
+    """Quantization sanity on the real embeddings table: SQ8 top-5 keeps
+    most of the exact cosine top-5 (this corpus: recall@5 >= 0.6 — SQ8
+    ranks by unnormalized integer dot, so some churn is expected; the
+    gate entry pins the exact values, this pins the QUALITY floor)."""
+    from bioeco_portal_etl_spark.similarity.knn import cosine_topk
+    from bioeco_portal_etl_spark.similarity.sq import sq8_topk
+    from bioeco_portal_etl_spark.sources.files import read_parquet_table
+
+    import pyspark.sql.functions as F
+
+    e = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.match_id)
+        for r in cosine_topk(e, q, "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.match_id)
+        for r in sq8_topk(e, q, "embedding", "vec_id", k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
