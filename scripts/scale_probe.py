@@ -73,6 +73,7 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     exact_dedupe,
 )
 from bioeco_portal_etl_spark.operators.drift import psi_drift  # noqa: E402
+from bioeco_portal_etl_spark.similarity.sq import sq8_topk  # noqa: E402
 from bioeco_portal_etl_spark.operators.scd import scd2_history  # noqa: E402
 from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints  # noqa: E402
 
@@ -478,6 +479,27 @@ def main() -> None:
                 "event_type",
                 ["ts", "event_id"],
                 ts_col="ts",
+            )
+        ),
+        # SQ8: one abs-max aggregate + codegen encode + broadcast
+        # brute-force scan — linear in corpus vectors by construction
+        "sq8_topk": (
+            lambda s: (
+                lambda emb: sq8_topk(
+                    emb,
+                    emb.filter(F.col("vec_id") < 10),
+                    "embedding",
+                    "vec_id",
+                    k=5,
+                )
+            )(
+                read_parquet_table(spark, SF_DIR, "embeddings")
+                if s == 1
+                else scaled(
+                    read_parquet_table(spark, SF_DIR, "embeddings"),
+                    s,
+                    ["vec_id"],
+                )
             )
         ),
         # PSI: one combinable (key, bin) groupBy collapses the corpus;

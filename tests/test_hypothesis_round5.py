@@ -233,3 +233,96 @@ def test_leakage_flags_exactly_cross_split_groups(spark, rows):
         if ntr > 0 and nev > 0:
             exp[hsh] = (len(members), ntr, nev, min(i for i, _ in members))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# WAV codec roundtrip on arbitrary sample streams
+# ---------------------------------------------------------------------------
+
+SAMPLES = st.lists(st.integers(-32768, 32767), min_size=0, max_size=400)
+
+
+@given(SAMPLES)
+@_SETTINGS
+def test_wav_roundtrip_any_samples(samples):
+    from bioeco_portal_etl_spark.multimodal.wavpcm import (
+        decode_wav,
+        encode_wav,
+    )
+
+    _, back = decode_wav(encode_wav(samples))
+    assert back == samples
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: versions tile the timeline, per-key, for ANY change log
+# ---------------------------------------------------------------------------
+
+LOG = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                  # key
+        st.one_of(st.none(), st.sampled_from("xyz")),  # value (nullable)
+        st.integers(0, 20),                            # ts (ties allowed)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(LOG)
+@_SPARK_SETTINGS
+def test_scd2_versions_tile_timeline(spark, log):
+    from bioeco_portal_etl_spark.operators.scd import scd2_history
+
+    rows = [(k, v, ts, i) for i, (k, v, ts) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k string, v string, ts long, id long")
+    got = scd2_history(df, ["k"], "v", ["ts", "id"], ts_col="ts").collect()
+
+    by_key: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r.k, r.version)):
+        by_key.setdefault(r.k, []).append(r)
+    # reference: walk the log in (ts, id) order per key
+    ref: dict[str, list] = {}
+    for k, v, ts, i in sorted(rows, key=lambda t: (t[2], t[3])):
+        seq = ref.setdefault(k, [])
+        # Python != is already null-safe (None != None -> False)
+        if not seq or seq[-1][0] != v:
+            seq.append((v, ts))
+    for k, versions in by_key.items():
+        expect = ref[k]
+        assert [(r.v, r.valid_from) for r in versions] == expect
+        # intervals tile: valid_to == next valid_from; exactly one open row
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from and a.is_current == 0
+        assert versions[-1].valid_to is None
+        assert versions[-1].is_current == 1
+        assert [r.version for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+    assert set(by_key) == set(ref)
+
+
+# ---------------------------------------------------------------------------
+# winnowing: the SWA guarantee on random docs with a shared passage
+# ---------------------------------------------------------------------------
+
+ALPHA = "abcd "
+
+
+@given(
+    st.text(ALPHA, min_size=0, max_size=30),
+    st.text(ALPHA, min_size=0, max_size=30),
+    st.text(ALPHA, min_size=8, max_size=20),  # shared, len >= k + w - 1
+)
+@_SPARK_SETTINGS
+def test_winnow_guarantee_property(spark, pre, post, shared):
+    from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, pre + shared + "!!"), (2, "##" + shared + post)],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    fps1 = {r.fp for r in rows if r.doc_id == 1}
+    fps2 = {r.fp for r in rows if r.doc_id == 2}
+    assert fps1 & fps2, "shared substring of length >= w+k-1 must share a fingerprint"
