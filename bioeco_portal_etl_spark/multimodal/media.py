@@ -480,46 +480,83 @@ CLIP_STATS_SCHEMA = (
     "zero_cross long"
 )
 
+#: quarantine face: stats become nullable, plus a per-record verdict —
+#: at 100 TB one corrupt container must cost one row, not a 10-hour job
+QUARANTINED_CLIP_SCHEMA = (
+    CLIP_STATS_SCHEMA + ", decode_ok long, decode_err string"
+)
 
-def wav_clip_stats(df: DataFrame) -> DataFrame:
+
+def wav_clip_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """(media_id, payload) -> per-clip PCM statistics via a FULL
     :func:`wavpcm.decode_wav` container parse inside the Arrow batch:
     sample count, integer energy (sum of squares), min/max amplitude and
     zero-crossing count — the silence/clipping/voicing triage numbers an
     audio-curation pipeline gates on before any expensive featurizer.
     All-integer arithmetic, so results are engine-exact for an oracle that
-    knows the source samples. Payload never returns to the JVM."""
+    knows the source samples. Payload never returns to the JVM.
+
+    ``on_error``: ``"raise"`` (default — a codec surprise fails the task;
+    right for the deterministic gate) or ``"quarantine"`` — per-record
+    try/except inside the Arrow batch routes bad payloads to
+    (decode_ok=0, decode_err) rows with NULL stats instead of killing the
+    job: the production posture for web-crawled media, where some percent
+    of containers is ALWAYS malformed. The same wrapper shape applies to
+    any decode stage in this module. Empty-but-valid clips are data, not
+    errors: zero counts, NULL min/max, either mode."""
     import pandas as pd
+
+    quarantine = on_error == "quarantine"
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
 
         for pdf in batches:
-            out = {
-                k: []
-                for k in (
-                    "media_id",
-                    "n_samples",
-                    "energy",
-                    "min_s",
-                    "max_s",
-                    "zero_cross",
-                )
-            }
+            rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, s = decode_wav(bytes(payload))
-                out["media_id"].append(mid)
-                out["n_samples"].append(len(s))
-                out["energy"].append(sum(v * v for v in s))
-                out["min_s"].append(min(s))
-                out["max_s"].append(max(s))
-                out["zero_cross"].append(
-                    sum(
-                        1
-                        for a, b in zip(s, s[1:])
-                        if (a >= 0) != (b >= 0)
-                    )
-                )
-            yield pd.DataFrame(out)
+                try:
+                    _, s = decode_wav(bytes(payload))
+                    rec = {
+                        "media_id": mid,
+                        "n_samples": len(s),
+                        "energy": sum(v * v for v in s),
+                        "min_s": min(s) if s else None,
+                        "max_s": max(s) if s else None,
+                        "zero_cross": sum(
+                            1
+                            for a, b in zip(s, s[1:])
+                            if (a >= 0) != (b >= 0)
+                        ),
+                        "decode_ok": 1,
+                        "decode_err": None,
+                    }
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if not quarantine:
+                        raise
+                    rec = {
+                        "media_id": mid,
+                        "n_samples": None,
+                        "energy": None,
+                        "min_s": None,
+                        "max_s": None,
+                        "zero_cross": None,
+                        "decode_ok": 0,
+                        "decode_err": f"{type(e).__name__}: {e}",
+                    }
+                rows.append(rec)
+            cols = [
+                "media_id",
+                "n_samples",
+                "energy",
+                "min_s",
+                "max_s",
+                "zero_cross",
+            ] + (["decode_ok", "decode_err"] if quarantine else [])
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in cols}
+            )
 
-    return df.mapInPandas(stats, schema=CLIP_STATS_SCHEMA)
+    return df.mapInPandas(
+        stats,
+        schema=QUARANTINED_CLIP_SCHEMA if quarantine else CLIP_STATS_SCHEMA,
+    )

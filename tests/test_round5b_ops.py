@@ -410,3 +410,34 @@ def test_sq8_recall_vs_exact_is_high(spark):
         for r in sq8_topk(e, q, "embedding", "vec_id", k=5).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_wav_quarantine_routes_bad_payloads(spark):
+    """A corrupt container costs one row, not the job: good clips keep
+    exact stats, bad payloads land as (decode_ok=0, decode_err) with NULL
+    stats; raise-mode still fails fast on the same input."""
+    import pytest
+
+    from bioeco_portal_etl_spark.multimodal.media import wav_clip_stats
+    from bioeco_portal_etl_spark.multimodal.wavpcm import encode_wav
+
+    good = encode_wav([100, -100, 50])
+    rows = [
+        (1, good),
+        (2, b"NOT A RIFF CONTAINER AT ALL"),
+        (3, good[:10]),  # truncated header
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    got = {
+        r.media_id: r
+        for r in wav_clip_stats(df, on_error="quarantine").collect()
+    }
+    assert got[1].decode_ok == 1 and got[1].n_samples == 3
+    assert got[1].energy == 100 * 100 + 100 * 100 + 50 * 50
+    for bad in (2, 3):
+        assert got[bad].decode_ok == 0
+        assert got[bad].decode_err and got[bad].n_samples is None
+    # default mode fails the task (deterministic-gate posture)
+    with pytest.raises(Exception):
+        wav_clip_stats(df).collect()
