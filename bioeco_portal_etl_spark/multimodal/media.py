@@ -174,41 +174,72 @@ CHANNEL_STATS_SCHEMA = (
     "media_id long, channel long, n_px long, mean_v long, min_v long, max_v long"
 )
 
+#: quarantine face — see wav_clip_stats: one (decode_ok=0) row per bad
+#: payload, channel NULL, stats NULL
+QUARANTINED_CHANNEL_SCHEMA = (
+    CHANNEL_STATS_SCHEMA + ", decode_ok long, decode_err string"
+)
 
-def png_channel_stats(df: DataFrame) -> DataFrame:
+_CHANNEL_COLS = ("media_id", "channel", "n_px", "mean_v", "min_v", "max_v")
+
+
+def png_channel_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """(media_id, payload) -> per-channel pixel statistics via a FULL
     :func:`decode_image` raster reconstruction inside the Arrow batch:
     n_px, floor mean, min, max per channel — the per-image QA numbers an
     image-curation pipeline gates on (dead channels, clipped exposure).
     All integer arithmetic, so results are engine-exact for an oracle
-    that knows the source pixels. Payload never returns to the JVM."""
+    that knows the source pixels. Payload never returns to the JVM.
+
+    ``on_error="quarantine"`` routes undecodable payloads to one
+    (decode_ok=0, decode_err, channel NULL) row each instead of failing
+    the task — same production posture as wav_clip_stats."""
     import pandas as pd
+
+    quarantine = on_error == "quarantine"
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, chans, ns, means, mins, maxs = [], [], [], [], [], []
+            rows_out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, rows = decode_image(bytes(payload))
-                for c in range(ch):
-                    vals = [r[i] for r in rows for i in range(c, len(r), ch)]
-                    ids.append(mid)
-                    chans.append(c)
-                    ns.append(len(vals))
-                    means.append(sum(vals) // len(vals))
-                    mins.append(min(vals))
-                    maxs.append(max(vals))
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "channel": chans,
-                    "n_px": ns,
-                    "mean_v": means,
-                    "min_v": mins,
-                    "max_v": maxs,
-                }
+                try:
+                    w, h, ch, rows = decode_image(bytes(payload))
+                    for c in range(ch):
+                        vals = [
+                            r[i] for r in rows for i in range(c, len(r), ch)
+                        ]
+                        rows_out.append(
+                            {
+                                "media_id": mid,
+                                "channel": c,
+                                "n_px": len(vals),
+                                "mean_v": sum(vals) // len(vals),
+                                "min_v": min(vals),
+                                "max_v": max(vals),
+                                "decode_ok": 1,
+                                "decode_err": None,
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine boundary
+                    if not quarantine:
+                        raise
+                    rows_out.append(
+                        {
+                            **{c: None for c in _CHANNEL_COLS},
+                            "media_id": mid,
+                            "decode_ok": 0,
+                            "decode_err": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            cols = list(_CHANNEL_COLS) + (
+                ["decode_ok", "decode_err"] if quarantine else []
             )
+            yield pd.DataFrame({c: [r[c] for r in rows_out] for c in cols})
 
-    return df.mapInPandas(stats, schema=CHANNEL_STATS_SCHEMA)
+    return df.mapInPandas(
+        stats,
+        schema=QUARANTINED_CHANNEL_SCHEMA if quarantine else CHANNEL_STATS_SCHEMA,
+    )
 
 
 RESIZE_SCHEMA = (

@@ -441,3 +441,77 @@ def test_wav_quarantine_routes_bad_payloads(spark):
     # default mode fails the task (deterministic-gate posture)
     with pytest.raises(Exception):
         wav_clip_stats(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# shard manifest sink
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bioeco_portal_etl_spark.sinks.manifest import (
+        assign_shards,
+        verify_manifest,
+        write_shards_with_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc text {i}" * (i % 3 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_shards_with_manifest(
+        df, path, "doc_id", "text", n_shards=4
+    ).collect()
+    assert sum(r.n_rows for r in manifest) == 200
+    assert {r.shard for r in manifest} <= {0, 1, 2, 3}
+
+    # clean verify: every shard ok
+    v = verify_manifest(spark, path, "doc_id", "text").collect()
+    assert v and all(r.ok == 1 for r in v)
+
+    # shard assignment is deterministic across recomputation
+    a1 = {r.doc_id: r.shard for r in assign_shards(df, "doc_id", 4).collect()}
+    a2 = {r.doc_id: r.shard for r in assign_shards(df, "doc_id", 4).collect()}
+    assert a1 == a2
+
+    # tamper with one shard's data file -> exactly that shard flags
+    import glob
+    import os
+
+    victim = sorted(glob.glob(path + "/shard=2/*.parquet"))
+    spark.read.parquet(path + "/shard=2")  # ensure it exists/readable
+    assert victim
+    # rewrite shard 2 with one row dropped (a silent partial loss)
+    sub = spark.read.parquet(path + "/shard=2")
+    kept = sub.orderBy("doc_id").limit(sub.count() - 1)
+    kept.write.mode("overwrite").parquet(path + "/__tmp_shard2")
+    for f in victim:
+        os.remove(f)
+    for f in glob.glob(path + "/__tmp_shard2/*.parquet"):
+        os.rename(f, path + "/shard=2/" + os.path.basename(f))
+    v2 = {r.shard: r.ok for r in verify_manifest(spark, path, "doc_id", "text").collect()}
+    assert v2[2] == 0
+    assert all(ok == 1 for s, ok in v2.items() if s != 2)
+
+
+def test_png_quarantine_routes_bad_payloads(spark):
+    from bioeco_portal_etl_spark.multimodal.media import png_channel_stats
+    from bioeco_portal_etl_spark.multimodal.png import encode_png
+
+    good = encode_png([[10, 20, 30, 40, 50, 60]], channels=3)  # 2x1 RGB
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x89PNG but not really")],
+        "media_id long, payload binary",
+    )
+    got = png_channel_stats(df, on_error="quarantine").collect()
+    ok_rows = [r for r in got if r.media_id == 1]
+    bad_rows = [r for r in got if r.media_id == 2]
+    assert len(ok_rows) == 3 and all(r.decode_ok == 1 for r in ok_rows)
+    assert {r.channel: (r.min_v, r.max_v) for r in ok_rows} == {
+        0: (10, 40), 1: (20, 50), 2: (30, 60),
+    }
+    assert len(bad_rows) == 1 and bad_rows[0].decode_ok == 0
+    assert bad_rows[0].channel is None and bad_rows[0].decode_err
