@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "w11_stream_static_enrich",
     "dq4_psi_drift",
     "ts10_sq8_topk",
+    "dq5_k_anonymity",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -988,6 +988,7 @@ _GATE_FIRST = [
     "w11_stream_static_enrich",
     "dq4_psi_drift",
     "ts10_sq8_topk",
+    "dq5_k_anonymity",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

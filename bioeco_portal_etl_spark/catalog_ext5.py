@@ -343,6 +343,51 @@ ORDER BY event_type"""
 
 
 # ---------------------------------------------------------------------------
+# dq5 — k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+def dq5_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k=5 anonymity audit of customers under the (nation, market
+    segment, account-balance bucket) quasi-identifier, reported per
+    nation (operators/anonymity.py): how many records sit in groups
+    small enough to re-identify by linkage — the release gate next to
+    PII redaction. Two-level aggregate; only the first level touches
+    row-scale data."""
+    from bioeco_portal_etl_spark.operators.anonymity import k_anonymity_audit
+
+    c = T(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    ).orderBy("c_nationkey")
+
+
+DQ5_SQL = """
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment,
+         floor(c_acctbal / 1000)::BIGINT AS bal_bucket
+  FROM customer
+),
+sizes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*)::BIGINT AS g_n
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+       sum(g_n)::BIGINT AS n_records,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN g_n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
+       sum(CASE WHEN g_n < 5 THEN g_n ELSE 0 END)::BIGINT AS n_risky_records,
+       min(g_n)::BIGINT AS min_group_size
+FROM sizes
+GROUP BY c_nationkey
+ORDER BY c_nationkey"""
+
+
+# ---------------------------------------------------------------------------
 # ts10 — SQ8 scalar-quantized ANN
 # ---------------------------------------------------------------------------
 
@@ -408,4 +453,5 @@ CATALOG_EXT5 = {
     "w11_stream_static_enrich": (w11_stream_static_enrich, W11_SQL),
     "dq4_psi_drift": (dq4_psi_drift, DQ4_SQL),
     "ts10_sq8_topk": (ts10_sq8_topk, _ts10_sql()),
+    "dq5_k_anonymity": (dq5_k_anonymity, DQ5_SQL),
 }

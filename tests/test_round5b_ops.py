@@ -515,3 +515,36 @@ def test_png_quarantine_routes_bad_payloads(spark):
     }
     assert len(bad_rows) == 1 and bad_rows[0].decode_ok == 0
     assert bad_rows[0].channel is None and bad_rows[0].decode_err
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_audit_and_suppression(spark):
+    from bioeco_portal_etl_spark.operators.anonymity import (
+        k_anonymity_audit,
+        suppress_risky,
+    )
+
+    rows = (
+        [("US", "A", 1)] * 5      # safe group (size 5 at k=5)
+        + [("US", "B", 1)] * 2    # risky
+        + [("DE", "A", 2)] * 1    # risky
+        + [("DE", "B", 2)] * 7    # safe
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string, b long")
+    audit = {
+        r.nation: r
+        for r in k_anonymity_audit(df, ["nation", "seg", "b"], k=5).collect()
+    }
+    us, de = audit["US"], audit["DE"]
+    assert (us.n_records, us.n_groups, us.n_risky_groups,
+            us.n_risky_records, us.min_group_size) == (7, 2, 1, 2, 2)
+    assert (de.n_records, de.n_groups, de.n_risky_groups,
+            de.n_risky_records, de.min_group_size) == (8, 2, 1, 1, 1)
+
+    kept = suppress_risky(df, ["nation", "seg", "b"], k=5).collect()
+    assert len(kept) == 12  # 5 + 7 safe records survive
+    assert {(r.nation, r.seg) for r in kept} == {("US", "A"), ("DE", "B")}
