@@ -73,6 +73,9 @@ from bioeco_portal_etl_spark.text.dedupe import (  # noqa: E402
     exact_dedupe,
 )
 from bioeco_portal_etl_spark.operators.drift import psi_drift  # noqa: E402
+from bioeco_portal_etl_spark.operators.anonymity import (  # noqa: E402
+    k_anonymity_audit,
+)
 from bioeco_portal_etl_spark.similarity.sq import sq8_topk  # noqa: E402
 from bioeco_portal_etl_spark.operators.scd import scd2_history  # noqa: E402
 from bioeco_portal_etl_spark.text.winnow import winnow_fingerprints  # noqa: E402
@@ -479,6 +482,32 @@ def main() -> None:
                 "event_type",
                 ["ts", "event_id"],
                 ts_col="ts",
+            )
+        ),
+        # k-anonymity: one combinable QI groupBy; the rollup and the
+        # broadcast anti-join touch only group-cardinality tables
+        "k_anonymity": (
+            lambda s: (
+                lambda c: k_anonymity_audit(
+                    c.select(
+                        "c_custkey",
+                        "c_nationkey",
+                        "c_mktsegment",
+                        F.floor(F.col("c_acctbal") / 1000)
+                        .cast("long")
+                        .alias("bal_bucket"),
+                    ),
+                    ["c_nationkey", "c_mktsegment", "bal_bucket"],
+                    k=5,
+                )
+            )(
+                read_parquet_table(spark, SF_DIR, "customer")
+                if s == 1
+                else scaled(
+                    read_parquet_table(spark, SF_DIR, "customer"),
+                    s,
+                    ["c_custkey"],
+                )
             )
         ),
         # SQ8: one abs-max aggregate + codegen encode + broadcast
