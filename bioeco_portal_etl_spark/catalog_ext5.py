@@ -1,4 +1,4 @@
-"""Round-5 catalog extensions, second batch — 3 entries:
+"""Round-5 catalog extensions, second batch — 8 entries:
 
 - mm7_wav_clip_stats: per-clip PCM statistics through a REAL mono-16-bit
   WAV encode->decode round-trip (multimodal/wavpcm.py, stdlib wave) — the
@@ -11,7 +11,16 @@
 - tx20_winnow_fingerprints: winnowing (Schleimer–Wilkerson–Aiken / MOSS)
   rolling k-gram fingerprints with window-min selection (text/winnow.py) —
   the positional fingerprint scheme for substring-level overlap, distinct
-  from MinHash's bag-of-shingles similarity.
+  from MinHash's bag-of-shingles similarity;
+- w11_stream_static_enrich: LIVE stream broadcast-joined per microbatch
+  against a batch dimension, watermarked tumbling agg drained append-mode
+  (streaming/joins.py static_enrich) — zero join state by construction;
+- dq4_psi_drift: Population Stability Index between time slices with
+  e4-floored per-bin terms summed as integers (operators/drift.py);
+- ts10_sq8_topk: symmetric-int8 scalar-quantized ANN with integer dot
+  scoring (similarity/sq.py);
+- dq5_k_anonymity: quasi-identifier k-anonymity audit + rollup
+  (operators/anonymity.py).
 
 Same contract as catalog.py: (spark_fn, oracle_sql) pairs over the
 driver's synthetic tables, aliased identically on both sides, ending in a
