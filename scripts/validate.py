@@ -45,6 +45,14 @@ def main() -> int:
         "plus entry/summary) so full-catalog proof is committable even "
         "when the external driver samples a subset",
     )
+    ap.add_argument(
+        "--plain-session",
+        action="store_true",
+        help="use a DEFAULT SparkSession (no engine confs: ANSI defaults, "
+        "system timezone, default shuffle partitions) — replicates the "
+        "external driver's session posture; every entry must be green "
+        "here too (read_parquet_table sets what it needs at read time)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -57,7 +65,16 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    spark = get_spark(app_name="validate")
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("validate-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="validate")
     spark.sparkContext.setLogLevel("ERROR")
 
     n, cols, _ = spark_signature(mod.entry(spark))
