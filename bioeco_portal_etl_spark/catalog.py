@@ -935,6 +935,7 @@ from bioeco_portal_etl_spark.catalog_ext4 import CATALOG_EXT4  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext5 import CATALOG_EXT5  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext6 import CATALOG_EXT6  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -942,6 +943,7 @@ _CATALOG.update(CATALOG_EXT2)
 _CATALOG.update(CATALOG_EXT3)
 _CATALOG.update(CATALOG_EXT4)
 _CATALOG.update(CATALOG_EXT5)
+_CATALOG.update(CATALOG_EXT6)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -989,6 +991,13 @@ _GATE_FIRST = [
     "dq4_psi_drift",
     "ts10_sq8_topk",
     "dq5_k_anonymity",
+    # (2c) round-5 third batch (catalog_ext6) — newest code gates first:
+    "tx21_bpe_merges",
+    "td11_semantic_dedupe",
+    "x24_zorder_layout",
+    "dq6_benford",
+    "mm8_phash_groups",
+    "w12_stream_outer_join",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

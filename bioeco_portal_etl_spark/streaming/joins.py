@@ -51,6 +51,43 @@ def interval_join(
     return left.join(right, cond).drop(right[on])
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    how: str = "left_outer",
+) -> DataFrame:
+    """Outer variant of :func:`interval_join` — keeps unmatched rows of the
+    outer side with nulls on the other side.
+
+    Batch: an ordinary outer theta-join. Streaming: Spark emits MATCHED
+    rows as they join, but an unmatched outer row is held in state until
+    the *other side's watermark* proves no partner can still arrive
+    (right watermark > outer_ts + upper); only then does the null-padded
+    row emit. A drain therefore never emits null rows for the trailing
+    horizon of the stream — callers comparing against a batch oracle must
+    restrict both sides to rows provably past that horizon (see
+    w12_stream_outer_join for the cutoff convention). State retention is
+    watermark + interval bounded, exactly as the inner join."""
+    if lower_s > upper_s:
+        raise ValueError(f"lower_s {lower_s} > upper_s {upper_s}")
+    overlap = {c for c in left.columns if c in right.columns and c != on}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    lo = F.expr(f"INTERVAL {int(lower_s * 1e6)} MICROSECOND")
+    hi = F.expr(f"INTERVAL {int(upper_s * 1e6)} MICROSECOND")
+    cond = (
+        (left[on] == right[on])
+        & (right[right_ts] >= left[left_ts] + lo)
+        & (right[right_ts] <= left[left_ts] + hi)
+    )
+    return left.join(right, cond, how).drop(right[on])
+
+
 def static_enrich(
     stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
 ) -> DataFrame:

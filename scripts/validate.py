@@ -53,6 +53,12 @@ def main() -> int:
         "external driver's session posture; every entry must be green "
         "here too (read_parquet_table sets what it needs at read time)",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated catalog entry names — validate just these "
+        "(fast iteration on new entries; full runs remain the artifact)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -87,6 +93,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        unknown = keep - set(queries)
+        if unknown:
+            raise SystemExit(f"--only names not in catalog: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
     fails = []
     detail: dict[str, dict] = {}
     for name, fn in queries.items():
