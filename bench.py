@@ -188,6 +188,13 @@ BENCH_QUERIES = [
     "tx6_pii_redact",
     "tx7_top_bigrams",
     "tx8_length_quantiles",
+    # round-5 third batch
+    "tx21_bpe_merges",
+    "td11_semantic_dedupe",
+    "x24_zorder_layout",
+    "dq6_benford",
+    "mm8_phash_groups",
+    "w12_stream_outer_join",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

@@ -43,6 +43,8 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     integer part). Output per digit 1..9: observed count, observed share
     (e4-floored), expected share (e4 literal), and the signed deviation —
     all BIGINT, fully engine-portable."""
+    from pyspark.sql import Window
+
     digits = (
         df.filter(F.col(value_col) >= 1)
         .select(
@@ -57,14 +59,18 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
     )
-    total = digits.select(F.sum("n").alias("total"))
     expected = F.create_map(
         *[x for d, e in BENFORD_E4.items() for x in (F.lit(d), F.lit(e))]
     )
     return (
-        digits.crossJoin(F.broadcast(total))
+        # grand total via an unpartitioned window over the <=9-row digit
+        # table: no second scan of the fact table, no join; the "shuffle"
+        # is a SinglePartition exchange of nine rows. 1e4 keeps the share
+        # arithmetic in IEEE doubles on both engines (10000.0 would parse
+        # as DECIMAL and round differently — PORTABILITY.md).
+        digits.withColumn("total", F.sum("n").over(Window.partitionBy()))
         .withColumn(
-            "obs_e4", F.expr("CAST(floor(n * 10000.0 / total) AS BIGINT)")
+            "obs_e4", F.expr("CAST(floor(n * 1e4 / total) AS BIGINT)")
         )
         .withColumn("exp_e4", expected[F.col("digit")].cast("long"))
         .withColumn("dev_e4", F.col("obs_e4") - F.col("exp_e4"))
@@ -84,13 +90,13 @@ dg AS (
   FROM src WHERE {value_col} >= 1
 ),
 cnts AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY digit),
-tot AS (SELECT sum(n)::BIGINT AS total FROM cnts),
+tot AS (SELECT digit, n, sum(n) OVER () AS total FROM cnts),
 exp(digit, exp_e4) AS (VALUES {values})
 SELECT c.digit, c.n,
-       CAST(floor(c.n * 10000.0 / t.total) AS BIGINT) AS obs_e4,
+       CAST(floor(c.n * 1e4 / c.total) AS BIGINT) AS obs_e4,
        e.exp_e4::BIGINT AS exp_e4,
-       (CAST(floor(c.n * 10000.0 / t.total) AS BIGINT) - e.exp_e4)::BIGINT
+       (CAST(floor(c.n * 1e4 / c.total) AS BIGINT) - e.exp_e4)::BIGINT
          AS dev_e4
-FROM cnts c, tot t
+FROM tot c
 JOIN exp e ON e.digit = c.digit
 ORDER BY c.digit"""

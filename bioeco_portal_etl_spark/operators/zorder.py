@@ -47,15 +47,21 @@ def z_expr_sql(a: str, b: str, bits: int = 8, dialect: str = "spark") -> str:
     so evaluation order is irrelevant and both engines fold constants the
     same way. ``dialect`` picks shift spellings: Spark's ``shiftleft()``/
     ``shiftright()`` functions vs DuckDB's ``<<``/``>>`` operators —
-    semantics identical on non-negative BIGINTs below 2^62."""
+    semantics identical on non-negative BIGINTs below 2^62. The DuckDB
+    operand is CAST to BIGINT first: DuckDB's ``<<`` keeps the operand's
+    width, so an INTEGER-typed input (e.g. a literal) overflows at shift
+    31 where a BIGINT column would not — the cast makes the expression
+    input-type-independent (no-op for BIGINT inputs)."""
     terms = []
     for i in range(bits):
         if dialect == "spark":
             terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
             terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
         else:
-            terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
-            terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+            wa = f"CAST({a} AS BIGINT)"
+            wb = f"CAST({b} AS BIGINT)"
+            terms.append(f"((({wa} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({wb} >> {i}) & 1) << {2 * i})")
     return "(" + " | ".join(terms) + ")"
 
 

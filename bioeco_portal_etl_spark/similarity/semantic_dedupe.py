@@ -75,21 +75,19 @@ def assign_clusters(
     )
 
 
-def semantic_dedupe(
+def semantic_dedupe_assigned(
     emb: DataFrame,
-    centroids: DataFrame,
+    asg: DataFrame,
     vec_col: str,
     id_col: str,
     threshold_e4: int,
 ) -> DataFrame:
-    """Per-vector dedupe verdict: (vec_id, cluster, cent_sim_e4,
-    n_better, keep).
+    """The pair stage of SemDeDup over a PRECOMPUTED assignment.
 
-    ``n_better`` counts same-cluster neighbors with cosine >= threshold
-    that rank before this vector (centroid_sim ASC, id ASC); ``keep`` is
-    1 when none exist. The survivor set therefore contains every group's
-    diversity-preferred representative, and isolated vectors untouched."""
-    asg = assign_clusters(emb, centroids, vec_col, id_col)
+    ``asg`` is (vec_id, cluster, cent_sim_e4) from :func:`assign_clusters`
+    or any clusterer (kmeans with k ∝ corpus size in production — cluster
+    size, not corpus size, bounds the quadratic term). See
+    :func:`semantic_dedupe` for the verdict semantics."""
     m = with_norm(emb, vec_col, id_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_v").alias("v"),
@@ -132,3 +130,21 @@ def semantic_dedupe(
         )
         .select("vec_id", "cluster", "cent_sim_e4", "n_better", "keep")
     )
+
+
+def semantic_dedupe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold_e4: int,
+) -> DataFrame:
+    """Per-vector dedupe verdict: (vec_id, cluster, cent_sim_e4,
+    n_better, keep).
+
+    ``n_better`` counts same-cluster neighbors with cosine >= threshold
+    that rank before this vector (centroid_sim ASC, id ASC); ``keep`` is
+    1 when none exist. The survivor set therefore contains every group's
+    diversity-preferred representative, and isolated vectors untouched."""
+    asg = assign_clusters(emb, centroids, vec_col, id_col)
+    return semantic_dedupe_assigned(emb, asg, vec_col, id_col, threshold_e4)

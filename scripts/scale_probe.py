@@ -54,6 +54,21 @@ from bioeco_portal_etl_spark.operators.attribution import (  # noqa: E402
 from bioeco_portal_etl_spark.operators.stats import winsorize_stats  # noqa: E402
 from bioeco_portal_etl_spark.operators.resample import resample_interpolate  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import ewma  # noqa: E402
+from bioeco_portal_etl_spark.text.bpe import bpe_rounds  # noqa: E402
+from bioeco_portal_etl_spark.similarity.semantic_dedupe import (  # noqa: E402
+    semantic_dedupe_assigned,
+)
+from bioeco_portal_etl_spark.operators.zorder import (  # noqa: E402
+    quantize,
+    z_bucket_profile,
+)
+from bioeco_portal_etl_spark.operators.benford import benford_audit  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import synth_rgb_png  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.phash import (  # noqa: E402
+    ahash,
+    phash_dup_groups,
+)
+from bioeco_portal_etl_spark.streaming.joins import interval_join_outer  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     pmi_bigrams,
     postings_table,
@@ -555,6 +570,111 @@ def main() -> None:
                 ),
                 "doc_id",
                 "text",
+            )
+        ),
+        # BPE: the corpus scan collapses to the (word, cnt) table first
+        # (vocab is Heaps-bounded like vocab_growth), so round cost is
+        # vocabulary-sized; scaling docs scales only the first scan
+        "bpe_rounds": (
+            lambda s: bpe_rounds(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "text"
+                ),
+                "text",
+                n_rounds=2,
+                top_k=8,
+            )
+        ),
+        # SemDeDup pair stage with k ∝ N (the production posture: cluster
+        # COUNT grows with the corpus, cluster SIZE stays bounded, so the
+        # within-cluster quadratic term scales linearly). Assignment is a
+        # hash-mod stand-in for a fitted-kmeans label; the pair join and
+        # verdict aggregation are the real operator code.
+        "semantic_dedupe": (
+            lambda s: (
+                lambda emb: semantic_dedupe_assigned(
+                    emb,
+                    emb.select(
+                        "vec_id",
+                        (F.col("vec_id") % (8 * s)).alias("cluster"),
+                        (F.col("vec_id") % 97).alias("cent_sim_e4"),
+                    ),
+                    "embedding",
+                    "vec_id",
+                    threshold_e4=3500,
+                )
+            )(
+                read_parquet_table(spark, SF_DIR, "embeddings")
+                if s == 1
+                else scaled(
+                    read_parquet_table(spark, SF_DIR, "embeddings"),
+                    s,
+                    ["vec_id"],
+                )
+            )
+        ),
+        # z-order audit: scan + bit-interleave (codegen) + 256-key groupBy
+        # with map-side combine — the quantizer caps keep the rollup tiny
+        "zorder_profile": (
+            lambda s: (
+                lambda o: z_bucket_profile(
+                    o.withColumn(
+                        "order_day",
+                        F.expr("datediff(o_orderdate, DATE '1992-01-01')"),
+                    ),
+                    quantize("o_custkey", 64, 255),
+                    quantize("order_day", 16, 255),
+                    bits=8,
+                    bucket_shift=8,
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # Benford: scan + 9-key groupBy; pure map-side combine
+        "benford": (
+            lambda s: benford_audit(
+                li if s == 1 else scaled(li, s, ["l_orderkey"]),
+                "l_extendedprice",
+            )
+        ),
+        # perceptual hash: PNG encode+decode per image (Arrow batches,
+        # linear) + window count on the 16-bit hash key
+        "phash_groups": (
+            lambda s: phash_dup_groups(
+                ahash(
+                    synth_rgb_png(
+                        spark.range(200 * s).select(
+                            F.col("id").alias("doc_id")
+                        ),
+                        "doc_id",
+                    )
+                )
+            )
+        ),
+        # outer interval join (batch face): user_id key space scales with
+        # the corpus, per-key density constant -> linear shuffle join
+        "interval_outer_join": (
+            lambda s: (
+                lambda ev: interval_join_outer(
+                    ev.filter(F.col("event_type") == "error").select(
+                        "user_id",
+                        F.col("event_id").alias("err_id"),
+                        F.col("ts").cast("timestamp").alias("err_ts"),
+                    ),
+                    ev.filter(F.col("event_type") == "click").select(
+                        "user_id",
+                        F.col("ts").cast("timestamp").alias("click_ts"),
+                        F.col("value").alias("click_value"),
+                    ),
+                    "user_id",
+                    "err_ts",
+                    "click_ts",
+                    -300.0,
+                    300.0,
+                )
+            )(
+                events
+                if s == 1
+                else scaled(events, s, ["user_id", "event_id"])
             )
         ),
     }

@@ -388,3 +388,63 @@ def test_ts10_sq8_stays_jvm_one_window_exchange(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan  # intended brute-force scan
+
+
+def test_tx21_bpe_word_table_combines_mapside(spark):
+    """BPE contract: the corpus-scale stage is the word-frequency groupBy
+    with map-side combine (everything after runs on the vocab-sized
+    table); the 1-row merge rule rides a broadcast nested-loop, never a
+    CartesianProduct; the greedy fold is a JVM aggregate expression, so
+    no Python stage exists anywhere."""
+    plan = _physical(spark, "tx21_bpe_merges")
+    assert "partial_count" in plan  # word-frequency map-side combine
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast merge rule
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_td11_semantic_dedupe_broadcast_assign_no_cartesian(spark):
+    """SemDeDup contract: centroid assignment is a broadcast of the k-row
+    centroid table (never a shuffle of the embeddings); the pair stage is
+    an equi-join ON cluster (SortMergeJoin/ShuffledHashJoin acceptable —
+    it's fact⋈fact), and nothing degenerates to CartesianProduct. All
+    scoring is fold algebra: zero Python stages."""
+    plan = _physical(spark, "td11_semantic_dedupe")
+    assert "BroadcastNestedLoopJoin" in plan  # k centroids broadcast
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x24_zorder_interleave_stays_codegen(spark):
+    """Z-order contract: the bit interleave is pure codegen expression
+    work inside the scan stage; the audit is one map-side-combined
+    groupBy on the 256-key bucket space; no joins, no Python."""
+    plan = _physical(spark, "x24_zorder_layout")
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the bucket agg
+
+
+def test_dq6_benford_single_agg_exchange(spark):
+    """Benford contract: the fact table is scanned ONCE, reduced by one
+    9-key combinable groupBy; the grand total is a window over the 9-row
+    digit table (no join, no second scan); digit extraction is string
+    slicing in codegen, not log10, not Python."""
+    plan = _physical(spark, "dq6_benford")
+    assert "partial_count" in plan
+    assert plan.count("FileScan") == 1  # total derived, not re-scanned
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "LOG" not in plan.upper().replace("LOGICAL", "")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm8_phash_payload_confined_to_decode_stage(spark):
+    """Perceptual-hash contract: exactly two Arrow stages (synthesize,
+    decode+hash) and the binary payload never crosses into the JVM
+    shuffle — the window on phash moves only (id, dims, hash) rows."""
+    plan = _physical(spark, "mm8_phash_groups")
+    assert plan.count("MapInPandas") == 2
+    window_part = plan.split("MapInPandas")[0]  # stages above the decode
+    assert "payload" not in window_part  # hash exchange carries no blobs
