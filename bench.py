@@ -195,6 +195,13 @@ BENCH_QUERIES = [
     "dq6_benford",
     "mm8_phash_groups",
     "w12_stream_outer_join",
+    # round-5 fourth batch
+    "tx22_bm25",
+    "ts11_rrf_fusion",
+    "gr7_label_communities",
+    "gr8_kcore",
+    "dq7_profile_drift",
+    "x25_salted_join",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

@@ -936,6 +936,7 @@ from bioeco_portal_etl_spark.catalog_ext5 import CATALOG_EXT5  # noqa: E402
 from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext6 import CATALOG_EXT6  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext7 import CATALOG_EXT7  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -944,6 +945,7 @@ _CATALOG.update(CATALOG_EXT3)
 _CATALOG.update(CATALOG_EXT4)
 _CATALOG.update(CATALOG_EXT5)
 _CATALOG.update(CATALOG_EXT6)
+_CATALOG.update(CATALOG_EXT7)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -998,6 +1000,13 @@ _GATE_FIRST = [
     "dq6_benford",
     "mm8_phash_groups",
     "w12_stream_outer_join",
+    # (2d) round-5 fourth batch (catalog_ext7):
+    "tx22_bm25",
+    "ts11_rrf_fusion",
+    "gr7_label_communities",
+    "gr8_kcore",
+    "dq7_profile_drift",
+    "x25_salted_join",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

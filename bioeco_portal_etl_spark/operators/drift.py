@@ -123,3 +123,120 @@ def psi_drift(
         F.sum("n_cur_b").alias("n_cur"),
         F.sum("term_e4").alias("psi_e4"),
     )
+
+
+def _profile_metrics(columns: list[tuple[str, str]]) -> list[tuple]:
+    """(column, metric, aggregate expr) triples for :func:`profile_drift`.
+
+    Numeric means go through an exact DECIMAL(28,6) sum (a float sum
+    would be partition-order-dependent — PORTABILITY.md), converted to
+    DOUBLE only for the final e4 floor; min/max of doubles are
+    order-independent already."""
+    out: list[tuple[str, str, F.Column]] = []
+    for col, kind in columns:
+        out.append((col, "n_null", F.sum(F.col(col).isNull().cast("long"))))
+        out.append((col, "n_distinct", F.count_distinct(F.col(col))))
+        if kind == "numeric":
+            out.append(
+                (col, "min_e4", F.expr(f"CAST(floor(min({col}) * 1e4) AS BIGINT)"))
+            )
+            out.append(
+                (col, "max_e4", F.expr(f"CAST(floor(max({col}) * 1e4) AS BIGINT)"))
+            )
+            out.append(
+                (
+                    col,
+                    "mean_e4",
+                    F.expr(
+                        f"CAST(floor(CAST(sum(CAST({col} AS DECIMAL(28,6)))"
+                        f" AS DOUBLE) * 1e4 / count({col})) AS BIGINT)"
+                    ),
+                )
+            )
+    return out
+
+
+def profile_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[tuple[str, str]],
+) -> DataFrame:
+    """Schema-level profile drift between two snapshots of the same
+    table — the refresh-gate audit a pipeline runs BEFORE accepting a new
+    crawl/export: did a column's null rate, cardinality, or range move?
+    Complements :func:`psi_drift` (one numeric column's distribution) by
+    sweeping the whole schema at metadata granularity.
+
+    ``columns`` is [(name, 'numeric'|'categorical')]; metrics per column:
+    n_null, n_distinct, and for numerics min_e4/max_e4/mean_e4 (all
+    BIGINT). Output long-format: (column, metric, ref_val, cur_val,
+    delta) with delta = cur_val - ref_val (null if either side is null —
+    e.g. an all-null column's min).
+
+    Plan: ONE full-scan aggregate per snapshot (every metric is a column
+    of the same agg — count_distinct expands to the standard two-phase
+    distinct aggregate), then an explode of the 1-row result into the
+    long format and a broadcast-trivial full-outer join of two ~10-row
+    tables. At 100 TB: two scans total, no shuffle wider than the
+    distinct-count exchanges, report size O(columns)."""
+    triples = _profile_metrics(columns)
+
+    def long_form(df: DataFrame, val_name: str) -> DataFrame:
+        aliased = [
+            expr.cast("long").alias(f"__m{i}")
+            for i, (_, _, expr) in enumerate(triples)
+        ]
+        one = df.agg(*aliased)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("column"),
+                    F.lit(metric).alias("metric"),
+                    F.col(f"__m{i}").alias(val_name),
+                )
+                for i, (col, metric, _) in enumerate(triples)
+            ]
+        )
+        return one.select(F.explode(structs).alias("__s")).select("__s.*")
+
+    r = long_form(ref, "ref_val")
+    c = long_form(cur, "cur_val")
+    return (
+        r.join(c, ["column", "metric"], "full_outer")
+        .withColumn("delta", F.col("cur_val") - F.col("ref_val"))
+        .orderBy("column", "metric")
+    )
+
+
+def duck_profile_sql(
+    from_sql: str, columns: list[tuple[str, str]], val_name: str
+) -> str:
+    """DuckDB one-snapshot profile mirroring :func:`_profile_metrics` as
+    a UNION ALL of per-metric rows over a single aggregate subquery."""
+    sels = []
+    for col, kind in columns:
+        sels.append(
+            f"SELECT '{col}' AS \"column\", 'n_null' AS metric,"
+            f" sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS {val_name} FROM {from_sql}"
+        )
+        sels.append(
+            f"SELECT '{col}', 'n_distinct',"
+            f" count(DISTINCT {col})::BIGINT FROM {from_sql}"
+        )
+        if kind == "numeric":
+            sels.append(
+                f"SELECT '{col}', 'min_e4',"
+                f" CAST(floor(min({col}) * 1e4) AS BIGINT) FROM {from_sql}"
+            )
+            sels.append(
+                f"SELECT '{col}', 'max_e4',"
+                f" CAST(floor(max({col}) * 1e4) AS BIGINT) FROM {from_sql}"
+            )
+            sels.append(
+                f"SELECT '{col}', 'mean_e4',"
+                f" CAST(floor(CAST(sum(CAST({col} AS DECIMAL(28,6)))"
+                f" AS DOUBLE) * 1e4 / count({col})) AS BIGINT)"
+                f" FROM {from_sql}"
+            )
+    return " UNION ALL ".join(sels)

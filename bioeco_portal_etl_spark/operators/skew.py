@@ -64,3 +64,42 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge.alias(name) for name, (_, merge) in phases.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: the manual form of AQE's skew-join split,
+    for when the skew lives in ONE hot key so heavy that even AQE's
+    partition splitting leaves a straggler (AQE splits oversized shuffle
+    FILES; a single hot key hashing to one reducer still serializes its
+    probe side), or when AQE is off (streaming micro-batches).
+
+        big:  + salt = row-id % buckets      (each hot-key row picks a
+                                              bucket; rows spread evenly)
+        dim:  × explode(0..buckets-1)        (every dim row replicated
+                                              once per bucket)
+        join ON (key, salt)                  (hot key now occupies
+                                              `buckets` reducers)
+
+    Result set is EXACTLY the plain join's (each big row meets each
+    matching dim row exactly once — at its own salt); the dim side pays a
+    `buckets`× replication, which is the standard trade: replicate the
+    small-but-not-broadcastable side, split the skewed side. ``how``
+    supports inner/left (right/full would need unmatched-dim bookkeeping
+    across salts — out of scope for the skew pattern, which puts facts on
+    the left)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = with_salt(big, buckets)
+    if SALT_COL in dim.columns:
+        raise ValueError(f"dim already has a {SALT_COL!r} column")
+    exploded = dim.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
+    )
+    return salted.join(exploded, [key, SALT_COL], how).drop(SALT_COL)

@@ -69,6 +69,11 @@ from bioeco_portal_etl_spark.multimodal.phash import (  # noqa: E402
     phash_dup_groups,
 )
 from bioeco_portal_etl_spark.streaming.joins import interval_join_outer  # noqa: E402
+from bioeco_portal_etl_spark.text.bm25 import bm25_topk  # noqa: E402
+from bioeco_portal_etl_spark.graph.labelprop import label_propagation  # noqa: E402
+from bioeco_portal_etl_spark.graph.kcore import kcore  # noqa: E402
+from bioeco_portal_etl_spark.operators.drift import profile_drift  # noqa: E402
+from bioeco_portal_etl_spark.operators.skew import salted_join  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     pmi_bigrams,
     postings_table,
@@ -134,6 +139,18 @@ def main() -> None:
             df.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        )
+
+    def _coact():
+        o = orders.select("o_custkey", "o_orderdate")
+        a, b = o.alias("a"), o.alias("b")
+        return (
+            a.join(b, "o_orderdate")
+            .filter(F.col("a.o_custkey") != F.col("b.o_custkey"))
+            .select(
+                F.col("a.o_custkey").alias("src"),
+                F.col("b.o_custkey").alias("dst"),
+            )
         )
 
     def join_agg(li_df, o_df):
@@ -676,6 +693,78 @@ def main() -> None:
                 if s == 1
                 else scaled(events, s, ["user_id", "event_id"])
             )
+        ),
+        # BM25: postings scale with the corpus (docs 10x, same query
+        # terms); stats/df broadcasts stay O(1); top-k is heap-merged
+        "bm25": (
+            lambda s: bm25_topk(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                ["spark", "merge", "window"],
+                k=100,
+            )
+        ),
+        # label propagation / k-core: the EDGE LIST scales (10 disjoint
+        # copies of the co-activity graph — same density, 10x nodes and
+        # edges, the honest growth mode for a time-accumulated graph:
+        # scaling orders instead would merge day cohorts and grow pairs
+        # quadratically, a fixture artifact)
+        "labelprop": (
+            lambda s: label_propagation(
+                _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"]),
+                rounds=2,
+            )
+        ),
+        "kcore": (
+            lambda s: kcore(
+                _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"]),
+                k=8,
+            )
+        ),
+        # profile drift: two full scans, all metrics in one agg per side
+        "profile_drift": (
+            lambda s: (
+                lambda o: profile_drift(
+                    o.filter(F.col("o_orderdate") < "1995-01-01"),
+                    o.filter(F.col("o_orderdate") >= "1995-01-01"),
+                    [
+                        ("o_custkey", "numeric"),
+                        ("o_orderpriority", "categorical"),
+                        ("o_orderstatus", "categorical"),
+                        ("o_totalprice", "numeric"),
+                    ],
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # salted join: fact rows 10x with the SAME skewed key domain, so
+        # the hot key gets 10x hotter — precisely the case the salt
+        # spreads; dim side constant
+        "salted_join": (
+            lambda s: (
+                lambda b: salted_join(
+                    b.select(
+                        F.expr(
+                            "CASE WHEN l_suppkey % 10 < 3 THEN 1"
+                            " ELSE l_suppkey END"
+                        ).alias("skew_key"),
+                        "l_extendedprice",
+                        "l_discount",
+                    ),
+                    read_parquet_table(spark, SF_DIR, "supplier")
+                    .select(F.col("s_suppkey").alias("skew_key"), "s_nationkey")
+                    .hint("merge"),
+                    "skew_key",
+                    buckets=8,
+                )
+                .groupBy("s_nationkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("revenue"),
+                )
+            )(li if s == 1 else scaled(li, s, ["l_orderkey"]))
         ),
     }
 

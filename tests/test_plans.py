@@ -448,3 +448,69 @@ def test_mm8_phash_payload_confined_to_decode_stage(spark):
     assert plan.count("MapInPandas") == 2
     window_part = plan.split("MapInPandas")[0]  # stages above the decode
     assert "payload" not in window_part  # hash exchange carries no blobs
+
+
+def test_tx22_bm25_postings_filtered_and_broadcast_stats(spark):
+    """BM25 contract: the (doc, term) tf aggregate is map-side combined
+    and the query-term filter runs below it (the shuffle carries matching
+    postings only); corpus stats (1 row) and per-term dfs (|Q| rows) come
+    back as broadcasts; the top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global sort; no Python anywhere."""
+    plan = _physical(spark, "tx22_bm25")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan  # df join ON term
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats join
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts11_rrf_fuses_topk_lists_no_python(spark):
+    """RRF contract: both legs end in TakeOrderedAndProject top-k before
+    fusion, so the fusion join moves k-sized lists regardless of corpus
+    size; all rank arithmetic is integer expression work."""
+    plan = _physical(spark, "ts11_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2  # each leg + fusion
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr7_labelprop_combinable_counts(spark):
+    """LPA contract: per-round neighbor-label counts are map-side
+    combined; the argmax is a window over the (node, label) table; no
+    Python, no cartesian."""
+    plan = _physical(spark, "gr7_label_communities")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr8_kcore_final_stage_is_combinable_agg(spark):
+    """k-core contract: the iterative peels run behind localCheckpoint
+    (the visible plan starts from the converged edge set — the same
+    truncation cc.py uses to stop 3^rounds plan growth); the exposed
+    stage is one map-side-combined degree aggregate, no Python."""
+    plan = _physical(spark, "gr8_kcore")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq7_profile_two_scans_no_python(spark):
+    """Profile-drift contract: exactly one scan per snapshot (every
+    metric is a column of the same aggregate), and the ref/cur join moves
+    O(columns) rows; no Python."""
+    plan = _physical(spark, "dq7_profile_drift")
+    assert plan.count("FileScan") == 2
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x25_salted_join_explodes_dim_on_shuffle_path(spark):
+    """Salted-join contract: the dim side is replicated via explode (one
+    Generate), the join runs on the (key, salt) shuffle path the salt
+    exists for (SortMergeJoin — broadcast would make salting a no-op),
+    and the rollup is map-side combined."""
+    plan = _physical(spark, "x25_salted_join")
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
