@@ -202,6 +202,13 @@ BENCH_QUERIES = [
     "gr8_kcore",
     "dq7_profile_drift",
     "x25_salted_join",
+    # round-5 fifth batch
+    "tx23_heavy_hitters",
+    "tx24_bpe_encode",
+    "x26_bloom_join",
+    "dq8_lateness_audit",
+    "rel26_pivot",
+    "mm9_wav_downsample",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

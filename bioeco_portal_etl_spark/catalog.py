@@ -937,6 +937,7 @@ from bioeco_portal_etl_spark.catalog_rel import CATALOG_REL  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext6 import CATALOG_EXT6  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext7 import CATALOG_EXT7  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext8 import CATALOG_EXT8  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -946,6 +947,7 @@ _CATALOG.update(CATALOG_EXT4)
 _CATALOG.update(CATALOG_EXT5)
 _CATALOG.update(CATALOG_EXT6)
 _CATALOG.update(CATALOG_EXT7)
+_CATALOG.update(CATALOG_EXT8)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1007,6 +1009,13 @@ _GATE_FIRST = [
     "gr8_kcore",
     "dq7_profile_drift",
     "x25_salted_join",
+    # (2e) round-5 fifth batch (catalog_ext8):
+    "tx23_heavy_hitters",
+    "tx24_bpe_encode",
+    "x26_bloom_join",
+    "dq8_lateness_audit",
+    "rel26_pivot",
+    "mm9_wav_downsample",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

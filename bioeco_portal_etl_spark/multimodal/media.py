@@ -591,3 +591,41 @@ def wav_clip_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
         stats,
         schema=QUARANTINED_CLIP_SCHEMA if quarantine else CLIP_STATS_SCHEMA,
     )
+
+
+def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:
+    """(media_id, payload) -> (media_id, payload) with the clip
+    downsampled by ``factor`` via block means — the decimation-with-
+    anti-alias-box-filter stage every audio-ingest pipeline runs to
+    normalize heterogeneous sample rates before featurization.
+
+    A REAL decode -> resample -> re-encode loop inside the Arrow batch
+    (wavpcm.py both directions): block j of the output is
+    ``floor(mean(samples[j*factor : (j+1)*factor]))`` over FULL blocks
+    only (a trailing partial block is dropped — deterministic, and what a
+    fixed-hop resampler does). Python's ``//`` floors negative sums the
+    same way both engines' ``floor(x / f)`` does, so an oracle that knows
+    the source samples reproduces the output exactly. The payload stays
+    binary-in/binary-out, so downstream stages (wav_clip_stats) compose —
+    proving the container crosses TWO stage boundaries intact."""
+    import pandas as pd
+
+    def ds(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                out = [
+                    sum(s[j * factor : (j + 1) * factor]) // factor
+                    for j in range(len(s) // factor)
+                ]
+                ids.append(mid)
+                blobs.append(encode_wav(out, sample_rate=rate // factor))
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(ds, schema="media_id long, payload binary")

@@ -74,6 +74,21 @@ from bioeco_portal_etl_spark.graph.labelprop import label_propagation  # noqa: E
 from bioeco_portal_etl_spark.graph.kcore import kcore  # noqa: E402
 from bioeco_portal_etl_spark.operators.drift import profile_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.skew import salted_join  # noqa: E402
+from bioeco_portal_etl_spark.operators.heavyhitters import (  # noqa: E402
+    certified_heavy_hitters,
+)
+from bioeco_portal_etl_spark.operators.bloomjoin import (  # noqa: E402
+    bloom_filtered_join,
+)
+from bioeco_portal_etl_spark.operators.lateness import lateness_audit  # noqa: E402
+from bioeco_portal_etl_spark.text.bpe import (  # noqa: E402
+    apply_merge,
+    pair_counts,
+    top_merge,
+    with_spaced,
+    word_frequencies,
+)
+from bioeco_portal_etl_spark.text.tokenize import tokens  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     pmi_bigrams,
     postings_table,
@@ -765,6 +780,101 @@ def main() -> None:
                     ).alias("revenue"),
                 )
             )(li if s == 1 else scaled(li, s, ["l_orderkey"]))
+        ),
+        # certified heavy hitters: candidate pass ∝ corpus (Arrow, no
+        # shuffle), recount shuffle ∝ candidates only
+        "heavy_hitters": (
+            lambda s: certified_heavy_hitters(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    F.explode(tokens("text")).alias("tok")
+                ),
+                "tok",
+                k=10,
+            )
+        ),
+        # bloom join: probe is scan-stage; fact 10x, dim constant
+        "bloom_join": (
+            lambda s: (
+                lambda f: bloom_filtered_join(
+                    f.select("l_suppkey", "l_quantity"),
+                    read_parquet_table(spark, SF_DIR, "supplier")
+                    .filter(F.col("s_nationkey") < 5)
+                    .select("s_suppkey", "s_nationkey"),
+                    "l_suppkey",
+                    "s_suppkey",
+                )
+                .groupBy("s_nationkey")
+                .agg(F.count(F.lit(1)).alias("n_items"))
+            )(li if s == 1 else scaled(li, s, ["l_orderkey"]))
+        ),
+        # lateness: one per-key window + combinable rollup
+        "lateness": (
+            lambda s: (
+                lambda ev: lateness_audit(
+                    ev.select(
+                        "user_id",
+                        "event_id",
+                        F.col("ts").cast("timestamp").alias("ts"),
+                        "event_type",
+                    ),
+                    "user_id",
+                    "event_id",
+                    "ts",
+                    300,
+                    group_col="event_type",
+                )
+            )(
+                events
+                if s == 1
+                else scaled(events, s, ["user_id", "event_id"])
+            )
+        ),
+        # pivot: one scan, one combinable agg on (year x 5) cells
+        "pivot": (
+            lambda s: (
+                lambda o: o.withColumn(
+                    "o_year", F.year("o_orderdate").cast("long")
+                )
+                .groupBy("o_year")
+                .pivot(
+                    "o_orderpriority",
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                     "5-LOW"],
+                )
+                .agg(F.count(F.lit(1)))
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # BPE encode: vocab stays Heaps-bounded; only the token stream
+        # and the broadcast-join probe side grow
+        "bpe_encode": (
+            lambda s: (
+                lambda d: (
+                    lambda wf: (
+                        lambda vocab: d.select(
+                            "doc_id",
+                            F.explode(
+                                F.split(F.lower("text"), "[^a-z]+")
+                            ).alias("w"),
+                        )
+                        .filter(F.col("w") != "")
+                        .join(F.broadcast(vocab), "w")
+                        .groupBy("doc_id")
+                        .agg(
+                            F.count(F.lit(1)).alias("n_words"),
+                            F.sum("n_sub").alias("n_subtokens"),
+                        )
+                    )(
+                        apply_merge(
+                            wf, top_merge(pair_counts(wf))
+                        ).select(
+                            "w",
+                            F.size(F.split("spaced", " "))
+                            .cast("long")
+                            .alias("n_sub"),
+                        )
+                    )
+                )(with_spaced(word_frequencies(d, "text")))
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
         ),
     }
 

@@ -514,3 +514,66 @@ def test_x25_salted_join_explodes_dim_on_shuffle_path(spark):
     assert "SortMergeJoin" in plan
     assert "partial_count" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx23_heavy_hitters_result_is_bounded_local(spark):
+    """Heavy-hitter contract: the returned frame is the certified k-row
+    result materialized as a local relation (the two-phase job already
+    ran: Arrow candidate pass + broadcast-filtered recount — both bounded
+    driver state); re-executing it must NOT rescan the corpus."""
+    plan = _physical(spark, "tx23_heavy_hitters")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan" not in plan
+
+
+def test_tx24_bpe_encode_vocab_broadcast(spark):
+    """BPE-encode contract: the Heaps-bounded vocabulary joins the
+    corpus-scale token stream as a BROADCAST (tokenizer inference never
+    shuffles the corpus on the word key); the per-doc rollup is map-side
+    combined; the merge folds stay JVM expressions."""
+    plan = _physical(spark, "tx24_bpe_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x26_bloom_probe_runs_before_exchange(spark):
+    """Bloom-join contract: the literal-bitset probe (shiftright over the
+    md5 double-hash positions) evaluates in the scan stage — below the
+    first Exchange — so pruned rows never enter a shuffle; no Python."""
+    plan = _physical(spark, "x26_bloom_join")
+    first_exchange = plan.find("Exchange")
+    probe = plan.find("shiftright")
+    assert probe != -1
+    assert first_exchange == -1 or probe > first_exchange  # plan prints
+    # top-down: a larger offset means the probe sits DEEPER (earlier in
+    # execution) than the exchange
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq8_lateness_single_window_then_combinable_agg(spark):
+    """Lateness contract: one (key, arrival) window exchange computes the
+    running mark; the status rollup is a map-side-combined groupBy; all
+    timestamp arithmetic is JVM expression work."""
+    plan = _physical(spark, "dq8_lateness_audit")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel26_pivot_single_exchange_partial_agg(spark):
+    """Pivot contract: the pinned value list means NO distinct-discovery
+    job — one scan, one hash aggregate with map-side partials, one
+    exchange on the year key."""
+    plan = _physical(spark, "rel26_pivot")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm9_three_arrow_stages_payload_confined(spark):
+    """Downsample contract: exactly three Arrow stages (synthesize,
+    decode+resample+re-encode, decode+stats) — the binary payload crosses
+    two stage boundaries and never enters a JVM shuffle."""
+    plan = _physical(spark, "mm9_wav_downsample")
+    assert plan.count("MapInPandas") == 3
