@@ -209,6 +209,13 @@ BENCH_QUERIES = [
     "dq8_lateness_audit",
     "rel26_pivot",
     "mm9_wav_downsample",
+    # round-5 sixth batch
+    "w13_stream_two_level_agg",
+    "td12_lsh_quality",
+    "x27_epoch_shuffle",
+    "x28_compaction_plan",
+    "tx25_blocklist_filter",
+    "rel27_rolling_slope",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

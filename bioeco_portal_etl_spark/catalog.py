@@ -938,6 +938,7 @@ from bioeco_portal_etl_spark.catalog_tpch import CATALOG_TPCH  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext6 import CATALOG_EXT6  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext7 import CATALOG_EXT7  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext8 import CATALOG_EXT8  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext9 import CATALOG_EXT9  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -948,6 +949,7 @@ _CATALOG.update(CATALOG_EXT5)
 _CATALOG.update(CATALOG_EXT6)
 _CATALOG.update(CATALOG_EXT7)
 _CATALOG.update(CATALOG_EXT8)
+_CATALOG.update(CATALOG_EXT9)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1016,6 +1018,15 @@ _GATE_FIRST = [
     "dq8_lateness_audit",
     "rel26_pivot",
     "mm9_wav_downsample",
+    # (2f) round-5 sixth batch (catalog_ext9) — fills the 50-slot window;
+    # the r2-proven rotation below now gates from position 51 (i.e. waits
+    # for round 6):
+    "w13_stream_two_level_agg",
+    "td12_lsh_quality",
+    "x27_epoch_shuffle",
+    "x28_compaction_plan",
+    "tx25_blocklist_filter",
+    "rel27_rolling_slope",
     # (3) longest-unsampled rotation (last driver verdict r2):
     "q1_pricing_summary",
     "q3_shipping_priority",

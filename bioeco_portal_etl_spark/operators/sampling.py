@@ -214,3 +214,53 @@ def temporal_split(
         )
         .drop("__rn_end", "__n")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    pseudo-random 60-bit key ``h = md5(seed || ':' || id)``, a shard
+    ``h % n_shards``, and a within-shard position by ``h`` — the
+    reproducible global shuffle a data loader needs per epoch. Change
+    ``seed`` ('epoch-0', 'epoch-1', ...) and the permutation changes
+    completely; rerun the same seed anywhere and byte-identical shards
+    come back (no RNG state, no sampling pass — the same md5 idiom as
+    hash_bucket/shard manifests).
+
+    Plan: the key is scan-stage expression work; the only exchange is
+    repartition-by-shard (what the writer needs anyway); within-shard
+    order is a sortWithinPartitions, not a global sort. At 100 TB this is
+    one hash shuffle + local sorts — the minimum any epoch shuffle pays.
+    """
+    from bioeco_portal_etl_spark.sketches import h60
+
+    key = h60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("long")
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
+
+
+def epoch_shuffle_audit(shuffled: DataFrame, id_col: str) -> DataFrame:
+    """Per-shard audit of an epoch_shuffle layout: row count, the first/
+    last ids in shuffle order, and an order-insensitive id checksum —
+    enough for a trainer to verify it got the exact permutation a prior
+    run logged. min_by/max_by on the shuffle key are combinable
+    aggregates, so the audit is one map-side-combined groupBy."""
+    return (
+        shuffled.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min_by(F.col(id_col), F.col("shuffle_key")).alias("first_id"),
+            F.max_by(F.col(id_col), F.col("shuffle_key")).alias("last_id"),
+            F.sum(F.col(id_col)).alias("id_sum"),
+        )
+    )

@@ -151,3 +151,70 @@ def _ewma_batch(pdf, shift: int):
     return pd.DataFrame(
         {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma_e4": out}
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_rows: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Rolling least-squares trend per key: the OLS slope of the last
+    ``window_rows`` quantized values against their sequence index — the
+    streaming-dashboard "is this metric trending up" statistic, exact
+    across engines because every sufficient statistic is an integer.
+
+    y is floor-quantized to ``scale`` in the scan stage; x is the per-key
+    row_number. All five rolling sums (n, Σx, Σy, Σxy, Σx²) ride ONE
+    window frame over the same (key) exchange; the slope
+
+        slope_e6 = floor(1e6 · (n·Σxy − Σx·Σy) / (n·Σx² − Σx²sum))
+
+    does its single IEEE division inside a floor (PORTABILITY.md), with a
+    NULL surface while the window still has < 2 points or zero variance.
+
+    Scale: one hash exchange + in-partition sort, rolling frames are
+    O(1)-update streaming aggregates; nothing here is corpus-sized."""
+    wseq = Window.partitionBy(key_col).orderBy(order_col, tiebreak_col)
+    wfrm = wseq.rowsBetween(-(window_rows - 1), 0)
+    y = F.floor(F.col(value_col) * scale).cast("long")
+    base = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.col(tiebreak_col),
+        F.row_number().over(wseq).cast("long").alias("__x"),
+        y.alias("__y"),
+    )
+    n = F.count(F.lit(1)).over(wfrm)
+    sx = F.sum("__x").over(wfrm)
+    sy = F.sum("__y").over(wfrm)
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(wfrm)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(wfrm)
+    return base.select(
+        key_col,
+        order_col,
+        tiebreak_col,
+        F.col("__x").alias("x"),
+        F.col("__y").alias("y_e"),
+        n.alias("__n"),
+        sx.alias("__sx"),
+        sy.alias("__sy"),
+        sxy.alias("__sxy"),
+        sxx.alias("__sxx"),
+    ).select(
+        key_col,
+        order_col,
+        tiebreak_col,
+        "x",
+        "y_e",
+        F.expr(
+            # 1e6 (not 1000000.0): a .0 literal parses as DECIMAL in
+            # DuckDB and rounds differently — PORTABILITY.md
+            "CASE WHEN __n >= 2 AND __n * __sxx - __sx * __sx <> 0 THEN "
+            "CAST(floor(1e6 * (__n * __sxy - __sx * __sy) "
+            "/ (__n * __sxx - __sx * __sx)) AS BIGINT) END"
+        ).alias("slope_e6"),
+    )

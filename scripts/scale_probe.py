@@ -89,6 +89,13 @@ from bioeco_portal_etl_spark.text.bpe import (  # noqa: E402
     word_frequencies,
 )
 from bioeco_portal_etl_spark.text.tokenize import tokens  # noqa: E402
+from bioeco_portal_etl_spark.operators.sampling import (  # noqa: E402
+    epoch_shuffle,
+    epoch_shuffle_audit,
+)
+from bioeco_portal_etl_spark.operators.compaction import compaction_plan  # noqa: E402
+from bioeco_portal_etl_spark.text.blocklist import blocklist_hits  # noqa: E402
+from bioeco_portal_etl_spark.operators.timeseries import rolling_slope  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     pmi_bigrams,
     postings_table,
@@ -146,6 +153,7 @@ def main() -> None:
 
     li = read_parquet_table(spark, SF_DIR, "lineitem")
     orders = read_parquet_table(spark, SF_DIR, "orders")
+    parts = read_parquet_table(spark, SF_DIR, "part")
     docs = read_parquet_table(spark, SF_DIR, "documents")
     events = read_parquet_table(spark, SF_DIR, "events")
 
@@ -875,6 +883,92 @@ def main() -> None:
                     )
                 )(with_spaced(word_frequencies(d, "text")))
             )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
+        # epoch shuffle: scan-stage keys + ONE hash repartition + audit
+        "epoch_shuffle": (
+            lambda s: epoch_shuffle_audit(
+                epoch_shuffle(
+                    (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                        "doc_id"
+                    ),
+                    "doc_id",
+                    "epoch-0",
+                    n_shards=16,
+                ),
+                "doc_id",
+            )
+        ),
+        # compaction plan: listings are metadata-sized; 10x files, same
+        # group count -> bigger collect_list per group (the honest axis)
+        "compaction_plan": (
+            lambda s: compaction_plan(
+                (
+                    parts if s == 1 else scaled(parts, s, ["p_partkey"])
+                ).select(
+                    "p_brand",
+                    F.col("p_partkey").alias("file_id"),
+                    ((F.col("p_partkey") * 7) % 100 + 1)
+                    .cast("long")
+                    .alias("size_mb"),
+                ),
+                "p_brand",
+                "file_id",
+                "size_mb",
+                target_size=128,
+            )
+        ),
+        # blocklist: broadcast term table, corpus-side explode 10x
+        "blocklist": (
+            lambda s: blocklist_hits(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                {"infra": ["spark", "hash", "shard"], "ops": ["merge", "sort"]},
+            )
+        ),
+        # rolling slope: one window exchange; rows 10x, keys constant ->
+        # in-partition sort volume is the scaling axis
+        "rolling_slope": (
+            lambda s: rolling_slope(
+                (
+                    events if s == 1 else scaled(events, s, ["event_id"])
+                ).select(
+                    "event_type",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id",
+                    "value",
+                ),
+                "event_type",
+                "ts",
+                "event_id",
+                "value",
+                window_rows=10,
+            )
+        ),
+        # two-level agg (batch face of w13): pre-agg collapses to
+        # 15-min cells before the hourly rollup — second agg is tiny
+        "twolevel_agg": (
+            lambda s: (
+                lambda ev: ev.select(
+                    F.col("ts").cast("timestamp").alias("ts"), "event_type"
+                )
+                .groupBy(
+                    F.window("ts", "15 minutes").alias("w15"), "event_type"
+                )
+                .agg(F.count(F.lit(1)).alias("n15"))
+                .groupBy(
+                    F.window(F.col("w15"), "1 hour").alias("wh"),
+                    "event_type",
+                )
+                .agg(
+                    F.sum("n15").alias("n_events"),
+                    F.count(F.lit(1)).alias("n_subwindows"),
+                )
+            )(
+                events
+                if s == 1
+                else scaled(events, s, ["event_id", "user_id"])
+            )
         ),
     }
 

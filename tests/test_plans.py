@@ -577,3 +577,53 @@ def test_mm9_three_arrow_stages_payload_confined(spark):
     two stage boundaries and never enters a JVM shuffle."""
     plan = _physical(spark, "mm9_wav_downsample")
     assert plan.count("MapInPandas") == 3
+
+
+def test_td12_lsh_quality_localized_single_row(spark):
+    """LSH-quality contract: the metric row is materialized once (the
+    persisted shingle stage is unpersisted before return) — re-execution
+    must not replay the two-sided candidate/ground-truth join."""
+    plan = _physical(spark, "td12_lsh_quality")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "FileScan" not in plan
+
+
+def test_x27_epoch_shuffle_one_exchange(spark):
+    """Epoch-shuffle contract: the md5 key is scan-stage expression work;
+    the layout costs ONE hash repartition (what the shard writer needs
+    anyway) and the audit combines map-side on the same partitioning —
+    min_by/max_by are partial-merge aggregates, no extra window."""
+    plan = _physical(spark, "x27_epoch_shuffle")
+    assert "partial_min_by" in plan or "partial_min" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x28_compaction_fold_stays_codegen(spark):
+    """Compaction contract: the next-fit fold is an aggregate expression
+    over the per-group collected listing (metadata-sized by the
+    directory-width argument) — one groupBy exchange, no joins, no
+    Python."""
+    plan = _physical(spark, "x28_compaction_plan")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx25_blocklist_broadcast_and_left_join(spark):
+    """Blocklist contract: the term table broadcasts (config-sized); the
+    verdict join back to the doc base is also broadcast-able at report
+    scale; per-doc rollup is map-side combined; no Python."""
+    plan = _physical(spark, "tx25_blocklist_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel27_rolling_slope_one_window_exchange(spark):
+    """Rolling-slope contract: all five sufficient statistics ride one
+    (event_type) window exchange; the division appears once inside a
+    floor; no Python."""
+    plan = _physical(spark, "rel27_rolling_slope")
+    assert plan.count("Window") <= 2  # row_number + the frame sums
+    assert "EvalPython" not in plan and "InPandas" not in plan
