@@ -216,6 +216,17 @@ BENCH_QUERIES = [
     "x28_compaction_plan",
     "tx25_blocklist_filter",
     "rel27_rolling_slope",
+    # round-5 seventh batch
+    "gr9_hits",
+    "tx26_rake_keywords",
+    "ts12_range_search",
+    "ts13_filtered_ann",
+    "x29_cdc_net_effect",
+    "w14_stream_complete_topk",
+    # round-5 eighth batch
+    "gr10_random_walks",
+    "x30_scd2_asof",
+    "rel28_percent_rank",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

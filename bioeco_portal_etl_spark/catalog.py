@@ -939,6 +939,8 @@ from bioeco_portal_etl_spark.catalog_ext6 import CATALOG_EXT6  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext7 import CATALOG_EXT7  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext8 import CATALOG_EXT8  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext9 import CATALOG_EXT9  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext10 import CATALOG_EXT10  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext11 import CATALOG_EXT11  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -950,6 +952,8 @@ _CATALOG.update(CATALOG_EXT6)
 _CATALOG.update(CATALOG_EXT7)
 _CATALOG.update(CATALOG_EXT8)
 _CATALOG.update(CATALOG_EXT9)
+_CATALOG.update(CATALOG_EXT10)
+_CATALOG.update(CATALOG_EXT11)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -984,13 +988,23 @@ _GATE_FIRST = [
     "gr1_pagerank",
     "tx12_vocab_growth",
     "mm4_audio_energy",
-    # (2b) NEW round-5 entries — least-proven code gates the round it ships:
-    "gr6_dup_components",
-    "dq3_split_leakage",
-    "x22_incremental_agg",
-    "mm6_png_channel_stats",
-    "ts9_recall_at_k",
-    "mm7_wav_clip_stats",
+    # (2g) round-5 seventh batch (catalog_ext10) — newest code gates
+    # first; with 42 round-5 entries and 14 mandatory slots above, the 6
+    # OLDEST round-5 entries (ext5 first batch: gr6/dq3/x22/mm6/ts9/mm7 —
+    # moved to the window tail below) wait for the round-6 rotation:
+    "gr9_hits",
+    "tx26_rake_keywords",
+    "ts12_range_search",
+    "ts13_filtered_ann",
+    "x29_cdc_net_effect",
+    "w14_stream_complete_topk",
+    # (2h) round-5 eighth batch (catalog_ext11) — displaces the last 3
+    # ext9 entries (x28/tx25/rel27) past position 50; they join ext5's
+    # first batch at the front of the round-6 rotation:
+    "gr10_random_walks",
+    "x30_scd2_asof",
+    "rel28_percent_rank",
+    # (2b) round-5 first-batch remainder:
     "x23_scd2_history",
     "tx20_winnow_fingerprints",
     "w11_stream_static_enrich",
@@ -1129,6 +1143,14 @@ _GATE_FIRST = [
     "x20_equidepth_bins",
     "w10_streaming_update_counts",
     "x10_url_dedupe",
+    # round-5 ext5 first batch, displaced past the 50-slot window by the
+    # seventh batch (see (2g) above) — FIRST in line for round 6's gate:
+    "gr6_dup_components",
+    "dq3_split_leakage",
+    "x22_incremental_agg",
+    "mm6_png_channel_stats",
+    "ts9_recall_at_k",
+    "mm7_wav_clip_stats",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

@@ -130,3 +130,51 @@ def apply_changeset(
         *key_cols, *value_cols
     )
     return kept.select(*key_cols, *value_cols).unionByName(upserts)
+
+
+def net_effect(
+    ops: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Changelog compaction to NET effect per key — the Debezium-style
+    collapse a sink applies before writing a batch of I/U/D operations:
+    what single operation, if any, takes the key from its state BEFORE
+    the batch to its state AFTER.
+
+        first=I, last=D  -> NONE  (created and destroyed inside the batch)
+        first=I, last!=D -> I     (newly created; final value)
+        first!=I, last=D -> D     (existed before; deleted)
+        else             -> U     (existed before; updated to final value)
+
+    first/last are min_by/max_by over the sequence column (exact integer
+    tie-free when ``seq_col`` is unique per key — a kafka offset, a CDC
+    LSN). Output: (key, n_ops, first_op, last_op, net_op, final value
+    for I/U else NULL). One combinable groupBy — compaction cost is one
+    exchange on the key, the same shuffle the downstream MERGE pays
+    anyway."""
+    return (
+        ops.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.min_by(F.col(op_col), F.col(seq_col)).alias("first_op"),
+            F.max_by(F.col(op_col), F.col(seq_col)).alias("last_op"),
+            F.max_by(F.col(value_col), F.col(seq_col)).alias("__last_v"),
+        )
+        .select(
+            "key",
+            "n_ops",
+            "first_op",
+            "last_op",
+            F.expr(
+                "CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE' "
+                "WHEN first_op = 'I' THEN 'I' "
+                "WHEN last_op = 'D' THEN 'D' ELSE 'U' END"
+            ).alias("net_op"),
+            F.expr(
+                "CASE WHEN last_op <> 'D' THEN __last_v END"
+            ).alias("net_value"),
+        )
+    )

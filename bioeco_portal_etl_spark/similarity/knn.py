@@ -163,3 +163,27 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", score_e4(cos).alias("score_e4"))
         .filter(F.col("score_e4") >= threshold_e4)
     )
+
+
+def cosine_range_search(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold_e4: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """RADIUS search: every candidate with floor-e4 cosine >=
+    ``threshold_e4`` per query — the "all sufficiently similar" twin of
+    top-k retrieval (vector stores expose both; radius is what dedupe
+    and recall-sweep tooling consume, because the result SET is a
+    function of the data alone, not of k). Same broadcast-query scan
+    shape as cosine_topk; the filter replaces the rank window, so there
+    is no per-query state at all — fully map-side after the broadcast.
+    Output: (query_id, match_id, score_e4)."""
+    cand = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
+    q = with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
+    )
+    scored = _scored_pairs(F.broadcast(q), cand, F.lit(True), exclude_self)
+    return scored.filter(F.col("score_e4") >= threshold_e4)

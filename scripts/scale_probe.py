@@ -96,6 +96,10 @@ from bioeco_portal_etl_spark.operators.sampling import (  # noqa: E402
 from bioeco_portal_etl_spark.operators.compaction import compaction_plan  # noqa: E402
 from bioeco_portal_etl_spark.text.blocklist import blocklist_hits  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import rolling_slope  # noqa: E402
+from bioeco_portal_etl_spark.graph.hits import hits  # noqa: E402
+from bioeco_portal_etl_spark.text.rake import rake_keywords  # noqa: E402
+from bioeco_portal_etl_spark.similarity.knn import cosine_range_search  # noqa: E402
+from bioeco_portal_etl_spark.operators.cdc import net_effect  # noqa: E402
 from bioeco_portal_etl_spark.text.analysis import (  # noqa: E402
     pmi_bigrams,
     postings_table,
@@ -969,6 +973,87 @@ def main() -> None:
                 if s == 1
                 else scaled(events, s, ["event_id", "user_id"])
             )
+        ),
+        # HITS: edges 10x as disjoint graph copies (both endpoints
+        # shifted); per-iteration shuffles carry the score tables
+        "hits": (
+            lambda s: (
+                lambda e: hits(e, iterations=2)
+            )(
+                (
+                    lambda o, li: o.join(
+                        li, o.o_orderkey == li.l_orderkey
+                    ).select(
+                        F.col("o_custkey").alias("src"),
+                        F.col("l_suppkey").alias("dst"),
+                    )
+                )(orders, li)
+                if s == 1
+                else scaled(
+                    (
+                        lambda o, li2: o.join(
+                            li2, o.o_orderkey == li2.l_orderkey
+                        ).select(
+                            F.col("o_custkey").alias("src"),
+                            F.col("l_suppkey").alias("dst"),
+                        )
+                    )(orders, li),
+                    s,
+                    ["src", "dst"],
+                )
+            )
+        ),
+        # RAKE: token stream 10x; word stats stay vocab-sized
+        "rake": (
+            lambda s: rake_keywords(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                ["the", "order", "scan", "batch"],
+                top_k=3,
+            )
+        ),
+        # radius search: corpus 10x, query set fixed -> linear scan
+        "range_search": (
+            lambda s: (
+                lambda e: cosine_range_search(
+                    e,
+                    e.filter(F.col("vec_id") < 5),
+                    "embedding",
+                    "vec_id",
+                    threshold_e4=2000,
+                )
+            )(
+                read_parquet_table(spark, SF_DIR, "embeddings")
+                if s == 1
+                else scaled(
+                    read_parquet_table(spark, SF_DIR, "embeddings"),
+                    s,
+                    ["vec_id"],
+                )
+            )
+        ),
+        # net effect: one combinable groupBy on the entity key
+        "net_effect": (
+            lambda s: (
+                lambda ev: net_effect(
+                    ev.select(
+                        (F.col("event_id") % (400 * s)).alias("entity"),
+                        F.col("event_id").alias("seq"),
+                        F.expr(
+                            "CASE event_type WHEN 'signup' THEN 'I'"
+                            " WHEN 'error' THEN 'D' ELSE 'U' END"
+                        ).alias("op"),
+                        F.expr(
+                            "CAST(floor(value * 1e4) AS BIGINT)"
+                        ).alias("v_e4"),
+                    ),
+                    "entity",
+                    "seq",
+                    "op",
+                    "v_e4",
+                )
+            )(events if s == 1 else scaled(events, s, ["event_id"]))
         ),
     }
 

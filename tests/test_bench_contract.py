@@ -45,3 +45,9 @@ def test_bench_list_covers_catalog_batch_faces():
     # and bench doesn't reference queries that no longer exist
     stale = benched - qnames
     assert not stale, f"bench references unknown queries: {sorted(stale)}"
+
+
+def test_bench_covers_entire_catalog():
+    """No operator ships without wall-time tracking: the bench list and
+    the catalog must stay in bijection (VERDICT r4 item 7)."""
+    assert set(bench.BENCH_QUERIES) == set(catalog.queries())

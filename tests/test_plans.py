@@ -627,3 +627,81 @@ def test_rel27_rolling_slope_one_window_exchange(spark):
     plan = _physical(spark, "rel27_rolling_slope")
     assert plan.count("Window") <= 2  # row_number + the frame sums
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr9_hits_scalar_max_broadcast(spark):
+    """HITS contract: per half-step the normalizer is a 1-row max
+    broadcast back over the score table (BroadcastNestedLoopJoin of one
+    row), never a window over all nodes; score joins are combinable
+    aggregates; no Python."""
+    plan = _physical(spark, "gr9_hits")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx26_rake_stays_jvm(spark):
+    """RAKE contract: segmentation is a running-sum window on the per-doc
+    exchange; word stats broadcast back (vocab-sized); no Python, no
+    cartesian."""
+    plan = _physical(spark, "tx26_rake_keywords")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts12_range_search_no_rank_state(spark):
+    """Radius-search contract: broadcast query side + a pure filter on
+    the floored score — NO window/rank state at all (the contract
+    difference vs top-k)."""
+    plan = _physical(spark, "ts12_range_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts13_filtered_ann_label_pushed_to_scan(spark):
+    """Filtered-ANN contract: the label predicate reaches the parquet
+    scan (PushedFilters) — excluded vectors are never scored, the whole
+    point of filtered search."""
+    plan = _physical(spark, "ts13_filtered_ann")
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("label" in ln and "PushedFilters" in ln for ln in scans)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x29_net_effect_single_combinable_agg(spark):
+    """Net-effect contract: one groupBy on the entity key; min_by/max_by
+    are partial-merge aggregates (map-side combine), so compaction costs
+    exactly the exchange the downstream MERGE pays anyway."""
+    plan = _physical(spark, "x29_cdc_net_effect")
+    assert "partial_min_by" in plan or "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr10_walks_join_per_hop_no_python(spark):
+    """Random-walk contract: L equi-joins of the seed-sized frontier
+    against the adjacency table; hop choice is md5 expression work; no
+    Python, no cartesian."""
+    plan = _physical(spark, "gr10_random_walks")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x30_asof_filters_history_not_rescan(spark):
+    """As-of contract: time travel is a FILTER over the history build's
+    windows — same single (user) exchange as x23, no extra join."""
+    plan = _physical(spark, "x30_scd2_asof")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel28_percent_rank_integer_only(spark):
+    """Percent-rank contract: the surface is pure integer division —
+    no double division node anywhere in the plan; one window exchange."""
+    plan = _physical(spark, "rel28_percent_rank")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "Window" in plan
