@@ -227,6 +227,12 @@ BENCH_QUERIES = [
     "gr10_random_walks",
     "x30_scd2_asof",
     "rel28_percent_rank",
+    # round-5 ninth batch
+    "tx27_gopher_rules",
+    "dq9_fd_violations",
+    "x31_dsir_weights",
+    "ts14_hard_negatives",
+    "w15_stream_cdc_upsert",
     "w2_sliding",
     "w3_session",
     "x4_source_cap",

@@ -941,6 +941,7 @@ from bioeco_portal_etl_spark.catalog_ext8 import CATALOG_EXT8  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext9 import CATALOG_EXT9  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext10 import CATALOG_EXT10  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext11 import CATALOG_EXT11  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext12 import CATALOG_EXT12  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -954,6 +955,7 @@ _CATALOG.update(CATALOG_EXT8)
 _CATALOG.update(CATALOG_EXT9)
 _CATALOG.update(CATALOG_EXT10)
 _CATALOG.update(CATALOG_EXT11)
+_CATALOG.update(CATALOG_EXT12)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1004,12 +1006,15 @@ _GATE_FIRST = [
     "gr10_random_walks",
     "x30_scd2_asof",
     "rel28_percent_rank",
+    # (2i) round-5 ninth batch (catalog_ext12) — displaces the 5 next-
+    # oldest round-5 entries (ext5 remainder: x23/tx20/w11/dq4/ts10 —
+    # moved to the window tail below) into the round-6 rotation queue:
+    "tx27_gopher_rules",
+    "dq9_fd_violations",
+    "x31_dsir_weights",
+    "ts14_hard_negatives",
+    "w15_stream_cdc_upsert",
     # (2b) round-5 first-batch remainder:
-    "x23_scd2_history",
-    "tx20_winnow_fingerprints",
-    "w11_stream_static_enrich",
-    "dq4_psi_drift",
-    "ts10_sq8_topk",
     "dq5_k_anonymity",
     # (2c) round-5 third batch (catalog_ext6) — newest code gates first:
     "tx21_bpe_merges",
@@ -1143,14 +1148,19 @@ _GATE_FIRST = [
     "x20_equidepth_bins",
     "w10_streaming_update_counts",
     "x10_url_dedupe",
-    # round-5 ext5 first batch, displaced past the 50-slot window by the
-    # seventh batch (see (2g) above) — FIRST in line for round 6's gate:
+    # round-5 ext5 first batch + remainder, displaced past the 50-slot
+    # window by the seventh/ninth batches — FIRST in line for round 6:
     "gr6_dup_components",
     "dq3_split_leakage",
     "x22_incremental_agg",
     "mm6_png_channel_stats",
     "ts9_recall_at_k",
     "mm7_wav_clip_stats",
+    "x23_scd2_history",
+    "tx20_winnow_fingerprints",
+    "w11_stream_static_enrich",
+    "dq4_psi_drift",
+    "ts10_sq8_topk",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

@@ -61,3 +61,73 @@ def profile_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         )
         .orderBy("check")
     )
+
+
+def fd_audit(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate-functional-dependency audit (the Metanome/profiling
+    "does LHS -> RHS hold, and how badly not" question): for each
+    candidate pair, how many LHS keys map to more than one RHS value,
+    and what fraction of rows survives enforcing the majority mapping.
+
+    Output per pair: n_keys, n_violating_keys, n_rows, kept_rows (sum of
+    each key's majority-RHS count — the rows a repair-to-majority would
+    keep), support_e6 = (1e6 * kept_rows) div n_rows. support_e6 =
+    1_000_000 iff the FD holds exactly.
+
+    Plan shape: per pair, groupBy(lhs, rhs) -> groupBy(lhs) -> global
+    agg — two partial-aggregated shuffles whose key cardinality SHRINKS
+    each step, then a one-row reduce; pairs evaluate as independent
+    branches of one union (Spark schedules them concurrently). No
+    all-pairs column scan: candidates are caller-declared, which is how
+    a 100 TB profiler must run — FD discovery over all column pairs is
+    O(cols^2) scans and belongs in a sampled pre-pass, not the full-data
+    audit."""
+    outs = []
+    for lhs, rhs in pairs:
+        per_val = df.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("__n"))
+        per_key = per_val.groupBy(lhs).agg(
+            F.count(F.lit(1)).alias("__n_rhs"),
+            F.max("__n").alias("__maj"),
+            F.sum("__n").alias("__tot"),
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(lhs).alias("lhs_col"),
+                F.lit(rhs).alias("rhs_col"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("__n_rhs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.sum("__tot").cast("long").alias("n_rows"),
+                F.sum("__maj").cast("long").alias("kept_rows"),
+                F.expr("(1000000 * sum(__maj)) div sum(__tot)")
+                .cast("long")
+                .alias("support_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def duck_fd_audit_sql(source_sql: str, pairs: list[tuple[str, str]]) -> str:
+    """DuckDB mirror of :func:`fd_audit` — a UNION ALL of one aggregate
+    chain per candidate pair over ``source_sql``. Caller appends ORDER BY."""
+    parts = []
+    for lhs, rhs in pairs:
+        parts.append(f"""
+SELECT '{lhs}' AS lhs_col, '{rhs}' AS rhs_col,
+       count(*)::BIGINT AS n_keys,
+       sum((__n_rhs > 1)::BIGINT)::BIGINT AS n_violating_keys,
+       sum(__tot)::BIGINT AS n_rows,
+       sum(__maj)::BIGINT AS kept_rows,
+       ((1000000 * sum(__maj)) // sum(__tot))::BIGINT AS support_e6
+FROM (
+  SELECT {lhs}, count(*)::BIGINT AS __n_rhs, max(__n) AS __maj,
+         sum(__n) AS __tot
+  FROM (SELECT {lhs}, {rhs}, count(*)::BIGINT AS __n
+        FROM ({source_sql}) GROUP BY {lhs}, {rhs})
+  GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(parts)

@@ -165,6 +165,55 @@ def embedding_neardup_pairs(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query, the top-k most-similar candidates whose label DIFFERS from the
+    query's — the near-misses a triplet/InfoNCE loss learns most from
+    (Xiong et al. 2021, ANCE). Same broadcast-query scan shape as
+    cosine_topk; the label-mismatch predicate joins as the nested-loop
+    condition, so positives are never scored. Output: (query_id,
+    match_id, neg_label, score_e4, rank)."""
+    from pyspark.sql import Window
+
+    v = _as_double(F.col(vec_col))
+    cand = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(label_col).alias("neg_label"),
+        v.alias("_v"),
+        norm(v).alias("_n"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        v.alias("q_v"),
+        norm(v).alias("q_n"),
+    )
+    cos = cosine(F.col("q_v"), F.col("_v"), F.col("q_n"), F.col("_n"))
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("q_label") != F.col("neg_label"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("_cid").alias("match_id"),
+            "neg_label",
+            score_e4(cos).alias("score_e4"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e4"), F.asc("match_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_range_search(
     df: DataFrame,
     queries: DataFrame,

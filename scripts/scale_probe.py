@@ -38,6 +38,9 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
     point_in_polygon_join_grid,
 )
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
+from bioeco_portal_etl_spark.operators.quality import fd_audit  # noqa: E402
+from bioeco_portal_etl_spark.text.dsir import dsir_weights  # noqa: E402
+from bioeco_portal_etl_spark.text.gopher import gopher_flags  # noqa: E402
 from bioeco_portal_etl_spark.operators.sessions import session_stats  # noqa: E402
 from bioeco_portal_etl_spark.text.lm import unigram_lm_scores  # noqa: E402
 from bioeco_portal_etl_spark.sketches.kmv import kmv_distinct  # noqa: E402
@@ -1034,6 +1037,34 @@ def main() -> None:
             )
         ),
         # net effect: one combinable groupBy on the entity key
+        # gopher rules: pure scan-stage column algebra — must be ~linear
+        "gopher_rules": (
+            lambda s: gopher_flags(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+            )
+        ),
+        # DSIR: explode + B-row broadcast back-join — two linear passes
+        "dsir_weights": (
+            lambda s: dsir_weights(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                F.col("lang") == "en",
+            )
+        ),
+        # FD audit: shrinking two-level hash aggregate per pair
+        "fd_audit": (
+            lambda s: fd_audit(
+                (orders if s == 1 else scaled(orders, s, ["o_custkey"]))
+                .select("o_custkey", "o_orderstatus", "o_orderpriority"),
+                [
+                    ("o_custkey", "o_orderstatus"),
+                    ("o_orderstatus", "o_orderpriority"),
+                ],
+            )
+        ),
         "net_effect": (
             lambda s: (
                 lambda ev: net_effect(

@@ -705,3 +705,44 @@ def test_rel28_percent_rank_integer_only(spark):
     plan = _physical(spark, "rel28_percent_rank")
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "Window" in plan
+
+
+def test_tx27_gopher_single_scan_codegen(spark):
+    """Gopher-rules contract: the whole rule stack is Column algebra over
+    ONE scan of documents — no join, no shuffle, no Python; at 100 TB it
+    rides the scan stage."""
+    plan = _physical(spark, "tx27_gopher_rules")
+    assert plan.count("FileScan") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq9_fd_audit_partial_aggs_no_join(spark):
+    """FD-audit contract: each candidate pair is a two-level hash
+    aggregate with map-side partials; pairs union, nothing joins."""
+    plan = _physical(spark, "dq9_fd_violations")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x31_dsir_bucket_table_broadcast(spark):
+    """DSIR contract: the B-row bucket-ratio table comes back to the
+    token stream as a BROADCAST join (never a shuffle of the corpus),
+    and the totals fold is a 1-row broadcast too — no sort-merge join,
+    no cartesian product anywhere."""
+    plan = _physical(spark, "x31_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts14_hard_negatives_broadcast_queries(spark):
+    """Hard-negative mining contract: the query set broadcasts and the
+    label-mismatch predicate rides the nested-loop join — same scan
+    shape as cosine_topk, positives never scored by a separate pass."""
+    plan = _physical(spark, "ts14_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
