@@ -34,13 +34,29 @@ from bioeco_portal_etl_spark.sketches import h60
 
 def adjacency(edges: DataFrame) -> DataFrame:
     """(node, nbrs) — symmetrized, deduplicated, SORTED neighbor arrays
-    (the sort pins hash-index semantics across engines)."""
+    (the sort pins hash-index semantics across engines).
+
+    ONE shuffle, not two: a separate ``.distinct()`` before the groupBy
+    would shuffle the full symmetrized edge stream twice; ``collect_set``
+    dedupes INSIDE the aggregate with map-side partials
+    (ObjectHashAggregate partial_collect_set), so multi-edges collapse
+    before the exchange. On the sf0.1 co-activity graph (9.3M edges, avg
+    degree 608) array materialization dominates the operator's cost;
+    wall-clock deltas on the round-5 box are host-contention-noisy, so
+    the claim here is structural (exchange count), not a stopwatch.
+
+    Degree bound: per-node arrays are O(max_degree) row memory. That
+    holds for the co-activity fixture and most power-law graphs after a
+    hub cap; a graph with multi-million-degree hubs needs the rank-join
+    formulation instead ((node, rank, dst) + row_number — prototyped, ~2x
+    slower here because materializing the 9.1M-row rank table costs more
+    than the arrays; revisit only when degree actually breaks rows)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     return sym.groupBy(F.col("src").alias("node")).agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
     )
 
 
@@ -54,6 +70,13 @@ def random_walks(
     ``walk_id`` column (= start node in the catalog fixture). A walk
     stops early only at an isolated node (no adjacency row — impossible
     for seeds drawn from the edge set)."""
+    # NO eager checkpoint here, deliberately: the L union branches all
+    # reference the same adjacency subplan and AQE reuses the shuffle
+    # stage at runtime, so the build runs once per job anyway — while an
+    # eager localCheckpoint would re-materialize it at every DataFrame
+    # CONSTRUCTION (every bench pass / catalog call). The checkpoint
+    # idiom (graph/cc.py) pays off only for loops whose plan GROWS per
+    # iteration; this one is depth-L fixed.
     adj = adjacency(edges)
     cur = seeds.select(
         F.col("walk_id"),
