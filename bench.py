@@ -227,6 +227,12 @@ BENCH_QUERIES = [
     "gr10_random_walks",
     "x30_scd2_asof",
     "rel28_percent_rank",
+    # round-5 tenth batch
+    "rel29_grouping_sets",
+    "sk7_hll_merge",
+    "tx29_ngram_coverage",
+    "ts15_ivf_balance",
+    "x32_join_skew_report",
     # round-5 ninth batch
     "tx27_gopher_rules",
     "dq9_fd_violations",

@@ -942,6 +942,7 @@ from bioeco_portal_etl_spark.catalog_ext9 import CATALOG_EXT9  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext10 import CATALOG_EXT10  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext11 import CATALOG_EXT11  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext12 import CATALOG_EXT12  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext13 import CATALOG_EXT13  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -956,6 +957,7 @@ _CATALOG.update(CATALOG_EXT9)
 _CATALOG.update(CATALOG_EXT10)
 _CATALOG.update(CATALOG_EXT11)
 _CATALOG.update(CATALOG_EXT12)
+_CATALOG.update(CATALOG_EXT13)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1014,13 +1016,15 @@ _GATE_FIRST = [
     "x31_dsir_weights",
     "ts14_hard_negatives",
     "w15_stream_cdc_upsert",
-    # (2b) round-5 first-batch remainder:
-    "dq5_k_anonymity",
-    # (2c) round-5 third batch (catalog_ext6) — newest code gates first:
-    "tx21_bpe_merges",
-    "td11_semantic_dedupe",
-    "x24_zorder_layout",
-    "dq6_benford",
+    # (2j) round-5 tenth batch (catalog_ext13) — displaces the 5 next-
+    # oldest round-5 entries (dq5 + ext6's tx21/td11/x24/dq6 — moved to
+    # the window tail below) into the round-6 rotation queue:
+    "rel29_grouping_sets",
+    "sk7_hll_merge",
+    "tx29_ngram_coverage",
+    "ts15_ivf_balance",
+    "x32_join_skew_report",
+    # (2c) round-5 third batch (catalog_ext6) remainder:
     "mm8_phash_groups",
     "w12_stream_outer_join",
     # (2d) round-5 fourth batch (catalog_ext7):
@@ -1161,6 +1165,11 @@ _GATE_FIRST = [
     "w11_stream_static_enrich",
     "dq4_psi_drift",
     "ts10_sq8_topk",
+    "dq5_k_anonymity",
+    "tx21_bpe_merges",
+    "td11_semantic_dedupe",
+    "x24_zorder_layout",
+    "dq6_benford",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

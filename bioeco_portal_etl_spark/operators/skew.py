@@ -20,7 +20,7 @@ state the decomposition explicitly — no magic rewriting.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 SALT_COL = "__salt"
 
@@ -103,3 +103,49 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>")),
     )
     return salted.join(exploded, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top: int = 5,
+) -> DataFrame:
+    """Pre-join skew diagnosis — the report you read BEFORE reaching for
+    salted_join/AQE hints: per-key row counts on both sides and the
+    estimated join output (n_left * n_right), ranked by that estimate.
+    A single key carrying a large share of est_out is the shuffle
+    hotspot that stalls the straggler task.
+
+    Cost: one partial-aggregated groupBy per side (count-shaped, tiny
+    shuffle), then an outer join of two key-cardinality tables — never
+    touches the fact-sized join itself, which is the point of running
+    the diagnosis first. Output: top-``top`` keys by est_out
+    (key, n_left, n_right, est_out, rank)."""
+    lc = left.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    both = (
+        lc.join(rc, "key", "full")
+        .select(
+            "key",
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce(F.col("n_right"), F.lit(0)).cast("long").alias("n_right"),
+        )
+        .withColumn(
+            "est_out", (F.col("n_left") * F.col("n_right")).cast("long")
+        )
+    )
+    # Top-N via sort+limit (TakeOrderedAndProject — per-partition top-N
+    # then a merge of N-row heaps), NOT a global row_number window, which
+    # would single-task the whole key table; the rank window then runs
+    # over only the ``top`` surviving rows.
+    w = Window.orderBy(F.desc("est_out"), F.asc("key"))
+    return (
+        both.orderBy(F.desc("est_out"), F.asc("key"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -115,3 +115,47 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_e4"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """IVF index health report: per-cell population and e6 corpus share —
+    the observability face of the index (a skewed cell turns probes into
+    scans; empty cells waste nprobe budget). Vector-store maintenance
+    jobs watch exactly this to decide when to retrain centroids.
+
+    Same assignment subplan as ivf_topk (broadcast centroids, map-side
+    argmax combiner), then a cell-cardinality aggregate — the corpus is
+    scanned once and shuffled once at K-cell width. Output: (cell_id,
+    n_vecs, share_e6) for every centroid, INCLUDING empty cells (left
+    join from the centroid set)."""
+    cent = with_norm(centroids, vec_col, id_col).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_n").alias("q_n")
+    )
+    corpus = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "_cid")
+    assigned = _cells(corpus, cent, 1).select("cell_id", "_cid")
+    counts = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    # Denominator = corpus cardinality (every vector lands in exactly one
+    # cell), counted from a plain scan — summing `counts` instead would
+    # re-run the whole centroid-assignment subplan through the derived
+    # lineage. Both small sides broadcast: the K-row cell table onto the
+    # centroid list, the 1-row total onto everything.
+    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    return (
+        cent.select(F.col("q_id").alias("cell_id"))
+        .join(F.broadcast(counts), "cell_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell_id",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_vecs, 0)) div __N AS BIGINT)"
+            ).alias("share_e6"),
+        )
+    )

@@ -67,6 +67,20 @@ def hll_registers(
     )
 
 
+def merge_registers(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge finer-grained HLL sketches into coarser groups: register-wise
+    MAX — the associative/commutative merge that makes HLL a reaggregable
+    sketch (per-day sketches roll up to weeks/months/global without
+    touching raw data; a lossless union, identical to sketching the
+    coarser group directly). ``group_cols`` are the SURVIVING columns of
+    :func:`hll_registers` output (finer columns simply drop out)."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
 def hll_estimate(
     registers: DataFrame, group_cols: list[str], out_col: str = "est_distinct"
 ) -> DataFrame:

@@ -39,6 +39,12 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
 )
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import fd_audit  # noqa: E402
+from bioeco_portal_etl_spark.text.ngram_coverage import ngram_coverage  # noqa: E402
+from bioeco_portal_etl_spark.sketches.hll import (  # noqa: E402
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
 from bioeco_portal_etl_spark.text.dsir import dsir_weights  # noqa: E402
 from bioeco_portal_etl_spark.text.gopher import gopher_flags  # noqa: E402
 from bioeco_portal_etl_spark.operators.sessions import session_stats  # noqa: E402
@@ -1037,6 +1043,39 @@ def main() -> None:
             )
         ),
         # net effect: one combinable groupBy on the entity key
+        # n-gram coverage: explode + vocab-sized df agg + gram equi-join;
+        # shifted doc ids REUSE the same text so common grams stay common
+        "ngram_coverage": (
+            lambda s: ngram_coverage(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                k=3,
+                min_df=2,
+            )
+        ),
+        # HLL merge: day registers -> week/global by register max; the
+        # merged grains aggregate register rows, never raw events
+        "hll_merge": (
+            lambda s: (
+                lambda ev: hll_estimate(
+                    merge_registers(
+                        hll_registers(
+                            ev.select(
+                                F.to_date(
+                                    F.col("ts").cast("timestamp")
+                                ).alias("d"),
+                                "user_id",
+                            ),
+                            ["d"],
+                            "user_id",
+                        ),
+                        [],
+                    ),
+                    [],
+                )
+            )(events if s == 1 else scaled(events, s, ["user_id"]))
+        ),
         # gopher rules: pure scan-stage column algebra — must be ~linear
         "gopher_rules": (
             lambda s: gopher_flags(

@@ -746,3 +746,53 @@ def test_ts14_hard_negatives_broadcast_queries(spark):
     plan = _physical(spark, "ts14_hard_negatives")
     assert "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel29_grouping_sets_one_expand_one_agg(spark):
+    """Grouping-sets contract: the four sets evaluate in ONE pass — a
+    single Expand node feeding a partial-aggregated hash aggregate, not
+    four scans unioned."""
+    plan = _physical(spark, "rel29_grouping_sets")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert "partial_" in plan
+    assert "Union" not in plan
+
+
+def test_sk7_hll_merge_combinable_no_raw_rescan(spark):
+    """Sketch-merge contract: weekly/global grains aggregate REGISTER
+    rows (max is partial-combinable), never re-scan raw events per
+    grain — the day-register build is the only events read per branch."""
+    plan = _physical(spark, "sk7_hll_merge")
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx29_coverage_candidate_cut_before_blowup(spark):
+    """n-gram coverage contract: the min_df cut happens on the gram
+    table BEFORE the k-position explosion (generate over the joined,
+    filtered grams), and gram df is partial-aggregated."""
+    plan = _physical(spark, "tx29_ngram_coverage")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts15_ivf_balance_broadcast_centroids(spark):
+    """IVF health contract: same broadcast-centroid assignment subplan
+    as ts3 (map-side argmax combiner), then a K-cell-wide aggregate —
+    no sort-merge join, no cartesian on the corpus side beyond the
+    broadcast centroid product."""
+    plan = _physical(spark, "ts15_ivf_balance")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x32_skew_report_take_ordered_not_global_window(spark):
+    """Skew-report contract: top-N is TakeOrderedAndProject (distributed
+    per-partition heaps), NOT a single-task global row_number over the
+    full key table; both count sides partial-aggregate."""
+    plan = _physical(spark, "x32_join_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_" in plan
