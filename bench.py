@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 eleventh batch
+    "gr11_hyperball",
+    "mm10_patch_grid",
+    "rel30_variant_shred",
+    "w16_stream_hll_distinct",
+    "ts16_sq_distortion",
     # round-5 ninth batch
     "tx27_gopher_rules",
     "dq9_fd_violations",

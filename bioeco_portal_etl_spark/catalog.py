@@ -943,6 +943,7 @@ from bioeco_portal_etl_spark.catalog_ext10 import CATALOG_EXT10  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext11 import CATALOG_EXT11  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext12 import CATALOG_EXT12  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext13 import CATALOG_EXT13  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext14 import CATALOG_EXT14  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -958,6 +959,7 @@ _CATALOG.update(CATALOG_EXT10)
 _CATALOG.update(CATALOG_EXT11)
 _CATALOG.update(CATALOG_EXT12)
 _CATALOG.update(CATALOG_EXT13)
+_CATALOG.update(CATALOG_EXT14)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1024,9 +1026,13 @@ _GATE_FIRST = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
-    # (2c) round-5 third batch (catalog_ext6) remainder:
-    "mm8_phash_groups",
-    "w12_stream_outer_join",
+    # (2k) round-5 eleventh batch (catalog_ext14) — displaces mm8/w12
+    # (ext6 remainder) and three ext7 entries to the window tail:
+    "gr11_hyperball",
+    "mm10_patch_grid",
+    "rel30_variant_shred",
+    "w16_stream_hll_distinct",
+    "ts16_sq_distortion",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",
@@ -1170,6 +1176,8 @@ _GATE_FIRST = [
     "td11_semantic_dedupe",
     "x24_zorder_layout",
     "dq6_benford",
+    "mm8_phash_groups",
+    "w12_stream_outer_join",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

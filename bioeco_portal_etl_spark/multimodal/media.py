@@ -629,3 +629,44 @@ def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
     return df.mapInPandas(ds, schema="media_id long, payload binary")
+
+
+def patch_grid(meta: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch tiling from decoded image metadata: one row per
+    ``patch x patch`` tile of each image, with the tile's pixel offset
+    and its (edge-clipped) actual extent — the tensorization layout
+    vision-transformer preprocessing emits before pixel gather.
+
+    Input is :func:`decode_media_metadata` output (media_id, width,
+    height, ...): the grid derives from HEADER dims only, so the
+    payload never re-enters the plan — tiling a 100 TB image corpus is
+    a metadata-sized job (rows = images x patches, no pixels moved until
+    a downstream gather stage uses the offsets). Pure built-in
+    arithmetic + one explode; no Python in the loop.
+
+    Columns: media_id, n_x, n_y (grid shape, ceil-divided), patch_id
+    (row-major), px0/py0 (origin), pw/ph (clipped extent)."""
+    nx = F.floor((F.col("width") + patch - 1) / patch).cast("long")
+    ny = F.floor((F.col("height") + patch - 1) / patch).cast("long")
+    g = meta.select(
+        "media_id",
+        "width",
+        "height",
+        nx.alias("n_x"),
+        ny.alias("n_y"),
+    ).withColumn(
+        "patch_id",
+        F.explode(F.sequence(F.lit(0), (F.col("n_x") * F.col("n_y")) - 1)),
+    )
+    px0 = (F.col("patch_id") % F.col("n_x")) * patch
+    py0 = F.floor(F.col("patch_id") / F.col("n_x")).cast("long") * patch
+    return g.select(
+        "media_id",
+        "n_x",
+        "n_y",
+        F.col("patch_id").cast("long").alias("patch_id"),
+        px0.cast("long").alias("px0"),
+        py0.cast("long").alias("py0"),
+        F.least(F.lit(patch), F.col("width") - px0).cast("long").alias("pw"),
+        F.least(F.lit(patch), F.col("height") - py0).cast("long").alias("ph"),
+    )

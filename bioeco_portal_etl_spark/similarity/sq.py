@@ -133,3 +133,35 @@ def sq8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sq_distortion(corpus: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector int8 reconstruction error — the quantization-QA table
+    read BEFORE switching an index from float32 to SQ codes: encode with
+    the corpus scale, dequantize (code / 127 * amax), and report the
+    squared L2 error against the normalized original as an exact e12
+    integer (per-dimension floor BEFORE the sum, so the result is an
+    integer fold with no float-reassociation surface).
+
+    One linear scan: normalize -> encode -> zip_with error -> integer
+    aggregate; the scale rides the same broadcast cross join as
+    sq_encode. Output: (id, mse_e12) where mse_e12 =
+    sum_i floor((x_i - c_i/127*amax)^2 * 1e12)."""
+    nv = l2_normalize(corpus, vec_col, id_col)
+    scale = sq_scale(nv, vec_col)
+    enc = sq_encode(nv, vec_col, scale, out_col="code")
+    err = F.zip_with(
+        F.col(vec_col),
+        F.col("code"),
+        lambda x, c: F.floor(
+            (x - c.cast("double") / 127.0 * F.col("amax"))
+            * (x - c.cast("double") / 127.0 * F.col("amax"))
+            * 1000000000000.0
+        ),
+    )
+    return enc.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col),
+        F.aggregate(
+            err, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("mse_e12"),
+    )

@@ -109,3 +109,38 @@ def enrich_stream(
     stream-static equi-joins are stateless, so no watermark bookkeeping is
     involved. The standard dimension-enrichment shape for event pipelines."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def windowed_distinct_hll(
+    events: DataFrame, window: str = "1 hour", value_col: str = "user_id"
+) -> DataFrame:
+    """Windowed distinct-count estimation for streams, sketch-state only:
+    two CHAINED streaming aggregates — (window, bucket) -> max register,
+    then window -> HLL estimate — so per-window state is at most m=64
+    register rows instead of one row per distinct value. That bound is
+    the whole point at scale: a billion distinct users in an hour cost
+    the state store 64 rows, and late data folds in by max-merge (HLL
+    union is idempotent/commutative — sketches/hll.py). The input must
+    carry a watermark; in append mode a window drains once the watermark
+    passes its end, same cascade semantics as the two-level rollup
+    (catalog w13).
+
+    Returns (window_start, est_distinct)."""
+    from bioeco_portal_etl_spark.sketches.hll import ALPHA_M, M, _POW55, hll_registers
+
+    keyed = events.select(
+        F.window("ts", window).alias("w"), F.col(value_col)
+    )
+    regs = hll_registers(keyed, ["w"], value_col)
+    # Second stateful agg re-windows the window column (same duration →
+    # identity cascade) — the chained-streaming-agg form Spark's
+    # unsupported-operation checker accepts, as in the w13 rollup.
+    term = F.expr("shiftleft(1L, CAST(55 - register AS INT))")
+    agg = regs.groupBy(F.window(F.col("w"), window).alias("wh")).agg(
+        F.sum(term - F.lit(1 << 55)).alias("__delta")
+    )
+    s = F.col("__delta") + F.lit(M * (1 << 55))
+    est = F.floor(F.lit(ALPHA_M * M * M) * F.lit(_POW55) / s).cast("long")
+    return agg.select(
+        F.col("wh.start").alias("window_start"), est.alias("est_distinct")
+    )

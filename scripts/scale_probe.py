@@ -39,6 +39,9 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
 )
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import fd_audit  # noqa: E402
+from bioeco_portal_etl_spark.graph.hyperball import hyperball_neighborhood  # noqa: E402
+from bioeco_portal_etl_spark.functions.variant import shred_variant  # noqa: E402
+from bioeco_portal_etl_spark.similarity.sq import sq_distortion  # noqa: E402
 from bioeco_portal_etl_spark.text.ngram_coverage import ngram_coverage  # noqa: E402
 from bioeco_portal_etl_spark.sketches.hll import (  # noqa: E402
     hll_estimate,
@@ -269,6 +272,23 @@ def main() -> None:
             a.join(b, "l_orderkey")
             .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
             .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        )
+
+
+    def chain_edges(s):
+        base = li if s == 1 else scaled(li, s, ["l_orderkey", "l_suppkey"])
+        a, b = base.alias("a"), base.alias("b")
+        fwd = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
+                & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            )
+            .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        )
+        return fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
     cases = {
@@ -1075,6 +1095,45 @@ def main() -> None:
                     [],
                 )
             )(events if s == 1 else scaled(events, s, ["user_id"]))
+        ),
+        # HyperBall: per-round cost = one edges-registers equi-join + a
+        # partial-max merge; state is |V| * 64 register rows, never ball-sized
+        "hyperball": (
+            lambda s: (
+                lambda e: hyperball_neighborhood(
+                    e, e.select(F.col("src").alias("node")).distinct(), radius=2
+                )
+            )(
+                chain_edges(1)
+                if s == 1
+                else scaled(chain_edges(1), s, ["src", "dst"])
+            )
+        ),
+        # Variant shred: parse-once ingest + one partial-agg rollup — pure
+        # scan-stage column algebra, must be ~linear
+        "variant_shred": (
+            lambda s: (
+                lambda ev: shred_variant(
+                    ev, "props", {"k": ("$.k", "bigint")}, keep=["event_type"]
+                )
+                .groupBy("event_type", (F.col("k") % 8).alias("kb"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sk"))
+            )(events if s == 1 else scaled(events, s, ["event_id"]))
+        ),
+        # SQ distortion: two linear scans (scale agg + error fold), one-row
+        # broadcast scale — no shuffle wider than the label rollup
+        "sq_distortion": (
+            lambda s: sq_distortion(
+                read_parquet_table(spark, SF_DIR, "embeddings")
+                if s == 1
+                else scaled(
+                    read_parquet_table(spark, SF_DIR, "embeddings"),
+                    s,
+                    ["vec_id"],
+                ),
+                "embedding",
+                "vec_id",
+            )
         ),
         # gopher rules: pure scan-stage column algebra — must be ~linear
         "gopher_rules": (

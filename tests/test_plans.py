@@ -796,3 +796,44 @@ def test_x32_skew_report_take_ordered_not_global_window(spark):
     plan = _physical(spark, "x32_join_skew_report")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_gr11_hyperball_no_cartesian_partial_max(spark):
+    """HyperBall contract: register propagation is an equi-join (no
+    cartesian anywhere), merges partial-aggregate map-side, and the
+    whole sketch path stays JVM (no Python eval)."""
+    plan = _physical(spark, "gr11_hyperball")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm10_patch_grid_metadata_only_after_decode(spark):
+    """Patch-tiling contract: exactly two Arrow stages (payload synth +
+    header decode) and the explode runs over header metadata — the
+    binary payload never re-enters the plan after the decode stage."""
+    plan = _physical(spark, "mm10_patch_grid")
+    assert plan.count("MapInPandas") == 2
+    assert "Generate" in plan  # the patch explode
+    # no third Python stage: the grid arithmetic is whole-stage codegen
+    assert "EvalPython" not in plan
+
+
+def test_rel30_variant_shred_stays_jvm(spark):
+    """Variant contract: parse_json/try_variant_get are Catalyst
+    expressions — one scan, partial aggregation, zero Python."""
+    plan = _physical(spark, "rel30_variant_shred")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts16_sq_distortion_broadcast_scale(spark):
+    """SQ-distortion contract: the one-row scale rides broadcast joins
+    (never a shuffle), the error fold is codegen'd array algebra, and
+    the label rollup partial-aggregates."""
+    plan = _physical(spark, "ts16_sq_distortion")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
