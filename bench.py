@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 twelfth batch
+    "tx30_textrank",
+    "mm11_patch_dupes",
+    "gr12_sssp",
+    "x33_zone_skip",
+    "w17_stream_binned_quantiles",
     # round-5 eleventh batch
     "gr11_hyperball",
     "mm10_patch_grid",

@@ -944,6 +944,7 @@ from bioeco_portal_etl_spark.catalog_ext11 import CATALOG_EXT11  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext12 import CATALOG_EXT12  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext13 import CATALOG_EXT13  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext14 import CATALOG_EXT14  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext15 import CATALOG_EXT15  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -960,6 +961,7 @@ _CATALOG.update(CATALOG_EXT11)
 _CATALOG.update(CATALOG_EXT12)
 _CATALOG.update(CATALOG_EXT13)
 _CATALOG.update(CATALOG_EXT14)
+_CATALOG.update(CATALOG_EXT15)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1033,6 +1035,12 @@ _GATE_FIRST = [
     "rel30_variant_shred",
     "w16_stream_hll_distinct",
     "ts16_sq_distortion",
+    # (2l) round-5 twelfth batch (catalog_ext15):
+    "tx30_textrank",
+    "mm11_patch_dupes",
+    "gr12_sssp",
+    "x33_zone_skip",
+    "w17_stream_binned_quantiles",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",

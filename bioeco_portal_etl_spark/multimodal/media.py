@@ -139,11 +139,18 @@ SYNTH_W_BASE, SYNTH_W_MOD = 8, 5
 SYNTH_H_BASE, SYNTH_H_MOD = 6, 3
 
 
-def synth_rgb_png(df: DataFrame, id_col: str) -> DataFrame:
+def synth_rgb_png(
+    df: DataFrame, id_col: str, seed_col: str | None = None
+) -> DataFrame:
     """(media_id, payload) with payload a REAL RGB PNG (multimodal/png.py
     encoder) of the deterministic gradient above — the harness source for
     pixel-level stages in an environment with no image corpus: every
-    downstream number is independently recomputable from the id."""
+    downstream number is independently recomputable from the id.
+
+    ``seed_col`` decouples payload content from identity: dims and pixels
+    derive from the SEED while ``media_id`` stays ``id_col`` — distinct
+    ids sharing a seed carry byte-identical payloads, which is how the
+    dedupe-stage fixtures (mm11) plant known duplicate groups."""
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -151,19 +158,20 @@ def synth_rgb_png(df: DataFrame, id_col: str) -> DataFrame:
 
         for pdf in batches:
             ids, blobs = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w = SYNTH_W_BASE + mid % SYNTH_W_MOD
-                h = SYNTH_H_BASE + mid % SYNTH_H_MOD
+            seeds = pdf[seed_col] if seed_col else pdf[id_col]
+            for mid, seed in zip(pdf[id_col], seeds):
+                seed = int(seed)
+                w = SYNTH_W_BASE + seed % SYNTH_W_MOD
+                h = SYNTH_H_BASE + seed % SYNTH_H_MOD
                 rows = [
                     [
-                        (mid * 7 + x * 3 + y * 5 + c * 11) % 256
+                        (seed * 7 + x * 3 + y * 5 + c * 11) % 256
                         for x in range(w)
                         for c in range(3)
                     ]
                     for y in range(h)
                 ]
-                ids.append(mid)
+                ids.append(int(mid))
                 blobs.append(encode_png(rows, channels=3))
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
@@ -669,4 +677,60 @@ def patch_grid(meta: DataFrame, patch: int = 4) -> DataFrame:
         py0.cast("long").alias("py0"),
         F.least(F.lit(patch), F.col("width") - px0).cast("long").alias("pw"),
         F.least(F.lit(patch), F.col("height") - py0).cast("long").alias("ph"),
+    )
+
+
+def patch_ahash(df: DataFrame, patch: int = 4) -> DataFrame:
+    """Patch-level average-hash fingerprint through the REAL pixel
+    decode: one mapInPandas stage decodes each payload, tiles it with
+    the SAME ceil-divided grid as :func:`patch_grid`, and emits
+
+        bit(tile) = 1  iff  tile_mean >= image_mean   (floored ints)
+        fingerprint = sum(bit << patch_id)            (row-major ids)
+
+    i.e. the classic aHash coarsened to the ViT tile grid. Grouping a
+    corpus by (width, height, fingerprint) finds visually-duplicate
+    images whose BYTES differ (re-encodes, metadata edits) — the
+    multimodal analogue of text near-dup dedupe, and the piece exact
+    payload-hash dedupe structurally misses. All arithmetic is integer
+    (sum // count), so an oracle that knows the source pixels reproduces
+    every fingerprint exactly.
+
+    Scale shape: pixels stay inside the Arrow batch; only (media_id, w,
+    h, fingerprint, n_tiles) leaves Python, and the dedupe groupBy
+    shuffles that metadata-sized table — never payload bytes."""
+    import pandas as pd
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "fingerprint": [], "n_tiles": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, rows = decode_image(bytes(payload))
+                flat = [v for r in rows for v in r]
+                img_mean = sum(flat) // len(flat)
+                nx = (w + patch - 1) // patch
+                ny = (h + patch - 1) // patch
+                fp = 0
+                for ty in range(ny):
+                    for tx in range(nx):
+                        vals = [
+                            rows[y][x * ch + c]
+                            for y in range(ty * patch, min(h, (ty + 1) * patch))
+                            for x in range(tx * patch, min(w, (tx + 1) * patch))
+                            for c in range(ch)
+                        ]
+                        if sum(vals) // len(vals) >= img_mean:
+                            fp |= 1 << (ty * nx + tx)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fingerprint"].append(fp)
+                out["n_tiles"].append(nx * ny)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        hash_batch,
+        schema="media_id long, width long, height long, "
+        "fingerprint long, n_tiles long",
     )

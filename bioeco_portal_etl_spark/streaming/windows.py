@@ -144,3 +144,80 @@ def windowed_distinct_hll(
     return agg.select(
         F.col("wh.start").alias("window_start"), est.alias("est_distinct")
     )
+
+
+def windowed_binned_quantiles(
+    events: DataFrame,
+    window: str = "1 hour",
+    value_col: str = "value",
+    bins: int = 16,
+    lo_cents: int = 0,
+    step_cents: int = 3200,
+) -> DataFrame:
+    """Windowed streaming quantiles with BOUNDED state: a fixed
+    ``bins``-bucket equi-width histogram per window, folded by two
+    chained streaming aggregates, then p50/p90 read off the cumulative
+    bin counts in a stateless projection.
+
+    Exact quantiles over a stream are impossible with bounded memory
+    (you'd buffer every value); the standard production trade is a
+    histogram/sketch with a known resolution bound — here the estimate
+    is each quantile's BIN LOWER EDGE, so the error is at most one bin
+    width and the state store holds <= ``bins`` rows per window no
+    matter how many events arrive (same state-bounding move as the w16
+    HLL distinct). Values are quantized to integer cents BEFORE binning
+    (floor(value*100) — the x16/x17 convention) and every comparison is
+    integer (2*cum >= n, 10*cum >= 9*n: ceil-rank without division), so
+    a batch oracle reproduces the numbers bit-exactly.
+
+    Stage shape: groupBy(window(ts), bin) count — the only per-event
+    shuffle — then an identity re-window groupBy(window) folding the
+    <= bins rows into one row of pivoted bin counts (the w13 chained-agg
+    form), then pure projection. Returns (window_start, n, p50_bin,
+    p50_est_cents, p90_bin, p90_est_cents)."""
+    v = F.floor(F.col(value_col) * 100).cast("long")
+    # floor() then cast — Spark's CAST(double AS LONG) truncates while
+    # DuckDB's rounds; floor() is the one spelling both engines agree on
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo_cents)) / F.lit(step_cents)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(bins - 1).cast("long"),
+    )
+    keyed = events.select(F.window("ts", window).alias("w"), bin_.alias("bin"))
+    h = keyed.groupBy("w", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    piv = h.groupBy(F.window(F.col("w"), window).alias("wh")).agg(
+        F.sum("cnt").alias("n"),
+        *[
+            F.sum(F.when(F.col("bin") == i, F.col("cnt")).otherwise(0)).alias(
+                f"b{i}"
+            )
+            for i in range(bins)
+        ],
+    )
+
+    def pick(mult_cum: int, mult_n: int) -> F.Column:
+        expr = F.lit(bins - 1).cast("long")
+        cum = None
+        cums = []
+        for i in range(bins):
+            cum = F.col(f"b{i}") if cum is None else cum + F.col(f"b{i}")
+            cums.append(cum)
+        for i in range(bins - 1, -1, -1):
+            expr = F.when(
+                mult_cum * cums[i] - mult_n * F.col("n") >= 0, F.lit(i).cast("long")
+            ).otherwise(expr)
+        # scanning high→low with when() keeps the SMALLEST satisfying bin
+        return expr
+
+    p50 = pick(2, 1)
+    p90 = pick(10, 9)
+    return piv.select(
+        F.col("wh.start").alias("window_start"),
+        F.col("n"),
+        p50.alias("p50_bin"),
+        (F.lit(lo_cents) + p50 * F.lit(step_cents)).alias("p50_est_cents"),
+        p90.alias("p90_bin"),
+        (F.lit(lo_cents) + p90 * F.lit(step_cents)).alias("p90_est_cents"),
+    )

@@ -40,6 +40,15 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import fd_audit  # noqa: E402
 from bioeco_portal_etl_spark.graph.hyperball import hyperball_neighborhood  # noqa: E402
+from bioeco_portal_etl_spark.graph.sssp import sssp_bounded  # noqa: E402
+from bioeco_portal_etl_spark.operators.zonemap import (  # noqa: E402
+    skip_report,
+    zone_maps,
+)
+from bioeco_portal_etl_spark.text.textrank import (  # noqa: E402
+    cooccurrence_edges,
+    textrank_keywords,
+)
 from bioeco_portal_etl_spark.functions.variant import shred_variant  # noqa: E402
 from bioeco_portal_etl_spark.similarity.sq import sq_distortion  # noqa: E402
 from bioeco_portal_etl_spark.text.ngram_coverage import ngram_coverage  # noqa: E402
@@ -1133,6 +1142,56 @@ def main() -> None:
                 ),
                 "embedding",
                 "vec_id",
+            )
+        ),
+        # TextRank: grouped PageRank — per-round cost one equi-join on
+        # (doc_id, word) + partial sums; doc graphs are tiny so no skew
+        "textrank": (
+            lambda s: textrank_keywords(
+                cooccurrence_edges(
+                    docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                    "doc_id",
+                    "text",
+                ),
+                iterations=2,
+                k=3,
+            )
+        ),
+        # SSSP: per-round one frontier-edges equi-join + a MIN aggregate;
+        # frontier state is one row per reached node
+        "sssp": (
+            lambda s: (
+                lambda e: sssp_bounded(
+                    e.withColumn("w", (F.col("src") + F.col("dst")) % 9 + 1),
+                    e.select(F.col("src").alias("node"))
+                    .filter(F.col("node") % 17 == 0)
+                    .distinct(),
+                    rounds=3,
+                )
+            )(
+                chain_edges(1)
+                if s == 1
+                else scaled(chain_edges(1), s, ["src", "dst"])
+            )
+        ),
+        # Zone-map audit: two partial-combinable agg passes (one per
+        # layout) + a constant-size predicate evaluation — pure scan algebra
+        "zone_skip": (
+            lambda s: skip_report(
+                zone_maps(
+                    (orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+                    .select(
+                        "o_custkey",
+                        F.expr("datediff(o_orderdate, DATE '1992-01-01')")
+                        .cast("long")
+                        .alias("order_day"),
+                    ),
+                    F.expr("order_day div 30"),
+                    ["o_custkey", "order_day"],
+                ),
+                "date_linear",
+                [("cust_range", [("o_custkey", 100, 199)]),
+                 ("day_range", [("order_day", 2000, 2179)])],
             )
         ),
         # gopher rules: pure scan-stage column algebra — must be ~linear

@@ -837,3 +837,47 @@ def test_ts16_sq_distortion_broadcast_scale(spark):
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx30_textrank_no_cartesian_stays_jvm(spark):
+    """TextRank contract: every superstep is an equi-join keyed by
+    (doc_id, word) — no cartesian — with map-side partial sums, and the
+    whole pipeline (tokenize, pair explode, 2 PageRank rounds, top-k)
+    stays JVM-side."""
+    plan = _physical(spark, "tx30_textrank")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm11_patch_dupes_two_arrow_stages_metadata_shuffle(spark):
+    """Patch-dedupe contract: exactly two Arrow stages (payload synth +
+    decode/hash) and the dedupe groupBy shuffles only hash metadata —
+    partial aggregation present, payload column gone after the hash
+    stage."""
+    plan = _physical(spark, "mm11_patch_dupes")
+    assert plan.count("MapInPandas") == 2
+    assert "partial_count" in plan or "partial_" in plan
+    assert "EvalPython" not in plan
+
+
+def test_gr12_sssp_equijoin_partial_min(spark):
+    """SSSP contract: each relaxation round is an equi-join (no
+    cartesian) and the frontier MIN partial-aggregates map-side; no
+    Python anywhere."""
+    plan = _physical(spark, "gr12_sssp")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x33_zone_skip_partial_aggs_no_global_sort(spark):
+    """Zone-map contract: file zone maps are partial-combinable
+    aggregates over value-range file ids — no global Sort feeding a
+    window (the single-task row_number anti-pattern the module
+    docstring forbids), no cartesian, no Python."""
+    plan = _physical(spark, "x33_zone_skip")
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
