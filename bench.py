@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 thirteenth batch
+    "gr13_personalized_pagerank",
+    "dq10_l_diversity",
+    "sk8_hist_merge_quantiles",
+    "x34_selectivity_audit",
+    "w18_stream_cms_topk",
     # round-5 twelfth batch
     "tx30_textrank",
     "mm11_patch_dupes",

@@ -945,6 +945,7 @@ from bioeco_portal_etl_spark.catalog_ext12 import CATALOG_EXT12  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext13 import CATALOG_EXT13  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext14 import CATALOG_EXT14  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext15 import CATALOG_EXT15  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext16 import CATALOG_EXT16  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -962,6 +963,7 @@ _CATALOG.update(CATALOG_EXT12)
 _CATALOG.update(CATALOG_EXT13)
 _CATALOG.update(CATALOG_EXT14)
 _CATALOG.update(CATALOG_EXT15)
+_CATALOG.update(CATALOG_EXT16)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1041,6 +1043,12 @@ _GATE_FIRST = [
     "gr12_sssp",
     "x33_zone_skip",
     "w17_stream_binned_quantiles",
+    # (2m) round-5 thirteenth batch (catalog_ext16):
+    "gr13_personalized_pagerank",
+    "dq10_l_diversity",
+    "sk8_hist_merge_quantiles",
+    "x34_selectivity_audit",
+    "w18_stream_cms_topk",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",

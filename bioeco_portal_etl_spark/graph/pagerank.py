@@ -136,3 +136,124 @@ pr{i + 1} AS (
 )"""
         )
     return ",\n".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (PPR): the teleport mass returns to the SEED
+    set instead of spreading uniformly, so ranks measure proximity to the
+    seeds — the primitive behind related-item panels, local community
+    scoring, and seed-expansion labeling (Jeh & Widom 2003's topic-
+    sensitive formulation). Returns (node, ppr_e9); nodes never reached
+    from the seeds carry rank 0 and are omitted only if they have no
+    edge at all (the node table is edge endpoints, as in pagerank()).
+
+    Same e9 integer fixed-point contract as :func:`pagerank` (identical
+    overflow/rounding analysis); the only changes are pr0 (e9/|S| on
+    seeds, 0 elsewhere) and the teleport term (seed-only). Same
+    two-shuffle superstep; the seed membership flag rides the persisted
+    node table so no extra join appears in the loop."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").persist()
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    s = seeds.select(F.col("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .withColumn("outdeg", F.coalesce("outdeg", F.lit(0)))
+        .join(s.withColumn("is_seed", F.lit(1)), "node", "left")
+        .withColumn("is_seed", F.coalesce("is_seed", F.lit(0)))
+    )
+    nodes = nodes.withColumn(
+        "ns", F.sum("is_seed").over(Window.partitionBy())
+    ).persist()
+
+    ranks = nodes.select(
+        "node",
+        "outdeg",
+        "is_seed",
+        "ns",
+        F.expr(f"CASE WHEN is_seed = 1 THEN {E9} div ns ELSE 0 END").alias(
+            "ppr_e9"
+        ),
+    )
+    teleport = (DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .filter((F.col("outdeg") > 0) & (F.col("ppr_e9") > 0))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_NUM} * ppr_e9) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            "outdeg",
+            "is_seed",
+            "ns",
+            (
+                F.expr(
+                    f"CASE WHEN is_seed = 1 THEN {teleport} div ns ELSE 0 END"
+                )
+                + F.coalesce(F.col("in_mass"), F.lit(0))
+            ).alias("ppr_e9"),
+        )
+    return ranks.select("node", "ppr_e9")
+
+
+def duck_ppr(edges_select: str, seeds_select: str, iterations: int = 3) -> str:
+    """DuckDB CTE body mirroring :func:`personalized_pagerank`,
+    iterations unrolled; exposes ``ppr{iterations}(node, ppr_e9)``."""
+    teleport = (DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN
+    parts = [
+        f"__pp_eraw AS ({edges_select})",
+        "__pp_e AS (SELECT DISTINCT src, dst FROM __pp_eraw)",
+        "__pp_odeg AS (SELECT src, count(*) AS outdeg FROM __pp_e GROUP BY src)",
+        f"__pp_seeds AS (SELECT DISTINCT node FROM ({seeds_select}))",
+        """__pp_nodes AS (
+  SELECT n.node, coalesce(o.outdeg, 0) AS outdeg,
+         CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed,
+         sum(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END) OVER () AS ns
+  FROM (SELECT src AS node FROM __pp_e UNION SELECT dst FROM __pp_e) n
+  LEFT JOIN __pp_odeg o ON o.src = n.node
+  LEFT JOIN __pp_seeds s ON s.node = n.node
+)""",
+        f"""__pp_ppr0 AS (
+  SELECT node, outdeg, is_seed, ns,
+         CASE WHEN is_seed = 1 THEN {E9} // ns ELSE 0 END AS ppr_e9
+  FROM __pp_nodes
+)""",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""__pp_s{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(({DAMP_NUM} * r.ppr_e9) // ({DAMP_DEN} * r.outdeg))
+              AS BIGINT) AS in_mass
+  FROM __pp_e e
+  JOIN __pp_ppr{i} r ON r.node = e.src AND r.outdeg > 0 AND r.ppr_e9 > 0
+  GROUP BY e.dst
+),
+__pp_ppr{i + 1} AS (
+  SELECT n.node, n.outdeg, n.is_seed, n.ns,
+         CASE WHEN n.is_seed = 1 THEN {teleport} // n.ns ELSE 0 END
+           + coalesce(s.in_mass, 0) AS ppr_e9
+  FROM __pp_nodes n LEFT JOIN __pp_s{i} s ON s.node = n.node
+)"""
+        )
+    parts.append(
+        f"ppr{iterations} AS (SELECT node, ppr_e9 FROM __pp_ppr{iterations})"
+    )
+    return ",\n".join(parts)

@@ -69,3 +69,51 @@ def suppress_risky(
         .select(*qi_cols)
     )
     return df.join(F.broadcast(risky), qi_cols, "left_anti")
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    report_col: str | None = None,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity stops
+    re-identification, but a group whose SENSITIVE value is uniform still
+    discloses it to anyone who can place a person in the group
+    (homogeneity attack). This audits distinct-l-diversity — every QI
+    group must see >= l distinct sensitive values — plus the recursive-
+    style "how dominated is the group" share, all with COUNT arithmetic
+    (no entropy logs): integer-exact on any engine.
+
+    Per ``report_col``: (report, n_groups, n_records, n_risky_groups,
+    n_risky_records, min_l, max_share_e6) where a group is risky if its
+    distinct sensitive count < l, and max_share_e6 is the worst
+    1e6 * top_value_count // group_size over the slice (1_000_000 means
+    some group is fully homogeneous).
+
+    Two aggregates: (QI, sensitive) counts, then per-QI rollup; both
+    partial-combinable, shuffle keys are the QI tuple — same scale shape
+    as k_anonymity_audit."""
+    report_col = report_col or qi_cols[0]
+    vc = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("v_n")
+    )
+    groups = vc.groupBy(*qi_cols).agg(
+        F.sum("v_n").alias("g_n"),
+        F.count(F.lit(1)).alias("g_l"),
+        F.max("v_n").alias("g_top"),
+    )
+    risky = F.col("g_l") < l
+    return groups.groupBy(report_col).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("g_n").alias("n_records"),
+        F.sum(risky.cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("g_n")).otherwise(F.lit(0))).alias(
+            "n_risky_records"
+        ),
+        F.min("g_l").alias("min_l"),
+        F.max(
+            F.expr("CAST((1000000 * g_top) div g_n AS BIGINT)")
+        ).alias("max_share_e6"),
+    )

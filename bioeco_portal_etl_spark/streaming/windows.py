@@ -221,3 +221,56 @@ def windowed_binned_quantiles(
         p90.alias("p90_bin"),
         (F.lit(lo_cents) + p90 * F.lit(step_cents)).alias("p90_est_cents"),
     )
+
+
+def windowed_cms_grid(
+    events: DataFrame,
+    window: str = "1 hour",
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Per-window Count-Min sketch maintenance for streams: the classic
+    answer to "which keys are hot RIGHT NOW" when the key domain is too
+    big to count exactly — per-key streaming counts keep one state row
+    per distinct key per window (unbounded under skew/churn), while the
+    CMS grid caps state at d*w counter rows per window (4*256 = 1 KB of
+    longs) with the standard one-sided error bound.
+
+    One stateless projection fans each event out to its d (row, bucket)
+    cells (same md5-permutation family as sketches/cms.py — grids built
+    here are bit-identical to batch cms_build on the same slice), then
+    ONE stateful windowed aggregate maintains the counters; merging late
+    data is plain addition, so watermarked append mode drains each
+    window's final grid exactly once. Point estimates are a read-side
+    min-over-d probe of the drained grid (see the w18 catalog entry).
+
+    Returns (w, row, bucket, cnt) with ``w`` the window struct."""
+    from bioeco_portal_etl_spark.sketches import h60
+    from bioeco_portal_etl_spark.text.dedupe import MERSENNE31, PERM_A, PERM_B
+
+    h = F.col("__h")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    (F.lit(PERM_A[j]) * (h % MERSENNE31) + F.lit(PERM_B[j]))
+                    % MERSENNE31
+                    % w
+                ).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    keyed = (
+        events.select(
+            F.window("ts", window).alias("w"),
+            h60(F.col(key_col).cast("string")).alias("__h"),
+        )
+        .select("w", F.explode(cells).alias("rb"))
+        .select("w", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    )
+    return keyed.groupBy("w", "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -40,7 +40,13 @@ from bioeco_portal_etl_spark.geo.pip import (  # noqa: E402
 from bioeco_portal_etl_spark.operators.cdc import snapshot_diff  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import fd_audit  # noqa: E402
 from bioeco_portal_etl_spark.graph.hyperball import hyperball_neighborhood  # noqa: E402
+from bioeco_portal_etl_spark.graph.pagerank import personalized_pagerank  # noqa: E402
 from bioeco_portal_etl_spark.graph.sssp import sssp_bounded  # noqa: E402
+from bioeco_portal_etl_spark.operators.anonymity import l_diversity_audit  # noqa: E402
+from bioeco_portal_etl_spark.operators.selectivity import (  # noqa: E402
+    grid_histogram_2d,
+    selectivity_bounds,
+)
 from bioeco_portal_etl_spark.operators.zonemap import (  # noqa: E402
     skip_report,
     zone_maps,
@@ -1142,6 +1148,54 @@ def main() -> None:
                 ),
                 "embedding",
                 "vec_id",
+            )
+        ),
+        # PPR: same superstep plan as pagerank; seeds scale with nodes
+        "ppr": (
+            lambda s: personalized_pagerank(
+                chain_edges(1)
+                if s == 1
+                else scaled(chain_edges(1), s, ["src", "dst"]),
+                (
+                    chain_edges(1)
+                    if s == 1
+                    else scaled(chain_edges(1), s, ["src", "dst"])
+                )
+                .select(F.col("src").alias("node"))
+                .filter(F.col("node") % 17 == 0)
+                .distinct(),
+                iterations=3,
+            )
+        ),
+        # l-diversity: two partial-combinable aggregates keyed by QI tuple
+        "l_diversity": (
+            lambda s: l_diversity_audit(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+                .select(
+                    "o_orderpriority",
+                    F.year("o_orderdate").cast("long").alias("order_year"),
+                    "o_orderstatus",
+                ),
+                ["o_orderpriority", "order_year"],
+                "o_orderstatus",
+            )
+        ),
+        # selectivity grid: one grid aggregate + constant predicate algebra
+        "selectivity": (
+            lambda s: (
+                lambda o: selectivity_bounds(
+                    grid_histogram_2d(o, "o_custkey", "order_day", 64, 16),
+                    64,
+                    16,
+                    [("p1", 100, 199, 2000, 2179), ("p2", 0, 10**7, 0, 10**7)],
+                )
+            )(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"])).select(
+                    F.col("o_custkey").cast("long").alias("o_custkey"),
+                    F.expr("datediff(o_orderdate, DATE '1992-01-01')")
+                    .cast("long")
+                    .alias("order_day"),
+                )
             )
         ),
         # TextRank: grouped PageRank — per-round cost one equi-join on

@@ -881,3 +881,44 @@ def test_x33_zone_skip_partial_aggs_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr13_ppr_equijoin_partial_sums(spark):
+    """PPR contract: identical plan shape to gr1 — equi-join supersteps
+    (no cartesian), map-side partial sums, all JVM."""
+    plan = _physical(spark, "gr13_personalized_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq10_l_diversity_two_level_partial_agg(spark):
+    """l-diversity contract: one scan, the (QI, sensitive) and per-QI
+    rollups both partial-aggregate; no Python, no cartesian."""
+    plan = _physical(spark, "dq10_l_diversity")
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sk8_hist_quantiles_bounded_window_broadcast_certificate(spark):
+    """Histogram-quantile contract: the only cross join is the 1-row
+    broadcast pairing of estimate and exact (BroadcastNestedLoopJoin,
+    never CartesianProduct); bin counts partial-aggregate."""
+    plan = _physical(spark, "sk8_hist_merge_quantiles")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x34_selectivity_grid_partial_aggs(spark):
+    """Selectivity contract: the 2-D grid and the actuals are partial-
+    combinable aggregates; the actuals table joins back broadcast; no
+    cartesian, no Python, no global-sort window."""
+    plan = _physical(spark, "x34_selectivity_audit")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
