@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 fourteenth batch
+    "rel31_bom_rollup",
+    "mm12_resize_pixels",
+    "x35_market_basket",
+    "tx31_doc_cosine",
+    "x36_time_weighted_avg",
     # round-5 thirteenth batch
     "gr13_personalized_pagerank",
     "dq10_l_diversity",

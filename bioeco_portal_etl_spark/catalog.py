@@ -946,6 +946,7 @@ from bioeco_portal_etl_spark.catalog_ext13 import CATALOG_EXT13  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext14 import CATALOG_EXT14  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext15 import CATALOG_EXT15  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext16 import CATALOG_EXT16  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext17 import CATALOG_EXT17  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -964,6 +965,7 @@ _CATALOG.update(CATALOG_EXT13)
 _CATALOG.update(CATALOG_EXT14)
 _CATALOG.update(CATALOG_EXT15)
 _CATALOG.update(CATALOG_EXT16)
+_CATALOG.update(CATALOG_EXT17)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1002,11 +1004,8 @@ _GATE_FIRST = [
     # first; with 42 round-5 entries and 14 mandatory slots above, the 6
     # OLDEST round-5 entries (ext5 first batch: gr6/dq3/x22/mm6/ts9/mm7 —
     # moved to the window tail below) wait for the round-6 rotation:
-    "gr9_hits",
     "tx26_rake_keywords",
-    "ts12_range_search",
     "ts13_filtered_ann",
-    "x29_cdc_net_effect",
     "w14_stream_complete_topk",
     # (2h) round-5 eighth batch (catalog_ext11) — displaces the last 3
     # ext9 entries (x28/tx25/rel27) past position 50; they join ext5's
@@ -1049,6 +1048,12 @@ _GATE_FIRST = [
     "sk8_hist_merge_quantiles",
     "x34_selectivity_audit",
     "w18_stream_cms_topk",
+    # (2n) round-5 fourteenth batch (catalog_ext17):
+    "rel31_bom_rollup",
+    "mm12_resize_pixels",
+    "x35_market_basket",
+    "tx31_doc_cosine",
+    "x36_time_weighted_avg",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",
@@ -1194,6 +1199,10 @@ _GATE_FIRST = [
     "dq6_benford",
     "mm8_phash_groups",
     "w12_stream_outer_join",
+    # displaced by (2n) to fit the fourteenth batch in the 50 window:
+    "gr9_hits",
+    "ts12_range_search",
+    "x29_cdc_net_effect",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

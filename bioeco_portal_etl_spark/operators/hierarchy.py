@@ -79,3 +79,64 @@ def flatten_hierarchy(
         f"flatten_hierarchy did not converge in {max_iter} pointer jumps — "
         "cycle in the parent relation, or depth > 2^max_iter"
     )
+
+
+def bom_rollup(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    qty_col: str = "qty",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Bill-of-materials explosion: effective per-root quantity of every
+    node, where ``qty`` is the count of the node inside its immediate
+    parent and the effective quantity MULTIPLIES along the path to the
+    root — flatten_hierarchy's pointer walk swapped for the (*, path)
+    semiring the manufacturing rollup needs. Returns (node, root,
+    eff_qty): eff_qty = qty(node) * qty(parent) * ... * qty(child-of-
+    root); the root's own qty is excluded (it has no parent to count
+    inside), and a root's eff_qty is 1.
+
+    Plain parent-chain walk, one equi-join per level up to ``max_depth``
+    (BOM depth is a schema property, single digits in practice — the
+    fixed unroll IS the production shape); the walking state is one row
+    per node, localCheckpoint()ed per round. eff_qty fits int64 for
+    qty <= ~1e3 at depth 6 — far beyond real assemblies.
+
+    Walk invariant: ``anc`` is the lowest UNCONSUMED ancestor (NULL once
+    the walk passed the root), ``root`` the highest ancestor seen so
+    far; each round consumes one ancestor level: if anc is a non-root,
+    its qty multiplies in and anc advances; if anc is a root, anc
+    retires to NULL with root := anc."""
+    up = nodes.select(
+        F.col(node_col).alias("u_node"),
+        F.col(parent_col).alias("u_parent"),
+        F.col(qty_col).cast("long").alias("u_qty"),
+    ).localCheckpoint(eager=True)
+    state = nodes.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.col(node_col).alias("root"),
+        F.when(F.col(parent_col).isNull(), F.lit(1))
+        .otherwise(F.col(qty_col))
+        .cast("long")
+        .alias("eff_qty"),
+    )
+    for _ in range(max_depth):
+        anc_is_root = F.col("anc").isNotNull() & F.col("u_parent").isNull()
+        anc_internal = F.col("anc").isNotNull() & F.col("u_parent").isNotNull()
+        state = (
+            state.join(up, state.anc == up.u_node, "left")
+            .select(
+                "node",
+                F.when(anc_internal, F.col("u_parent")).alias("anc"),
+                F.when(anc_is_root, F.col("anc"))
+                .otherwise(F.col("root"))
+                .alias("root"),
+                F.when(anc_internal, F.col("eff_qty") * F.col("u_qty"))
+                .otherwise(F.col("eff_qty"))
+                .alias("eff_qty"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", "root", "eff_qty")

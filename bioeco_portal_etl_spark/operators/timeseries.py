@@ -218,3 +218,50 @@ def rolling_slope(
             "/ (__n * __sxx - __sx * __sx)) AS BIGINT) END"
         ).alias("slope_e6"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Duration-weighted mean per key: each observation's value holds
+    until the NEXT observation (step interpolation), so the mean weights
+    by holding time instead of sample count — the correct average for
+    irregularly-sampled state (prices, sensor levels, account balances),
+    where the plain mean over-weights bursts of rapid updates. The last
+    observation in a key has no successor and is excluded (it holds for
+    an unknown horizon; the standard left-closed convention).
+
+    Output per key: (key..., n_obs, span_secs, twa_e4) with twa_e4 =
+    (10^4 * sum(value_cents * hold_secs)) div sum(hold_secs) — all
+    integers, engine-exact: cents via floor(value*100), holding time as
+    ONE floor of the microsecond difference to whole seconds (never two
+    independent floors of the endpoints). Sub-second gaps weigh 0; a key
+    whose every gap is sub-second has span 0 and a NULL twa (guarded
+    division — Spark's div would return NULL, DuckDB's // would raise).
+
+    Scale shape: ONE window (lead over the key partition — keys bound
+    partition size; never a global sort) + one partial-combinable
+    aggregate. Weighted sums stay under int64 for ~1e9 cent-seconds per
+    key, far above the fixture and typical per-key densities."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    us_next = F.unix_micros(F.lead(ts_col, 1).over(w).cast("timestamp_ltz"))
+    stepped = df.select(
+        *key_cols,
+        F.floor(F.col(value_col) * 100).cast("long").alias("__cents"),
+        (us_next - us).alias("__du"),
+    ).filter(F.col("__du").isNotNull())
+    stepped = stepped.select(
+        *key_cols, "__cents", F.expr("__du div 1000000").alias("__hold")
+    )
+    return stepped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__hold").alias("span_secs"),
+        F.expr(
+            "CAST(CASE WHEN sum(__hold) > 0 THEN"
+            " (10000 * sum(__cents * __hold)) div sum(__hold) END AS BIGINT)"
+        ).alias("twa_e4"),
+    )

@@ -43,6 +43,13 @@ from bioeco_portal_etl_spark.graph.hyperball import hyperball_neighborhood  # no
 from bioeco_portal_etl_spark.graph.pagerank import personalized_pagerank  # noqa: E402
 from bioeco_portal_etl_spark.graph.sssp import sssp_bounded  # noqa: E402
 from bioeco_portal_etl_spark.operators.anonymity import l_diversity_audit  # noqa: E402
+from bioeco_portal_etl_spark.operators.basket import association_rules  # noqa: E402
+from bioeco_portal_etl_spark.operators.hierarchy import bom_rollup  # noqa: E402
+from bioeco_portal_etl_spark.operators.timeseries import time_weighted_avg  # noqa: E402
+from bioeco_portal_etl_spark.text.doccosine import (  # noqa: E402
+    doc_cosine2_pairs,
+    term_counts,
+)
 from bioeco_portal_etl_spark.operators.selectivity import (  # noqa: E402
     grid_histogram_2d,
     selectivity_bounds,
@@ -1149,6 +1156,62 @@ def main() -> None:
                 "embedding",
                 "vec_id",
             )
+        ),
+        # BOM rollup: fixed-depth walk — per level one equi-join over
+        # one-row-per-node state; must be ~linear in |nodes|
+        "bom": (
+            lambda s: bom_rollup(
+                (parts if s == 1 else scaled(parts, s, ["p_partkey"])).select(
+                    F.col("p_partkey").alias("node"),
+                    F.when(F.col("p_partkey") < 8, F.lit(None).cast("long"))
+                    .otherwise(F.expr("p_partkey div 8"))
+                    .alias("parent"),
+                    (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
+                ),
+                max_depth=8,
+            )
+            .groupBy("root")
+            .agg(F.sum("eff_qty").alias("s"))
+        ),
+        # Market basket: pair fan-out bounded by basket size; supports broadcast
+        "basket": (
+            lambda s: association_rules(
+                (li if s == 1 else scaled(li, s, ["l_orderkey"])).select(
+                    F.col("l_orderkey").alias("basket"),
+                    (F.col("l_partkey") % 40).cast("long").alias("item"),
+                ),
+                "basket",
+                "item",
+                min_support=50,
+            )
+        ),
+        # Doc cosine: postings self-join bounded by the df cut
+        "doc_cosine": (
+            lambda s: doc_cosine2_pairs(
+                term_counts(
+                    docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                    "doc_id",
+                    "text",
+                ),
+                max_df=20,
+                min_cos2_e6=1000,
+            )
+        ),
+        # TWA: one keyed lead() window + a partial-combinable aggregate
+        "twa": (
+            lambda s: (
+                lambda ev: time_weighted_avg(
+                    ev.select(
+                        "user_id",
+                        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+                        F.col("ts").cast("timestamp").alias("ts"),
+                        "value",
+                    ),
+                    ["user_id", "day"],
+                )
+                .groupBy("day")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )(events if s == 1 else scaled(events, s, ["user_id", "event_id"]))
         ),
         # PPR: same superstep plan as pagerank; seeds scale with nodes
         "ppr": (

@@ -922,3 +922,57 @@ def test_x34_selectivity_grid_partial_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel31_bom_walk_equijoins_no_python(spark):
+    """BOM contract: the parent-chain walk is a fixed unroll of
+    equi-joins over checkpointed one-row-per-node state — no cartesian,
+    no Python, partial aggregation on the root rollup."""
+    plan = _physical(spark, "rel31_bom_rollup")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm12_resize_three_arrow_stages(spark):
+    """Resize contract: exactly three Arrow stages (synth, resize,
+    stats) — the pixel loop never leaks into row-at-a-time Python, and
+    the relational tail is pure JVM."""
+    plan = _physical(spark, "mm12_resize_pixels")
+    assert plan.count("MapInPandas") == 3
+    assert "EvalPython" not in plan
+
+
+def test_x35_market_basket_broadcast_supports(spark):
+    """Basket contract: the pair self-join is an equi-join on basket
+    (bounded fan-out), the per-item support enrichments broadcast, and
+    the only nested-loop is the one-row basket count."""
+    plan = _physical(spark, "x35_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx31_doc_cosine_df_cut_before_pair_join(spark):
+    """Doc-cosine contract: the df<=max_df term filter joins broadcast
+    BEFORE the postings self-join (the fan-out bound), everything
+    partial-aggregates, no cartesian, no Python."""
+    plan = _physical(spark, "tx31_doc_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x36_twa_single_keyed_window(spark):
+    """TWA contract: one lead() window partitioned by (user, day) —
+    never a global sort — then partial-combinable aggregates only."""
+    plan = _physical(spark, "x36_time_weighted_avg")
+    plan_opt = _optimized(spark, "x36_time_weighted_avg")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # the window is keyed: its partition spec names the keys (a global
+    # windowspecdefinition(ts ...) would be the single-task-sort trap)
+    assert "windowspecdefinition(user_id" in plan_opt
