@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 fifteenth batch
+    "gr14_harmonic_centrality",
+    "rel32_window_funnel",
+    "x37_range_partition_audit",
+    "tx32_feature_hashing",
+    "w19_stream_native_sessions",
     # round-5 fourteenth batch
     "rel31_bom_rollup",
     "mm12_resize_pixels",

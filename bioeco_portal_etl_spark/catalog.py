@@ -947,6 +947,7 @@ from bioeco_portal_etl_spark.catalog_ext14 import CATALOG_EXT14  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext15 import CATALOG_EXT15  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext16 import CATALOG_EXT16  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext17 import CATALOG_EXT17  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext18 import CATALOG_EXT18  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -966,6 +967,7 @@ _CATALOG.update(CATALOG_EXT14)
 _CATALOG.update(CATALOG_EXT15)
 _CATALOG.update(CATALOG_EXT16)
 _CATALOG.update(CATALOG_EXT17)
+_CATALOG.update(CATALOG_EXT18)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1054,6 +1056,12 @@ _GATE_FIRST = [
     "x35_market_basket",
     "tx31_doc_cosine",
     "x36_time_weighted_avg",
+    # (2o) round-5 fifteenth batch (catalog_ext18):
+    "gr14_harmonic_centrality",
+    "rel32_window_funnel",
+    "x37_range_partition_audit",
+    "tx32_feature_hashing",
+    "w19_stream_native_sessions",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",

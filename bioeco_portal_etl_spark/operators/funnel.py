@@ -64,3 +64,66 @@ def funnel_steps(
     return out.select(
         "user", completed.alias("steps_completed"), *[f"t_step{i + 1}" for i in range(len(steps))]
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_us: int,
+) -> DataFrame:
+    """Timeout funnel (ClickHouse ``windowFunnel`` semantics): per user,
+    the MAXIMUM number of consecutive funnel steps completed where every
+    step happens within ``window_us`` of the chain's FIRST step — and
+    the maximum ranges over ALL candidate chain starts, not just the
+    user's earliest step-1 event (the earliest start can be the worst
+    one when a later retry converts; plain :func:`funnel_steps` has no
+    deadline and so never needs to reconsider its start).
+
+    Same one-shuffle shape as funnel_steps: a single groupBy(user)
+    collects per-step ordered timestamp arrays, then the start-candidate
+    scan is an ``F.transform`` over the step-1 array with the chain
+    resolved by nested array filters — per-user work is
+    O(|step1| * chain-depth * log) inside the row, zero extra shuffles,
+    which is what lets the deadline semantics run over a clickstream at
+    corpus scale.
+
+    Output: (user, funnel_level) — 0 if the user never fired step 1."""
+    if len(steps) < 2:
+        raise ValueError("window_funnel needs >= 2 steps")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == s, ts_us))
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+
+    def _pred(p: F.Column, d: F.Column):
+        # a factory, NOT default-arg capture: PySpark derives the HOF's
+        # arity from the lambda signature, so defaulted params would be
+        # mistaken for extra lambda variables
+        return lambda x: (x > p) & (x <= d)
+
+    def chain_len(t1: F.Column) -> F.Column:
+        deadline = t1 + F.lit(window_us)
+        level = F.lit(1)
+        prev = t1
+        for i in range(1, len(steps)):
+            prev = F.element_at(
+                F.filter(F.col(f"__a{i}"), _pred(prev, deadline)),
+                1,
+            )
+            level = F.when(prev.isNotNull(), F.lit(i + 1)).otherwise(level)
+            # once a step is missed the chain stops: guard later levels
+            # by the null propagating through `prev`
+        return level
+
+    lvl = F.when(
+        F.size(F.col("__a0")) > 0,
+        F.array_max(F.transform(F.col("__a0"), chain_len)),
+    ).otherwise(F.lit(0))
+    return g.select("user", lvl.cast("long").alias("funnel_level"))

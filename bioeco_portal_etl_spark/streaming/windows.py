@@ -274,3 +274,33 @@ def windowed_cms_grid(
     return keyed.groupBy("w", "row", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def native_session_counts(
+    events: DataFrame, gap: str = "30 minutes", key_col: str = "user_id"
+) -> DataFrame:
+    """Engine-managed streaming sessionization: the built-in
+    ``session_window`` merges events closer than ``gap`` per key inside
+    the state store — vs streaming/sessions_stream.py's
+    applyInPandasWithState, which implements the same windows by hand
+    for cross-watermark custom semantics. In watermarked append mode a
+    session emits exactly once, when the watermark proves no more events
+    can merge into it; the drained result equals the batch session_window
+    restricted to session_end <= max(ts) - delay (pinned by the w19
+    oracle). Boundary convention (matters for the mirror): an event
+    exactly ``gap`` after the previous one starts a NEW session — the
+    builtin merges on strict ``<``.
+
+    Returns (session_start, session_end, key, n_events)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("sw"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )

@@ -44,6 +44,12 @@ from bioeco_portal_etl_spark.graph.pagerank import personalized_pagerank  # noqa
 from bioeco_portal_etl_spark.graph.sssp import sssp_bounded  # noqa: E402
 from bioeco_portal_etl_spark.operators.anonymity import l_diversity_audit  # noqa: E402
 from bioeco_portal_etl_spark.operators.basket import association_rules  # noqa: E402
+from bioeco_portal_etl_spark.operators.funnel import window_funnel  # noqa: E402
+from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
+    range_assignment_audit,
+    range_boundaries,
+)
+from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E402
 from bioeco_portal_etl_spark.operators.hierarchy import bom_rollup  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import time_weighted_avg  # noqa: E402
 from bioeco_portal_etl_spark.text.doccosine import (  # noqa: E402
@@ -1155,6 +1161,44 @@ def main() -> None:
                 ),
                 "embedding",
                 "vec_id",
+            )
+        ),
+        # Timeout funnel: one groupBy(user) collect; per-user array scan
+        "window_funnel": (
+            lambda s: window_funnel(
+                (events if s == 1 else scaled(events, s, ["user_id"])).select(
+                    "user_id",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_type",
+                ),
+                "user_id",
+                "ts",
+                "event_type",
+                ["view", "click", "purchase"],
+                3_600_000_000,
+            )
+            .groupBy("funnel_level")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        # Range audit: two frequency aggregates + a B-1-row broadcast
+        "range_audit": (
+            lambda s: (
+                lambda o: range_assignment_audit(
+                    o, "o_custkey", range_boundaries(o, "o_custkey", "o_orderkey")
+                )
+            )(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"])).select(
+                    "o_orderkey", F.col("o_custkey").cast("long").alias("o_custkey")
+                )
+            )
+        ),
+        # Feature hashing: explode + two partial aggs — scan-stage algebra
+        "feature_hash": (
+            lambda s: collision_audit(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                dim=64,
             )
         ),
         # BOM rollup: fixed-depth walk — per level one equi-join over

@@ -976,3 +976,42 @@ def test_x36_twa_single_keyed_window(spark):
     # the window is keyed: its partition spec names the keys (a global
     # windowspecdefinition(ts ...) would be the single-task-sort trap)
     assert "windowspecdefinition(user_id" in plan_opt
+
+
+def test_gr14_harmonic_no_extra_shuffle_after_hyperball(spark):
+    """Harmonic contract: the centrality is one grouped conditional-max
+    pivot over the hyperball output — no cartesian, partial max, JVM."""
+    plan = _physical(spark, "gr14_harmonic_centrality")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel32_window_funnel_one_shuffle(spark):
+    """Timeout-funnel contract: ONE groupBy(user) collect (plus the
+    level rollup) — the start-candidate scan is array algebra inside the
+    row, no per-step joins, no Python."""
+    plan = _physical(spark, "rel32_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # zero joins of any kind
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x37_range_audit_broadcast_boundaries(spark):
+    """Range-audit contract: the boundary table rides a broadcast
+    nested-loop (B-1 rows), the frequency tables partial-aggregate, and
+    the only window runs over the distinct-value table."""
+    plan = _physical(spark, "x37_range_partition_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx32_feature_hashing_stays_jvm(spark):
+    """Hashing-trick contract: md5 bucket assignment and both audits are
+    pure JVM expressions with partial aggregation; one scan."""
+    plan = _physical(spark, "tx32_feature_hashing")
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
