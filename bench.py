@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 sixteenth batch
+    "gr15_effective_diameter",
+    "x38_ab_test",
+    "tx33_zipf_fit",
+    "ts17_topk_diversity",
+    "dq11_expectations",
     # round-5 fifteenth batch
     "gr14_harmonic_centrality",
     "rel32_window_funnel",

@@ -948,6 +948,7 @@ from bioeco_portal_etl_spark.catalog_ext15 import CATALOG_EXT15  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext16 import CATALOG_EXT16  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext17 import CATALOG_EXT17  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext18 import CATALOG_EXT18  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext19 import CATALOG_EXT19  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -968,6 +969,7 @@ _CATALOG.update(CATALOG_EXT15)
 _CATALOG.update(CATALOG_EXT16)
 _CATALOG.update(CATALOG_EXT17)
 _CATALOG.update(CATALOG_EXT18)
+_CATALOG.update(CATALOG_EXT19)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1006,28 +1008,18 @@ _GATE_FIRST = [
     # first; with 42 round-5 entries and 14 mandatory slots above, the 6
     # OLDEST round-5 entries (ext5 first batch: gr6/dq3/x22/mm6/ts9/mm7 —
     # moved to the window tail below) wait for the round-6 rotation:
-    "tx26_rake_keywords",
-    "ts13_filtered_ann",
-    "w14_stream_complete_topk",
     # (2h) round-5 eighth batch (catalog_ext11) — displaces the last 3
     # ext9 entries (x28/tx25/rel27) past position 50; they join ext5's
     # first batch at the front of the round-6 rotation:
-    "gr10_random_walks",
-    "x30_scd2_asof",
-    "rel28_percent_rank",
     # (2i) round-5 ninth batch (catalog_ext12) — displaces the 5 next-
     # oldest round-5 entries (ext5 remainder: x23/tx20/w11/dq4/ts10 —
     # moved to the window tail below) into the round-6 rotation queue:
     "tx27_gopher_rules",
-    "dq9_fd_violations",
-    "x31_dsir_weights",
     "ts14_hard_negatives",
     "w15_stream_cdc_upsert",
     # (2j) round-5 tenth batch (catalog_ext13) — displaces the 5 next-
     # oldest round-5 entries (dq5 + ext6's tx21/td11/x24/dq6 — moved to
     # the window tail below) into the round-6 rotation queue:
-    "rel29_grouping_sets",
-    "sk7_hll_merge",
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
@@ -1062,6 +1054,12 @@ _GATE_FIRST = [
     "x37_range_partition_audit",
     "tx32_feature_hashing",
     "w19_stream_native_sessions",
+    # (2p) round-5 sixteenth batch (catalog_ext19):
+    "gr15_effective_diameter",
+    "x38_ab_test",
+    "tx33_zipf_fit",
+    "ts17_topk_diversity",
+    "dq11_expectations",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",
@@ -1211,6 +1209,17 @@ _GATE_FIRST = [
     "gr9_hits",
     "ts12_range_search",
     "x29_cdc_net_effect",
+    # displaced by (2p) to fit the sixteenth batch:
+    "tx26_rake_keywords",
+    "ts13_filtered_ann",
+    "w14_stream_complete_topk",
+    "gr10_random_walks",
+    "x30_scd2_asof",
+    "rel28_percent_rank",
+    "rel29_grouping_sets",
+    "sk7_hll_merge",
+    "dq9_fd_violations",
+    "x31_dsir_weights",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

@@ -229,3 +229,37 @@ def harmonic_centrality(hb: DataFrame, radius: int) -> DataFrame:
         term = F.expr(f"((__b{r} - __b{r - 1}) * 1000000) div {r}")
         h = term if h is None else h + term
     return g.select("node", h.cast("long").alias("harmonic_e6"))
+
+
+def effective_diameter(hb: DataFrame, radius: int, pct_num: int = 9, pct_den: int = 10) -> DataFrame:
+    """Effective diameter from the neighborhood function — HyperBall's
+    other headline statistic: the smallest radius r at which the total
+    reachable-pair count N(r) = sum over v of |B(v, r)| reaches
+    ``pct_num/pct_den`` (default 90%) of its value at the probe horizon.
+
+    One grouped sum per radius over the gr11 output plus a constant-size
+    pivot: (eff_diameter, plus the full N(r) curve as coverage_e6 per r
+    so the cutoff is auditable, not a bare scalar). Integer comparisons
+    only (cross-multiplied) — no division until the e6 display surface."""
+    n_r = hb.groupBy("r").agg(F.sum("ball_est").alias("n_pairs"))
+    pivots = [
+        F.max(F.when(F.col("r") == r, F.col("n_pairs"))).alias(f"__n{r}")
+        for r in range(radius + 1)
+    ]
+    wide = n_r.groupBy().agg(*pivots)
+    eff = F.lit(radius).cast("long")
+    for r in range(radius, -1, -1):
+        eff = F.when(
+            F.lit(pct_den) * F.col(f"__n{r}")
+            - F.lit(pct_num) * F.col(f"__n{radius}")
+            >= 0,
+            F.lit(r).cast("long"),
+        ).otherwise(eff)
+    cols = [eff.alias("eff_diameter")]
+    for r in range(radius + 1):
+        cols.append(
+            F.expr(f"CAST((1000000 * __n{r}) div __n{radius} AS BIGINT)").alias(
+                f"coverage_e6_r{r}"
+            )
+        )
+    return wide.select(*cols)

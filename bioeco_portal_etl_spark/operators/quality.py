@@ -131,3 +131,46 @@ FROM (
   GROUP BY {lhs}
 )""")
     return "\nUNION ALL\n".join(parts)
+
+
+def expectation_suite(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations
+    shape): each rule is (name, boolean Column predicate over a row);
+    the suite evaluates ALL rules in ONE scan — a conditional sum per
+    rule inside a single partial-combinable aggregate — and reports
+
+        (check, n_rows, n_pass, n_fail, pass_e6)
+
+    one row per rule. NULL predicate results count as FAILURES (an
+    expectation you cannot evaluate is not met — the conservative gate
+    convention), which also makes the arithmetic total: n_pass + n_fail
+    = n_rows always. Rule names are restricted to [A-Za-z0-9_]+ (same
+    injection guard as profile_checks). profile_checks measures column
+    STATISTICS; this asserts row-level CONTRACTS — the pass/fail gate a
+    pipeline actually blocks on."""
+    bad = [n for n, _ in rules if not _CHECK_NAME.match(n)]
+    if bad:
+        raise ValueError(f"check names must match [A-Za-z0-9_]+, got: {bad!r}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.coalesce(pred.cast("long"), F.lit(0))).alias(f"__p_{name}")
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({n}, {args}) AS (check, n_rows, n_pass)".format(
+            n=len(rules),
+            args=", ".join(f"'{name}', __n, __p_{name}" for name, _ in rules),
+        )
+    )
+    return stacked.select(
+        "check",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        (F.col("n_rows") - F.col("n_pass")).cast("long").alias("n_fail"),
+        F.expr("CAST((1000000 * n_pass) div n_rows AS BIGINT)").alias(
+            "pass_e6"
+        ),
+    )

@@ -236,3 +236,60 @@ def cosine_range_search(
     )
     scored = _scored_pairs(F.broadcast(q), cand, F.lit(True), exclude_self)
     return scored.filter(F.col("score_e4") >= threshold_e4)
+
+
+def topk_diversity(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Intra-list diversity (ILD) of each query's exact top-k: the
+    pairwise-similarity profile of the RESULT SET — the recommender-
+    quality metric that catches "five nearly identical neighbors"
+    (high mean pair similarity) even when every individual score is
+    excellent, i.e. the measurement side of what the MMR re-rank
+    (rerank.py) optimizes.
+
+    Per query: C(k,2) unordered result pairs, each scored with the SAME
+    e4 cosine as the retrieval itself, reduced to
+    (query_id, n_pairs, mean_pair_sim_e4, min_pair_sim_e4,
+    max_pair_sim_e4) with the mean floored integer (sum div count).
+
+    Scale shape: the pair table is queries * C(k,2) rows (result-set
+    sized, tiny) and BROADCASTS into its two vector-fetch joins against
+    the corpus — the corpus is scanned, never shuffled on a pair key."""
+    top = cosine_topk(corpus, queries, vec_col, id_col, k=k)
+    nv = with_norm(corpus, vec_col, id_col)
+    a = top.select(
+        "query_id",
+        F.col("match_id").alias("m_a"),
+        F.col("rank").alias("rank_a"),
+    )
+    b = top.select(
+        "query_id",
+        F.col("match_id").alias("m_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    pairs = a.join(b, "query_id").filter(F.col("rank_a") < F.col("rank_b"))
+    va = nv.select(
+        F.col(id_col).alias("m_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = nv.select(
+        F.col(id_col).alias("m_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    scored = (
+        va.join(F.broadcast(pairs), "m_a")
+        .join(vb, "m_b")
+        .select(
+            "query_id",
+            score_e4(
+                cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+            ).alias("pair_sim_e4"),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(pair_sim_e4) div count(1) AS BIGINT)").alias(
+            "mean_pair_sim_e4"
+        ),
+        F.min("pair_sim_e4").cast("long").alias("min_pair_sim_e4"),
+        F.max("pair_sim_e4").cast("long").alias("max_pair_sim_e4"),
+    )

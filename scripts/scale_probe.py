@@ -50,6 +50,9 @@ from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
     range_boundaries,
 )
 from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E402
+from bioeco_portal_etl_spark.operators.abtest import ab_test_report  # noqa: E402
+from bioeco_portal_etl_spark.operators.quality import expectation_suite  # noqa: E402
+from bioeco_portal_etl_spark.text.zipf import zipf_fit  # noqa: E402
 from bioeco_portal_etl_spark.operators.hierarchy import bom_rollup  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import time_weighted_avg  # noqa: E402
 from bioeco_portal_etl_spark.text.doccosine import (  # noqa: E402
@@ -1161,6 +1164,45 @@ def main() -> None:
                 ),
                 "embedding",
                 "vec_id",
+            )
+        ),
+        # A/B report: per-user agg + one 4-integer reduce
+        "ab_test": (
+            lambda s: ab_test_report(
+                (events if s == 1 else scaled(events, s, ["user_id"]))
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        (F.col("event_type") == "purchase").cast("long")
+                    ).alias("converted")
+                )
+                .select(
+                    F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+                    .otherwise(F.lit("B"))
+                    .alias("variant"),
+                    "converted",
+                ),
+                "variant",
+                "converted",
+            )
+        ),
+        # Zipf: freq agg + TakeOrdered(K) + constant-size OLS
+        "zipf": (
+            lambda s: zipf_fit(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "text",
+                top_k=500,
+            )
+        ),
+        # Expectations: one conditional-sum aggregate over one scan
+        "expectations": (
+            lambda s: expectation_suite(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+                [
+                    ("price_positive", F.col("o_totalprice") > 0),
+                    ("price_under_300k", F.col("o_totalprice") < 300000),
+                    ("custkey_present", F.col("o_custkey").isNotNull()),
+                ],
             )
         ),
         # Timeout funnel: one groupBy(user) collect; per-user array scan

@@ -1015,3 +1015,52 @@ def test_tx32_feature_hashing_stays_jvm(spark):
     assert plan.count("FileScan") == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr15_effective_diameter_constant_tail(spark):
+    """Effective-diameter contract: after the hyperball rounds, the
+    cutoff is a per-radius sum + constant-size pivot — no cartesian, all
+    partial aggregates, JVM only."""
+    plan = _physical(spark, "gr15_effective_diameter")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x38_ab_test_single_pass(spark):
+    """A/B contract: the whole report reduces to ONE aggregate over the
+    per-user facts (4 integers), then a constant projection."""
+    plan = _physical(spark, "x38_ab_test")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx33_zipf_take_ordered_not_global_sort(spark):
+    """Zipf contract: the top-K cut is TakeOrderedAndProject (heap +
+    driver merge of K rows), never a global Sort over the vocabulary."""
+    plan = _physical(spark, "tx33_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts17_diversity_pairs_broadcast(spark):
+    """Diversity contract: the result-set pair table broadcasts into its
+    vector-fetch joins — the corpus is never shuffled on a pair key; no
+    cartesian anywhere."""
+    plan = _physical(spark, "ts17_topk_diversity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq11_expectations_one_scan(spark):
+    """Expectations contract: every rule folds into ONE partial-
+    combinable aggregate over ONE scan; the per-rule rows come from a
+    constant stack."""
+    plan = _physical(spark, "dq11_expectations")
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
