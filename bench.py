@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-5 seventeenth batch
+    "gr16_assortativity",
+    "x39_consistent_hashing",
+    "sk10_bloom_fpr",
+    "ts18_ann_cascade",
+    "mm13_frame_zcr",
     # round-5 sixteenth batch
     "gr15_effective_diameter",
     "x38_ab_test",

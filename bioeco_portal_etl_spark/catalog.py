@@ -949,6 +949,7 @@ from bioeco_portal_etl_spark.catalog_ext16 import CATALOG_EXT16  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext17 import CATALOG_EXT17  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext18 import CATALOG_EXT18  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext19 import CATALOG_EXT19  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext20 import CATALOG_EXT20  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -970,6 +971,7 @@ _CATALOG.update(CATALOG_EXT16)
 _CATALOG.update(CATALOG_EXT17)
 _CATALOG.update(CATALOG_EXT18)
 _CATALOG.update(CATALOG_EXT19)
+_CATALOG.update(CATALOG_EXT20)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)
@@ -1014,14 +1016,9 @@ _GATE_FIRST = [
     # (2i) round-5 ninth batch (catalog_ext12) — displaces the 5 next-
     # oldest round-5 entries (ext5 remainder: x23/tx20/w11/dq4/ts10 —
     # moved to the window tail below) into the round-6 rotation queue:
-    "tx27_gopher_rules",
-    "ts14_hard_negatives",
-    "w15_stream_cdc_upsert",
     # (2j) round-5 tenth batch (catalog_ext13) — displaces the 5 next-
     # oldest round-5 entries (dq5 + ext6's tx21/td11/x24/dq6 — moved to
     # the window tail below) into the round-6 rotation queue:
-    "tx29_ngram_coverage",
-    "ts15_ivf_balance",
     "x32_join_skew_report",
     # (2k) round-5 eleventh batch (catalog_ext14) — displaces mm8/w12
     # (ext6 remainder) and three ext7 entries to the window tail:
@@ -1060,6 +1057,12 @@ _GATE_FIRST = [
     "tx33_zipf_fit",
     "ts17_topk_diversity",
     "dq11_expectations",
+    # (2q) round-5 seventeenth batch (catalog_ext20):
+    "gr16_assortativity",
+    "x39_consistent_hashing",
+    "sk10_bloom_fpr",
+    "ts18_ann_cascade",
+    "mm13_frame_zcr",
     # (2d) round-5 fourth batch (catalog_ext7):
     "tx22_bm25",
     "ts11_rrf_fusion",
@@ -1220,6 +1223,12 @@ _GATE_FIRST = [
     "sk7_hll_merge",
     "dq9_fd_violations",
     "x31_dsir_weights",
+    # displaced by (2q) to fit the seventeenth batch:
+    "tx27_gopher_rules",
+    "ts14_hard_negatives",
+    "w15_stream_cdc_upsert",
+    "tx29_ngram_coverage",
+    "ts15_ivf_balance",
 ]
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

@@ -734,3 +734,51 @@ def patch_ahash(df: DataFrame, patch: int = 4) -> DataFrame:
         schema="media_id long, width long, height long, "
         "fingerprint long, n_tiles long",
     )
+
+
+def wav_frame_zcr(df: DataFrame, frame: int = 160) -> DataFrame:
+    """Frame-level zero-crossing rate + energy through the REAL WAV
+    decode — the classic voiced/unvoiced (speech vs tone vs silence)
+    front-end feature pair, computed per ``frame``-sample window:
+
+        zcr    = #(i in frame, i+1 in frame : s_i * s_{i+1} < 0)
+        energy = sum(s_i^2)   (exact int64 — samples are 16-bit)
+
+    vs mm4's audio_frame_features, which frames a TEXT stand-in payload:
+    this stage decodes genuine RIFF/PCM bytes (multimodal/wavpcm.py), so
+    the oracle must reproduce the codec round-trip from the synth_pcm_wav
+    sample formula. Crossings are counted WITHIN frames only (the
+    boundary pair belongs to neither frame — the convention the oracle
+    mirrors); a zero sample never crosses (s_i * s_{i+1} < 0 is strict).
+
+    Pixels/samples stay inside the Arrow batch; only (media_id, frame_id,
+    n_samples, zcr, energy) rows leave Python."""
+    import pandas as pd
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_id": [], "n_samples": [],
+                   "zcr": [], "energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = decode_wav(bytes(payload))
+                for f0 in range(0, len(samples), frame):
+                    chunk = samples[f0 : f0 + frame]
+                    zcr = sum(
+                        1
+                        for i in range(len(chunk) - 1)
+                        if chunk[i] * chunk[i + 1] < 0
+                    )
+                    out["media_id"].append(int(mid))
+                    out["frame_id"].append(f0 // frame)
+                    out["n_samples"].append(len(chunk))
+                    out["zcr"].append(zcr)
+                    out["energy"].append(sum(s * s for s in chunk))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        feats,
+        schema="media_id long, frame_id long, n_samples long, "
+        "zcr long, energy long",
+    )

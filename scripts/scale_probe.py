@@ -53,6 +53,11 @@ from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E
 from bioeco_portal_etl_spark.operators.abtest import ab_test_report  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import expectation_suite  # noqa: E402
 from bioeco_portal_etl_spark.text.zipf import zipf_fit  # noqa: E402
+from bioeco_portal_etl_spark.graph.degrees import degree_assortativity  # noqa: E402
+from bioeco_portal_etl_spark.operators.sharding import (  # noqa: E402
+    hash_ring,
+    resharding_report,
+)
 from bioeco_portal_etl_spark.operators.hierarchy import bom_rollup  # noqa: E402
 from bioeco_portal_etl_spark.operators.timeseries import time_weighted_avg  # noqa: E402
 from bioeco_portal_etl_spark.text.doccosine import (  # noqa: E402
@@ -1164,6 +1169,24 @@ def main() -> None:
                 ),
                 "embedding",
                 "vec_id",
+            )
+        ),
+        # Assortativity: degree agg + equi-joins + one 6-sum reduce
+        "assortativity": (
+            lambda s: degree_assortativity(
+                chain_edges(1)
+                if s == 1
+                else scaled(chain_edges(1), s, ["src", "dst"])
+            )
+        ),
+        # Consistent hashing: broadcast ring, per-key min fold
+        "consistent_hash": (
+            lambda s: resharding_report(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+                .select(F.col("o_orderkey").alias("k")),
+                "k",
+                hash_ring(spark, 4, 16),
+                hash_ring(spark, 5, 16),
             )
         ),
         # A/B report: per-user agg + one 4-integer reduce

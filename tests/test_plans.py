@@ -1064,3 +1064,49 @@ def test_dq11_expectations_one_scan(spark):
     assert plan.count("FileScan") == 1
     assert "partial_" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr16_assortativity_single_reduce(spark):
+    """Assortativity contract: one degree aggregate, equi-join
+    enrichments, one global 6-sum reduce — no cartesian, no Python."""
+    plan = _physical(spark, "gr16_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x39_ring_broadcasts(spark):
+    """Ring contract: the N*V vnode table rides broadcast nested-loop
+    joins — keys are never shuffled by ring position; per-key routing
+    partial-aggregates."""
+    plan = _physical(spark, "x39_consistent_hashing")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sk10_bloom_word_table_broadcasts(spark):
+    """Bloom-FPR contract: the <= m/60-row word table broadcasts into
+    the probe join; bit positions stay JVM expressions."""
+    plan = _physical(spark, "sk10_bloom_fpr")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts18_cascade_no_cartesian_broadcast_router(spark):
+    """Cascade contract: the fallback query set broadcasts (anti/semi
+    routing), both branches keep their own join shapes, no cartesian."""
+    plan = _physical(spark, "ts18_ann_cascade")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm13_frame_zcr_single_arrow_stage_after_synth(spark):
+    """Frame-ZCR contract: exactly two Arrow stages (synth + decode/
+    features); samples never leave Python row-wise."""
+    plan = _physical(spark, "mm13_frame_zcr")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
