@@ -46,7 +46,15 @@ def ab_test_report(
     pb = F.col("conv_b") / F.col("n_b")
     pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
     se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
-    z_e4 = F.floor((pa - pb) / se * 10000).cast("long")
+    # guard the degenerate se = 0 case EXPLICITLY: floor(NaN) feeding a
+    # long cast is NULL under the engine session but THROWS under an
+    # ANSI session (Spark 4's default) — the NULL must be intentional,
+    # not a cast accident
+    z_e4 = (
+        F.when(se > 0, F.floor((pa - pb) / se * 10000))
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("conv_a").cast("long").alias("conv_a"),

@@ -6,7 +6,9 @@ Plan: ONE pass — pivot the per-user event stream into per-step ordered
 timestamp arrays with a single ``groupBy(user)`` (min-heap semantics via
 ``array_sort(collect_list)`` per step, conditional on event type), then
 resolve the cascade ``t_i = first element of step_i's array > t_{i-1}``
-with ``F.filter`` + ``element_at`` — pure Column algebra, no per-step
+with ``F.filter`` + ``try_element_at`` (NULL on empty — ANSI-safe: the
+default Spark 4 session runs ANSI on, where plain element_at THROWS on
+a stalled funnel's empty candidate array) — pure Column algebra, no per-step
 joins. The naive formulation (one self-join per funnel step) shuffles the
 event table S times; this shuffles it ONCE regardless of funnel length,
 the property that matters when the funnel runs over a 100 TB clickstream.
@@ -51,9 +53,9 @@ def funnel_steps(
     for i in range(len(steps)):
         arr = F.col(f"__a{i}")
         if prev is None:
-            t = F.element_at(arr, 1)
+            t = F.try_element_at(arr, F.lit(1))
         else:
-            t = F.element_at(F.filter(arr, lambda x: x > prev), 1)
+            t = F.try_element_at(F.filter(arr, lambda x: x > prev), F.lit(1))
         t_cols.append(t.alias(f"t_step{i + 1}"))
         prev = t
     out = g.select("user", *t_cols)
@@ -113,9 +115,9 @@ def window_funnel(
         level = F.lit(1)
         prev = t1
         for i in range(1, len(steps)):
-            prev = F.element_at(
+            prev = F.try_element_at(
                 F.filter(F.col(f"__a{i}"), _pred(prev, deadline)),
-                1,
+                F.lit(1),
             )
             level = F.when(prev.isNotNull(), F.lit(i + 1)).otherwise(level)
             # once a step is missed the chain stops: guard later levels
