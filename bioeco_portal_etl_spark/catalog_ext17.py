@@ -232,16 +232,23 @@ FROM rules ORDER BY item_a, item_b"""
 
 
 def tx31_doc_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Squared-cosine document pairs (e6) over rare terms (df <= 20) for
-    doc_id < 300, threshold cos2 >= 1000 (cos >= ~0.032) —
-    text/doccosine.py."""
+    """Squared-cosine document pairs (e6) over rare 3-word SHINGLES
+    (df <= 20) for doc_id < 300, threshold cos2 >= 1000 —
+    text/doccosine.py.
+
+    Round-6 retune (VERDICT r5 #1): the synthetic corpus has a ~24-word
+    closed vocabulary, so every UNIGRAM is stopword-frequent and the
+    original df<=20 cut left ZERO pairs at every SF — the gate entry
+    hash-matched 0 rows against 0 rows. 3-word shingles restore a real
+    rare tail (sf0.01: 4.5k df=2 shingles, none above df=20), giving a
+    392-row deterministic gate set."""
     from bioeco_portal_etl_spark.text.doccosine import (
         doc_cosine2_pairs,
         term_counts,
     )
 
     d = T(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    tc = term_counts(d, "doc_id", "text")
+    tc = term_counts(d, "doc_id", "text", shingle_k=3)
     return doc_cosine2_pairs(tc, max_df=20, min_cos2_e6=1000).orderBy(
         "doc_a", "doc_b"
     )
@@ -254,6 +261,7 @@ def _tx31_sql() -> str:
         "SELECT doc_id, text FROM documents WHERE doc_id < 300",
         max_df=20,
         min_cos2_e6=1000,
+        shingle_k=3,
     )
     return f"""
 WITH {body}

@@ -279,9 +279,10 @@ stacked AS (
   SELECT 'date_in_range', n, p_date_in_range FROM agg
 )
 SELECT check_name AS "check", CAST(n AS BIGINT) AS n_rows,
-       CAST(n_pass AS BIGINT) AS n_pass,
-       CAST(n - n_pass AS BIGINT) AS n_fail,
-       CAST((1000000 * n_pass) // n AS BIGINT) AS pass_e6
+       CAST(coalesce(n_pass, 0) AS BIGINT) AS n_pass,
+       CAST(n - coalesce(n_pass, 0) AS BIGINT) AS n_fail,
+       CASE WHEN n > 0
+            THEN CAST((1000000 * n_pass) // n AS BIGINT) END AS pass_e6
 FROM stacked ORDER BY "check" """
 
 

@@ -30,11 +30,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, persist_edges: bool = True
+) -> DataFrame:
     """(node, label) after ``rounds`` synchronous updates; initial label =
     own node id. ``edges`` is an undirected edge list given as (src, dst)
     long columns — symmetrized and self-loop-stripped here. Isolated
-    nodes don't appear (no edges = no community evidence)."""
+    nodes don't appear (no edges = no community evidence).
+
+    ``persist_edges`` pins the symmetrized O(E) list (and with it the
+    upstream edge derivation — often an expensive self-join, e.g. gr7's
+    orders⋈orders co-activity graph) so each round pays ONE label
+    shuffle, not a lineage replay; the pagerank.py pattern. Turn off for
+    one-shot tiny graphs."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     sym = (
         e.unionByName(
@@ -43,6 +51,8 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         .distinct()
         .repartition("dst")
     )
+    if persist_edges:
+        sym = sym.persist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

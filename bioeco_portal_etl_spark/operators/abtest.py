@@ -46,26 +46,35 @@ def ab_test_report(
     pb = F.col("conv_b") / F.col("n_b")
     pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
     se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
-    # guard the degenerate se = 0 case EXPLICITLY: floor(NaN) feeding a
-    # long cast is NULL under the engine session but THROWS under an
-    # ANSI session (Spark 4's default) — the NULL must be intentional,
-    # not a cast accident
+    # guard the degenerate cases EXPLICITLY: an absent variant (n = 0)
+    # makes `div` throw under an ANSI session (Spark 4's default) and
+    # turns pa/pb into double NaN whose floor->long cast ALSO throws
+    # there; se = 0 (all-convert / none-convert) is the same NaN-cast
+    # hazard. Each NULL below is intentional, not a cast accident.
+    # Doubles themselves never throw (IEEE Inf/NaN), so the condition is
+    # safe to evaluate even when a count is zero.
+    nonzero = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     z_e4 = (
-        F.when(se > 0, F.floor((pa - pb) / se * 10000))
+        F.when(nonzero & (se > 0), F.floor((pa - pb) / se * 10000))
         .otherwise(F.lit(None))
         .cast("long")
+    )
+    rate_a = F.expr(
+        "CASE WHEN n_a > 0"
+        " THEN CAST((1000000 * conv_a) div n_a AS BIGINT) END"
+    )
+    rate_b = F.expr(
+        "CASE WHEN n_b > 0"
+        " THEN CAST((1000000 * conv_b) div n_b AS BIGINT) END"
     )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("conv_a").cast("long").alias("conv_a"),
-        F.expr("CAST((1000000 * conv_a) div n_a AS BIGINT)").alias("rate_a_e6"),
+        rate_a.alias("rate_a_e6"),
         F.col("n_b").cast("long").alias("n_b"),
         F.col("conv_b").cast("long").alias("conv_b"),
-        F.expr("CAST((1000000 * conv_b) div n_b AS BIGINT)").alias("rate_b_e6"),
-        (
-            F.expr("CAST((1000000 * conv_a) div n_a AS BIGINT)")
-            - F.expr("CAST((1000000 * conv_b) div n_b AS BIGINT)")
-        ).alias("lift_e6"),
+        rate_b.alias("rate_b_e6"),
+        (rate_a - rate_b).alias("lift_e6"),
         z_e4.alias("z_e4"),
         # degenerate experiments (se = 0: all-convert / none-convert) have
         # an undefined z (NULL) — "cannot prove an effect" maps to NOT
@@ -88,19 +97,30 @@ def duck_ab_test(source_sql: str, variant_a: str = "A", variant_b: str = "B") ->
 ),
 ab AS (
   SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
-         CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_e6,
+         CASE WHEN n_a > 0
+              THEN CAST((1000000 * conv_a) // n_a AS BIGINT) END AS rate_a_e6,
          CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-         CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_e6,
-         CAST((1000000 * conv_a) // n_a AS BIGINT)
-           - CAST((1000000 * conv_b) // n_b AS BIGINT) AS lift_e6,
-         CAST(floor((conv_a / n_a - conv_b / n_b)
-              / sqrt(((conv_a + conv_b) / (n_a + n_b))
-                     * (1 - (conv_a + conv_b) / (n_a + n_b))
-                     * (1 / n_a + 1 / n_b)) * 10000) AS BIGINT) AS z_e4,
-         CASE WHEN abs(CAST(floor((conv_a / n_a - conv_b / n_b)
-              / sqrt(((conv_a + conv_b) / (n_a + n_b))
-                     * (1 - (conv_a + conv_b) / (n_a + n_b))
-                     * (1 / n_a + 1 / n_b)) * 10000) AS BIGINT)) >= 19600
-              THEN 1 ELSE 0 END::BIGINT AS significant
+         CASE WHEN n_b > 0
+              THEN CAST((1000000 * conv_b) // n_b AS BIGINT) END AS rate_b_e6,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           CAST((1000000 * conv_a) // n_a AS BIGINT)
+             - CAST((1000000 * conv_b) // n_b AS BIGINT) END AS lift_e6,
+         CASE WHEN n_a > 0 AND n_b > 0 AND
+              sqrt(((conv_a + conv_b) / (n_a + n_b))
+                   * (1 - (conv_a + conv_b) / (n_a + n_b))
+                   * (1 / n_a + 1 / n_b)) > 0 THEN
+           CAST(floor((conv_a / n_a - conv_b / n_b)
+                / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                       * (1 - (conv_a + conv_b) / (n_a + n_b))
+                       * (1 / n_a + 1 / n_b)) * 10000) AS BIGINT) END AS z_e4,
+         coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND
+              sqrt(((conv_a + conv_b) / (n_a + n_b))
+                   * (1 - (conv_a + conv_b) / (n_a + n_b))
+                   * (1 / n_a + 1 / n_b)) > 0 THEN
+           abs(CAST(floor((conv_a / n_a - conv_b / n_b)
+                / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                       * (1 - (conv_a + conv_b) / (n_a + n_b))
+                       * (1 / n_a + 1 / n_b)) * 10000) AS BIGINT)) >= 19600
+           END, false)::BIGINT AS significant
   FROM __ab_agg
 )"""

@@ -168,9 +168,16 @@ def expectation_suite(
     return stacked.select(
         "check",
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_pass").cast("long").alias("n_pass"),
-        (F.col("n_rows") - F.col("n_pass")).cast("long").alias("n_fail"),
-        F.expr("CAST((1000000 * n_pass) div n_rows AS BIGINT)").alias(
-            "pass_e6"
-        ),
+        # sum over ZERO rows is NULL — coalesce so an empty input reads
+        # (0, 0, 0, NULL), keeping n_pass + n_fail = n_rows total
+        F.coalesce(F.col("n_pass"), F.lit(0)).cast("long").alias("n_pass"),
+        (F.col("n_rows") - F.coalesce(F.col("n_pass"), F.lit(0)))
+        .cast("long")
+        .alias("n_fail"),
+        # n_rows = 0 guard: `div` by zero THROWS under an ANSI session
+        # (the abtest.py rate guard); an unevaluable rate is NULL
+        F.expr(
+            "CASE WHEN n_rows > 0"
+            " THEN CAST((1000000 * n_pass) div n_rows AS BIGINT) END"
+        ).alias("pass_e6"),
     )

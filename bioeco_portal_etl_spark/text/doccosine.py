@@ -31,15 +31,35 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from bioeco_portal_etl_spark.text.tokenize import TOKEN_SPLIT, tokens
+from bioeco_portal_etl_spark.text.tokenize import (
+    TOKEN_SPLIT,
+    duck_shingles,
+    duck_tokens,
+    shingles,
+    tokens,
+)
 
 
 def term_counts(
-    docs: DataFrame, id_col: str, text_col: str, min_len: int = 4
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 4,
+    shingle_k: int = 0,
 ) -> DataFrame:
-    """(doc_id, term, c): per-document term frequencies over length->=
-    ``min_len`` tokens — the sparse vector rows."""
-    arr = F.filter(tokens(text_col), lambda t: F.length(t) >= min_len)
+    """(doc_id, term, c): per-document term frequencies — the sparse
+    vector rows.
+
+    ``shingle_k=0`` (default): unigram terms over length->= ``min_len``
+    tokens. ``shingle_k>=2``: k-word shingles (multiplicity KEPT — these
+    are counts, not the distinct sets MinHash uses) over ALL tokens; on
+    a small closed vocabulary every unigram is stopword-frequent, so
+    shingles are what gives the df distribution a rare tail for
+    ``max_df`` to bite on."""
+    if shingle_k >= 2:
+        arr = shingles(tokens(text_col), shingle_k, distinct=False)
+    else:
+        arr = F.filter(tokens(text_col), lambda t: F.length(t) >= min_len)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("term"))
         .groupBy("doc_id", "term")
@@ -94,15 +114,22 @@ def doc_cosine2_pairs(
 
 
 def duck_doc_cosine2(
-    docs_select: str, max_df: int = 20, min_len: int = 4, min_cos2_e6: int = 0
+    docs_select: str,
+    max_df: int = 20,
+    min_len: int = 4,
+    min_cos2_e6: int = 0,
+    shingle_k: int = 0,
 ) -> str:
     """DuckDB CTE body mirroring term_counts + doc_cosine2_pairs;
     exposes ``dcos(doc_a, doc_b, dot, cos2_e6)``. ``docs_select`` must
     project (doc_id, text)."""
-    arr = (
-        f"list_filter(list_filter(string_split_regex(lower(text),"
-        f" '{TOKEN_SPLIT}'), t -> t <> ''), t -> length(t) >= {min_len})"
-    )
+    if shingle_k >= 2:
+        arr = duck_shingles(duck_tokens("text"), shingle_k, distinct=False)
+    else:
+        arr = (
+            f"list_filter(list_filter(string_split_regex(lower(text),"
+            f" '{TOKEN_SPLIT}'), t -> t <> ''), t -> length(t) >= {min_len})"
+        )
     having = (
         f"HAVING CAST(((1000000 * dot) // max(na2) * dot) // max(nb2)"
         f" AS BIGINT) >= {min_cos2_e6}"

@@ -23,6 +23,8 @@ sys.path.insert(0, str(REPO))
 
 from tests.oracle import (  # noqa: E402
     OraclePortabilityError,
+    VacuousOracleError,
+    assert_nonvacuous,
     assert_portable_types,
     compare,
     spark_signature,
@@ -123,7 +125,18 @@ def main() -> int:
                 continue
             r = compare(fn(spark, args.sf_dir), con, oracles[name])
             ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
-            status = "OK" if ok else f"FAIL {r}"
+            # Zero-row lint (VERDICT r5 #1, the tx31 postmortem): an
+            # oracle-mode entry where BOTH sides are empty hash-matches
+            # trivially and certifies nothing — fail it, mirroring the
+            # rn > 0 rule applied to rows-only entries above.
+            try:
+                assert_nonvacuous(
+                    r["spark"]["rows"], r["duck"]["rows"], name=name
+                )
+                status = "OK" if ok else f"FAIL {r}"
+            except VacuousOracleError as e:
+                ok = False
+                status = f"FAIL {e}"
             detail[name] = {
                 "mode": "oracle",
                 "ok": ok,

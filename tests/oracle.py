@@ -43,6 +43,26 @@ def assert_portable_types(con, sql: str, *, name: str = "<oracle>") -> None:
         )
 
 
+class VacuousOracleError(ValueError):
+    """An oracle-mode comparison where BOTH sides returned zero rows: the
+    hash match is trivially true and certifies nothing about the operator
+    (the round-5 tx31_doc_cosine postmortem — it sat green in the driver
+    gate for a round while comparing 0 rows against 0 rows)."""
+
+
+def assert_nonvacuous(
+    spark_rows: int, duck_rows: int, *, name: str = "<oracle>"
+) -> None:
+    """Raise if a spark-vs-oracle comparison was 0-vs-0 rows; entries must
+    be tuned so the validation SF yields a nonzero deterministic result
+    set (mirrors the ``rn > 0`` rule rows-only entries already obey)."""
+    if spark_rows == 0 and duck_rows == 0:
+        raise VacuousOracleError(
+            f"{name}: vacuous oracle comparison — 0 rows on both sides; "
+            "retune the entry's thresholds so the validation SF emits rows"
+        )
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "\0NULL"

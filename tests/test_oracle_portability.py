@@ -80,3 +80,23 @@ def test_norm_cell_accepts_int64_bounds():
 
 def test_non_portable_type_list_is_closed():
     assert NON_PORTABLE_TYPES == ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+# --- zero-row (vacuous) oracle lint — round-6, the tx31 postmortem -------
+
+
+def test_vacuous_lint_fails_on_zero_vs_zero():
+    from tests.oracle import VacuousOracleError, assert_nonvacuous
+
+    with pytest.raises(VacuousOracleError, match="vacuous"):
+        assert_nonvacuous(0, 0, name="tx31_doc_cosine")
+
+
+def test_vacuous_lint_passes_on_nonzero():
+    from tests.oracle import assert_nonvacuous
+
+    assert_nonvacuous(392, 392, name="ok")
+    # A genuine 0-vs-N mismatch is NOT the lint's job — the hash/row
+    # comparison already fails it; the lint must stay silent.
+    assert_nonvacuous(0, 392, name="mismatch-not-vacuous")
+    assert_nonvacuous(392, 0, name="mismatch-not-vacuous")

@@ -133,3 +133,67 @@ def test_expectation_suite_accounting_and_null_fail(spark):
 
     with pytest.raises(ValueError):
         expectation_suite(df, [("bad name!", F.col("v") > 0)])
+
+
+def _ansi(spark):
+    """Context helper: run a block under ANSI-on (Spark 4's DEFAULT
+    session posture, which the external driver uses)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    return ctx()
+
+
+def test_ab_test_absent_variant_ansi_safe(spark):
+    """A variant with ZERO rows (here: nobody in B) must surface NULL
+    rates/z and significant = 0 — not an ANSI DIVIDE_BY_ZERO or an
+    invalid NaN->long cast (ADVICE r5 #3)."""
+    from bioeco_portal_etl_spark.operators.abtest import ab_test_report
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 0)], "variant string, converted long"
+    )
+    with _ansi(spark):
+        out = ab_test_report(df, "variant", "converted").collect()[0]
+    assert out["n_a"] == 2 and out["n_b"] == 0
+    assert out["rate_a_e6"] == 500_000
+    assert out["rate_b_e6"] is None and out["lift_e6"] is None
+    assert out["z_e4"] is None and out["significant"] == 0
+
+
+def test_ab_test_empty_input_ansi_safe(spark):
+    from bioeco_portal_etl_spark.operators.abtest import ab_test_report
+
+    df = spark.createDataFrame([], "variant string, converted long")
+    with _ansi(spark):
+        out = ab_test_report(df, "variant", "converted").collect()[0]
+    assert out["rate_a_e6"] is None and out["z_e4"] is None
+    assert out["significant"] == 0
+
+
+def test_expectation_suite_empty_input_ansi_safe(spark):
+    """Empty input: (0, 0, 0, NULL) per rule — the div-by-zero guard of
+    ADVICE r5 #3, exercised under the ANSI default session."""
+    from bioeco_portal_etl_spark.operators.quality import expectation_suite
+
+    df = spark.createDataFrame([], "id long, v long")
+    with _ansi(spark):
+        rows = expectation_suite(
+            df, [("v_positive", F.col("v") > 0)]
+        ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_rows"], r["n_pass"], r["n_fail"], r["pass_e6"]) == (
+        0,
+        0,
+        0,
+        None,
+    )
