@@ -981,215 +981,22 @@ _CATALOG.update(CATALOG_TPCH2)
 # scripts/validate.py run the identical spark-vs-DuckDB comparison over
 # ALL entries every round, so nothing is ever *unchecked* locally — this
 # list only decides which 50 the external driver re-confirms this round.
-# Round-5 policy: (1) the 11 entries NEVER driver-sampled in r1-r4 (they
-# sat at window positions 51+ in round 4 — with them sampled, cumulative
-# driver coverage reaches 160/160); (2) the 3 round-4 hash-reds, whose
-# DuckDB oracles surfaced HUGEINT (now cast ::BIGINT, lint-enforced in
-# tests/oracle.py) — they stay gated until driver-green; (3) backfill
-# with the longest-unsampled entries (last driver verdict r2), riskier
-# families first (TPC-H joins/aggs, dedup/ANN float paths, text
-# analysis) — the 13 simplest r2 projections wait for round 6.
+#
+# Round-6 policy (VERDICT r5 "Next round" #1): 54 round-5 entries were
+# displaced past slot 50 by later round-5 batches and have NEVER had a
+# driver row (cumulative driver coverage 196/250 after r5). This round's
+# window = tx31_doc_cosine (slot 1 — its round-5 row was vacuous 0-vs-0;
+# the retuned entry must earn a REAL driver row) + the 49 longest-parked
+# never-sampled entries, oldest batch first (ext5 → ext6 → ext7 → ext8 →
+# ext9 → ext10/11 → the later-displaced remainder). The 5 overflow
+# entries (tx27, ts14, w15, tx29, ts15 — all validate-green locally)
+# plus any NEW round-6 batches queue from position 51 for round 7.
+# TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
+# window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # (1) never driver-sampled (r1-r4 cumulative):
-    "dq1_profile",
-    "dq2_referential",
-    "rel15_rank_quantiles",
-    "rel20_rolling_distinct",
-    "rel22_cohort_retention",
-    "rel23_transitions",
-    "rel25_missing_days",
-    "tx17_postings",
-    "x16_histogram",
-    "x18_cusum_drift",
-    "x21_dup_matrix",
-    # (2) round-4 driver-reds, oracle HUGEINT surfaces now cast ::BIGINT:
-    "gr1_pagerank",
-    "tx12_vocab_growth",
-    "mm4_audio_energy",
-    # (2g) round-5 seventh batch (catalog_ext10) — newest code gates
-    # first; with 42 round-5 entries and 14 mandatory slots above, the 6
-    # OLDEST round-5 entries (ext5 first batch: gr6/dq3/x22/mm6/ts9/mm7 —
-    # moved to the window tail below) wait for the round-6 rotation:
-    # (2h) round-5 eighth batch (catalog_ext11) — displaces the last 3
-    # ext9 entries (x28/tx25/rel27) past position 50; they join ext5's
-    # first batch at the front of the round-6 rotation:
-    # (2i) round-5 ninth batch (catalog_ext12) — displaces the 5 next-
-    # oldest round-5 entries (ext5 remainder: x23/tx20/w11/dq4/ts10 —
-    # moved to the window tail below) into the round-6 rotation queue:
-    # (2j) round-5 tenth batch (catalog_ext13) — displaces the 5 next-
-    # oldest round-5 entries (dq5 + ext6's tx21/td11/x24/dq6 — moved to
-    # the window tail below) into the round-6 rotation queue:
-    "x32_join_skew_report",
-    # (2k) round-5 eleventh batch (catalog_ext14) — displaces mm8/w12
-    # (ext6 remainder) and three ext7 entries to the window tail:
-    "gr11_hyperball",
-    "mm10_patch_grid",
-    "rel30_variant_shred",
-    "w16_stream_hll_distinct",
-    "ts16_sq_distortion",
-    # (2l) round-5 twelfth batch (catalog_ext15):
-    "tx30_textrank",
-    "mm11_patch_dupes",
-    "gr12_sssp",
-    "x33_zone_skip",
-    "w17_stream_binned_quantiles",
-    # (2m) round-5 thirteenth batch (catalog_ext16):
-    "gr13_personalized_pagerank",
-    "dq10_l_diversity",
-    "sk8_hist_merge_quantiles",
-    "x34_selectivity_audit",
-    "w18_stream_cms_topk",
-    # (2n) round-5 fourteenth batch (catalog_ext17):
-    "rel31_bom_rollup",
-    "mm12_resize_pixels",
-    "x35_market_basket",
+    # slot 1: the de-vacuated gate entry (round-6 fix, nonzero rows now)
     "tx31_doc_cosine",
-    "x36_time_weighted_avg",
-    # (2o) round-5 fifteenth batch (catalog_ext18):
-    "gr14_harmonic_centrality",
-    "rel32_window_funnel",
-    "x37_range_partition_audit",
-    "tx32_feature_hashing",
-    "w19_stream_native_sessions",
-    # (2p) round-5 sixteenth batch (catalog_ext19):
-    "gr15_effective_diameter",
-    "x38_ab_test",
-    "tx33_zipf_fit",
-    "ts17_topk_diversity",
-    "dq11_expectations",
-    # (2q) round-5 seventeenth batch (catalog_ext20):
-    "gr16_assortativity",
-    "x39_consistent_hashing",
-    "sk10_bloom_fpr",
-    "ts18_ann_cascade",
-    "mm13_frame_zcr",
-    # (2d) round-5 fourth batch (catalog_ext7):
-    "tx22_bm25",
-    "ts11_rrf_fusion",
-    "gr7_label_communities",
-    "gr8_kcore",
-    "dq7_profile_drift",
-    "x25_salted_join",
-    # (2e) round-5 fifth batch (catalog_ext8):
-    "tx23_heavy_hitters",
-    "tx24_bpe_encode",
-    "x26_bloom_join",
-    "dq8_lateness_audit",
-    "rel26_pivot",
-    "mm9_wav_downsample",
-    # (2f) round-5 sixth batch (catalog_ext9) — fills the 50-slot window;
-    # the r2-proven rotation below now gates from position 51 (i.e. waits
-    # for round 6):
-    "w13_stream_two_level_agg",
-    "td12_lsh_quality",
-    "x27_epoch_shuffle",
-    "x28_compaction_plan",
-    "tx25_blocklist_filter",
-    "rel27_rolling_slope",
-    # (3) longest-unsampled rotation (last driver verdict r2):
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "j1_broadcast_left_join",
-    "j4_differing_key_names",
-    "a1_grouped_merge",
-    "a2_dedupe_keep_first",
-    "a3_duplicate_audit",
-    "a4_make_unique",
-    "u1_union_by_name",
-    "r2_unpivot_flags",
-    "g2_multipoint_union",
-    "g7_linestring_track",
-    "g9_union_points_geojson",
-    "td1_exact_dedupe",
-    "td2_minhash_lsh",
-    "td3_simhash",
-    "td4_jaccard_pairs",
-    "td5_embedding_neardup",
-    "td6_decontamination",
-    "td7_dup_clusters",
-    "td8_segment_dedupe",
-    "ts1_cosine_topk",
-    "ts2_lsh_bucket_topk",
-    "ts3_ivf_topk",
-    "ts4_kmeans_ivf",
-    "ts5_pq_topk",
-    "ts6_ivfpq_topk",
-    "x1_salted_agg",
-    "tx1_token_counts",
-    # ---- position 51+ below (not driver-sampled this round) ----
-    # r2 rotation overflow (displaced by the 5 new round-5 entries) and
-    # the simplest r2 remainder, next in line for round 6:
-    "tx2_language_id",
-    "tx3_quality",
-    "tx7_top_bigrams",
-    "tx8_length_quantiles",
-    "tx10_tfidf_top_terms",
-    "p1_select_rename",
-    "p6_recode_passthrough",
-    "p7_str_trunc",
-    "p8_p9_year_dates",
-    "p12_make_identifier",
-    "p18_row_number",
-    "p19_sql_script",
-    "f_filters",
-    "g1_point_wkt",
-    "g5_geom_type",
-    "tx4_fingerprint",
-    "tx5_normalize",
-    "tx6_pii_redact",
-    # r3/r4-green entries, refreshed again in later rounds:
-    "mm2_resize_meta",
-    "rel12_setops",
-    "rel13_range_frame",
-    "td9_cluster_keep_best",
-    "w6_streaming_dedupe",
-    "w7_stream_interval_join",
-    "x11_resample_interpolate",
-    "tx9_repetition",
-    "g11_pip_grid",
-    "g12_poly_measure",
-    "mm3_frame_sample",
-    "rel14_hierarchy_flatten",
-    "sk1_kmv_distinct",
-    "sk2_cms_heavy_hitters",
-    "sk3_hll_distinct",
-    "sk4_bloom_gate",
-    "gr2_triangles",
-    "rel16_median_mad",
-    "rel17_islands",
-    "x12_weighted_sample",
-    "x13_rolling_zscore",
-    "sk5_kmv_setops",
-    "rel18_interval_merge",
-    "x14_ewma",
-    "rel19_funnel",
-    "x15_temporal_split",
-    "tx13_bigram_lm",
-    "gr3_khop_reach",
-    "tx14_readability",
-    "w8_streaming_anomaly",
-    "rel21_attribution",
-    "tx15_token_entropy",
-    "tx16_pmi_bigrams",
-    "x17_winsorize",
-    "sk6_sampled_quantiles",
-    "td10_containment",
-    "w9_streaming_tumbling",
-    "gr4_degree_hist",
-    "x19_group_normalize",
-    "rel24_cdc_apply",
-    "tx18_script_detect",
-    "tx19_boilerplate",
-    "gr5_node_similarity",
-    "mm5_scene_cuts",
-    "ts8_mmr_rerank",
-    "x20_equidepth_bins",
-    "w10_streaming_update_counts",
-    "x10_url_dedupe",
-    # round-5 ext5 first batch + remainder, displaced past the 50-slot
-    # window by the seventh/ninth batches — FIRST in line for round 6:
+    # ext5 (first round-5 batch + remainder) — parked since mid-round-5:
     "gr6_dup_components",
     "dq3_split_leakage",
     "x22_incremental_agg",
@@ -1201,6 +1008,7 @@ _GATE_FIRST = [
     "w11_stream_static_enrich",
     "dq4_psi_drift",
     "ts10_sq8_topk",
+    # ext6:
     "dq5_k_anonymity",
     "tx21_bpe_merges",
     "td11_semantic_dedupe",
@@ -1208,11 +1016,32 @@ _GATE_FIRST = [
     "dq6_benford",
     "mm8_phash_groups",
     "w12_stream_outer_join",
-    # displaced by (2n) to fit the fourteenth batch in the 50 window:
+    # ext7:
+    "tx22_bm25",
+    "ts11_rrf_fusion",
+    "gr7_label_communities",
+    "gr8_kcore",
+    "dq7_profile_drift",
+    "x25_salted_join",
+    # ext8:
+    "tx23_heavy_hitters",
+    "tx24_bpe_encode",
+    "x26_bloom_join",
+    "dq8_lateness_audit",
+    "rel26_pivot",
+    "mm9_wav_downsample",
+    # ext9:
+    "w13_stream_two_level_agg",
+    "td12_lsh_quality",
+    "x27_epoch_shuffle",
+    "x28_compaction_plan",
+    "tx25_blocklist_filter",
+    "rel27_rolling_slope",
+    # ext10/ext11 displaced:
     "gr9_hits",
     "ts12_range_search",
     "x29_cdc_net_effect",
-    # displaced by (2p) to fit the sixteenth batch:
+    # later-displaced round-5 remainder (ext11-ext13 era):
     "tx26_rake_keywords",
     "ts13_filtered_ann",
     "w14_stream_complete_topk",
@@ -1223,7 +1052,8 @@ _GATE_FIRST = [
     "sk7_hll_merge",
     "dq9_fd_violations",
     "x31_dsir_weights",
-    # displaced by (2q) to fit the seventeenth batch:
+    # ---- position 51+ below (not driver-sampled this round) ----
+    # never-sampled overflow — FIRST in line for round 7:
     "tx27_gopher_rules",
     "ts14_hard_negatives",
     "w15_stream_cdc_upsert",
