@@ -100,3 +100,25 @@ def test_vacuous_lint_passes_on_nonzero():
     # comparison already fails it; the lint must stay silent.
     assert_nonvacuous(0, 392, name="mismatch-not-vacuous")
     assert_nonvacuous(392, 0, name="mismatch-not-vacuous")
+
+
+# --- gate-quality audit shapes (scripts/gate_quality_audit.py) -----------
+
+
+def test_gate_quality_audit_shapes():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.gate_quality_audit import audit_result
+
+    assert audit_result(["a"], []) == ["EMPTY"]
+    assert audit_result(["a", "b"], [(1, 1), (1, 1)]) == ["CONSTANT"]
+    assert audit_result(["a"], [(None,)]) == ["ALL-NULL"]
+    assert audit_result(["a", "b"], [(None, None), (None, None)]) == [
+        "ALL-NULL"
+    ]
+    # one-row summary with a real value is FINE (the A/B-test shape)
+    assert audit_result(["n", "z"], [(100, None)]) == []
+    # two rows, one varying column is fine even if others are constant
+    assert audit_result(["k", "v"], [(1, 7), (2, 7)]) == []
