@@ -49,6 +49,7 @@ from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
     range_assignment_audit,
     range_boundaries,
 )
+from bioeco_portal_etl_spark.similarity.ivf import ivf_topk  # noqa: E402
 from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E402
 from bioeco_portal_etl_spark.operators.abtest import ab_test_report  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import expectation_suite  # noqa: E402
@@ -184,8 +185,31 @@ def _exact_canonical(d):
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def scaled_cross(df, n, key_cols):
+    """n-fold replication via ONE broadcast cross join with a replica
+    index (same key-shift semantics as :func:`scaled`). Used for the
+    100x ladder: a 100-branch union would make Catalyst analyze 100
+    identical scan subtrees and re-open the parquet 100 times per stage,
+    measuring plan overhead instead of operator scaling."""
+    rep = F.broadcast(
+        df.sparkSession.range(n).select(F.col("id").alias("__rep"))
+    )
+    out = df.crossJoin(rep)
+    for k in key_cols:
+        out = out.withColumn(
+            k, F.col(k) + F.col("__rep") * F.lit(1_000_000_000)
+        )
+    return out.drop("__rep")
+
+
 def scaled(df, n, key_cols):
-    """Union n copies with shifted keys so group/join cardinality scales too."""
+    """Union n copies with shifted keys so group/join cardinality scales too.
+
+    n > 10 delegates to :func:`scaled_cross` — the 10x SCALING.md rows
+    were measured with the union shape and stay comparable; the 100x
+    ladder needs the single-plan-node shape."""
+    if n > 10:
+        return scaled_cross(df, n, key_cols)
     out = None
     for i in range(n):
         part = df
@@ -208,6 +232,7 @@ def main() -> None:
     parts = read_parquet_table(spark, SF_DIR, "part")
     docs = read_parquet_table(spark, SF_DIR, "documents")
     events = read_parquet_table(spark, SF_DIR, "events")
+    embeddings = read_parquet_table(spark, SF_DIR, "embeddings")
 
     def q1(df):
         return (
@@ -339,6 +364,27 @@ def main() -> None:
         "minhash_lsh": (
             lambda s: minhash_lsh_pairs(
                 docs if s == 1 else scaled(docs, s, ["doc_id"]), "doc_id", "text"
+            )
+        ),
+        # IVF ANN: corpus scales, query set and cell count stay FIXED
+        # (the serving shape) — assignment is corpus x ncells dot
+        # products and the probe join fans out nprobe/ncells of the
+        # corpus per query, both exactly linear in corpus size
+        "ivf_topk": (
+            lambda s: (
+                lambda emb: ivf_topk(
+                    emb,
+                    embeddings.filter(F.col("vec_id") < 10),
+                    embeddings.filter(F.col("vec_id") < 8),
+                    "embedding",
+                    "vec_id",
+                    k=5,
+                    nprobe=2,
+                )
+            )(
+                embeddings
+                if s == 1
+                else scaled(embeddings, s, ["vec_id"])
             )
         ),
         # benchmark stays FIXED while the corpus scales — the realistic
