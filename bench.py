@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 first batch
+    "mm14_jpeg_roundtrip",
+    "mm15_wav_silence_trim",
+    "gr17_adamic_adar",
+    "ts19_centroid_stats",
+    "dq12_split_balance",
     # round-5 seventeenth batch
     "gr16_assortativity",
     "x39_consistent_hashing",

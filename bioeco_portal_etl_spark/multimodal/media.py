@@ -112,18 +112,23 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, str]:
 def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     """Full-pixel decode plug-point: (width, height, channels, rows of flat
     8-bit samples). REAL for PNG — the pure-stdlib codec in
-    :mod:`multimodal.png` (zlib inflate + all five scanline filters) runs
-    actual raster decode with no image library. Other container formats
-    (JPEG/WebP/...) need PIL/opencv wired HERE — same signature, same
-    mapInPandas batch contract — and raise until then: the seam's error
-    contract is "raise on what you can't decode", never silent fake pixels."""
+    :mod:`multimodal.png` (zlib inflate + all five scanline filters) — and
+    for baseline sequential grayscale JPEG — :mod:`multimodal.jpeg`
+    (Huffman + DPCM + dequant + IDCT). Color/progressive JPEG and WebP
+    need PIL/opencv wired HERE — same signature, same mapInPandas batch
+    contract — and raise until then: the seam's error contract is "raise
+    on what you can't decode", never silent fake pixels."""
+    from bioeco_portal_etl_spark.multimodal.jpeg import decode_jpeg, is_jpeg
     from bioeco_portal_etl_spark.multimodal.png import decode_png, is_png
 
     if is_png(payload):
         return decode_png(payload)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes pixel-level in this environment (multimodal/png.py); "
-        "JPEG/WebP need PIL/opencv wired here with the same "
+        "only PNG and baseline grayscale JPEG decode pixel-level in this "
+        "environment (multimodal/png.py, multimodal/jpeg.py); WebP/color "
+        "JPEG need PIL/opencv wired here with the same "
         "(w, h, channels, rows) contract"
     )
 
@@ -173,6 +178,52 @@ def synth_rgb_png(
                 ]
                 ids.append(int(mid))
                 blobs.append(encode_png(rows, channels=3))
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+# JPEG synth fixtures: block-constant grayscale tiles (constant within
+# each 8x8 tile) survive the lossy codec bit-exactly under all-ones
+# quantization (multimodal/jpeg.py docstring has the proof), so the
+# oracle can recompute pixels with pure arithmetic EXACTLY as for PNG —
+# while the Spark side must run the real Huffman/DPCM/IDCT decode path.
+# Dims deliberately avoid multiples of 8 so every image exercises edge
+# padding: w = JW_BASE + id % JW_MOD, h = JH_BASE + id % JH_MOD,
+# tile value v(id, x, y) = (id*31 + (x//8)*7 + (y//8)*11) % 256.
+JPEG_W_BASE, JPEG_W_MOD = 19, 6
+JPEG_H_BASE, JPEG_H_MOD = 17, 5
+
+
+def synth_gray_jpeg(
+    df: DataFrame, id_col: str, seed_col: str | None = None
+) -> DataFrame:
+    """(media_id, payload) with payload a REAL baseline JPEG
+    (multimodal/jpeg.py encoder) of the block-constant gray tiling above —
+    the synth_rgb_png counterpart for the lossy-codec path. ``seed_col``
+    semantics match synth_rgb_png (shared seeds -> byte-identical
+    payloads)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            ids, blobs = [], []
+            seeds = pdf[seed_col] if seed_col else pdf[id_col]
+            for mid, seed in zip(pdf[id_col], seeds):
+                seed = int(seed)
+                w = JPEG_W_BASE + seed % JPEG_W_MOD
+                h = JPEG_H_BASE + seed % JPEG_H_MOD
+                rows = [
+                    [
+                        (seed * 31 + (x // 8) * 7 + (y // 8) * 11) % 256
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                ids.append(int(mid))
+                blobs.append(encode_jpeg_gray(rows))
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
     return df.mapInPandas(gen, schema="media_id long, payload binary")
@@ -599,6 +650,62 @@ def wav_clip_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
         stats,
         schema=QUARANTINED_CLIP_SCHEMA if quarantine else CLIP_STATS_SCHEMA,
     )
+
+
+TRIM_BOUNDS_SCHEMA = (
+    "media_id long, n_samples long, first_loud long, last_loud long, "
+    "n_trimmed long, kept_energy long"
+)
+
+
+def wav_trim_bounds(df: DataFrame, threshold: int = 128) -> DataFrame:
+    """(media_id, payload) -> leading/trailing low-amplitude trim points
+    via a FULL :func:`wavpcm.decode_wav` parse: first_loud / last_loud
+    are the first and last sample indices with |s| >= ``threshold``,
+    n_trimmed the samples a trim would drop, kept_energy the integer
+    energy of the retained span — the silence-trimming stage an
+    audio-curation pipeline runs before windowed featurizers so padding
+    doesn't dilute frame statistics. A clip with NO loud sample reports
+    NULL bounds and n_trimmed = n_samples (all padding).
+
+    All-integer arithmetic on the decoded samples -> engine-exact for an
+    oracle that knows the source waveform. Payload stays in the batch."""
+    import pandas as pd
+
+    def bounds(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                loud = [i for i, v in enumerate(s) if abs(v) >= threshold]
+                if loud:
+                    lo, hi = loud[0], loud[-1]
+                    rec = (
+                        mid,
+                        len(s),
+                        lo,
+                        hi,
+                        lo + (len(s) - 1 - hi),
+                        sum(v * v for v in s[lo : hi + 1]),
+                    )
+                else:
+                    rec = (mid, len(s), None, None, len(s), None)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "first_loud",
+                    "last_loud",
+                    "n_trimmed",
+                    "kept_energy",
+                ],
+            )
+
+    return df.mapInPandas(bounds, schema=TRIM_BOUNDS_SCHEMA)
 
 
 def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:

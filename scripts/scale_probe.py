@@ -50,6 +50,16 @@ from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
     range_boundaries,
 )
 from bioeco_portal_etl_spark.similarity.ivf import ivf_topk  # noqa: E402
+from bioeco_portal_etl_spark.graph.linkpred import adamic_adar  # noqa: E402
+from bioeco_portal_etl_spark.similarity.centroids import label_centroid_stats  # noqa: E402
+from bioeco_portal_etl_spark.operators.balance import split_balance  # noqa: E402
+from bioeco_portal_etl_spark.operators.sampling import hash_bucket  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import (  # noqa: E402
+    png_channel_stats,
+    synth_gray_jpeg,
+    synth_pcm_wav,
+    wav_trim_bounds,
+)
 from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E402
 from bioeco_portal_etl_spark.operators.abtest import ab_test_report  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import expectation_suite  # noqa: E402
@@ -848,6 +858,68 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 first batch ------------------------------------------
+        # Adamic-Adar: disjoint graph copies (both endpoints shifted);
+        # wedge volume per copy constant -> total linear in copies
+        "adamic_adar": (
+            lambda s: adamic_adar(
+                _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"]),
+                max_degree=200,
+                min_common=2,
+            )
+        ),
+        # centroid stats: rows 10x under the SAME label set (the
+        # realistic shape: classes fixed, corpus grows); per-(label,dim)
+        # partials combine map-side
+        "centroid_stats": (
+            lambda s: label_centroid_stats(
+                embeddings if s == 1 else scaled(embeddings, s, ["vec_id"]),
+                "label",
+                "embedding",
+            )
+        ),
+        # split balance: pure counting — scales like a count(*)
+        "split_balance": (
+            lambda s: (
+                lambda d: split_balance(
+                    d.select(
+                        F.when(hash_bucket("doc_id") < 9000, F.lit("train"))
+                        .otherwise(F.lit("val"))
+                        .alias("split"),
+                        F.col("lang").alias("stratum"),
+                    ),
+                    "split",
+                    "stratum",
+                )
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
+        # JPEG round-trip: per-payload Arrow work, linear in image count
+        "jpeg_roundtrip": (
+            lambda s: png_channel_stats(
+                synth_gray_jpeg(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 150),
+                    "doc_id",
+                )
+            )
+        ),
+        # WAV trim: per-payload Arrow scan, linear in clip count
+        "wav_trim": (
+            lambda s: wav_trim_bounds(
+                synth_pcm_wav(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 150),
+                    "doc_id",
+                ),
+                threshold=128,
+            )
+        ),
         "labelprop": (
             lambda s: label_propagation(
                 _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"]),

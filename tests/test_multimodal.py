@@ -228,13 +228,18 @@ def test_png_resize_is_pixel_true(spark):
     assert trows[2][5 * 3 : 5 * 3 + 3] == src[8][20 * 3 : 20 * 3 + 3]
 
 
-def test_decode_image_rejects_non_png():
+def test_decode_image_dispatch_and_rejects():
     import pytest
 
     from bioeco_portal_etl_spark.multimodal.media import decode_image
 
-    with pytest.raises(NotImplementedError):
+    # JPEG signature now routes to the REAL baseline decoder (round 6):
+    # malformed JPEG-ish bytes fail as a decode error, not a stub gap
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    # containers with no codec still hit the documented raise
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_scene_cuts_flags_intensity_jump(spark):

@@ -1110,3 +1110,52 @@ def test_mm13_frame_zcr_single_arrow_stage_after_synth(spark):
     plan = _physical(spark, "mm13_frame_zcr")
     assert plan.count("MapInPandas") == 2
     assert "EvalPython" not in plan
+
+
+# --- round-6 first batch ---------------------------------------------------
+
+
+def test_mm14_jpeg_two_arrow_stages(spark):
+    """JPEG round-trip contract: exactly two Arrow stages (synth encode +
+    decode/stats); payload bytes never cross row-wise Python."""
+    plan = _physical(spark, "mm14_jpeg_roundtrip")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_mm15_trim_two_arrow_stages(spark):
+    plan = _physical(spark, "mm15_wav_silence_trim")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_gr17_adamic_adar_wedge_join_shapes(spark):
+    """Link-prediction contract: degree cap broadcasts onto the edge list,
+    wedge + anti joins stay hash joins (no cartesian), the score agg is
+    partial (map-side combine), zero Python."""
+    plan = _physical(spark, "gr17_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts19_centroid_stats_partial_aggs_no_python(spark):
+    """Centroid contract: posexplode feeds a partial-combinable agg —
+    no joins at all, no Python; the whole job is scan -> explode ->
+    two-level agg."""
+    plan = _physical(spark, "ts19_centroid_stats")
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq12_split_balance_broadcast_dims(spark):
+    """Balance contract: the three total frames (splits, strata, corpus)
+    broadcast back onto the cell counts — dimension-sized, never
+    shuffled; the lone crossJoin is the 1-row corpus total."""
+    plan = _physical(spark, "dq12_split_balance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+    assert "EvalPython" not in plan and "InPandas" not in plan
