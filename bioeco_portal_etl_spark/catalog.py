@@ -1053,9 +1053,13 @@ _GATE_FIRST = [
     "rel29_grouping_sets",
     "sk7_hll_merge",
     "dq9_fd_violations",
-    "x31_dsir_weights",
+    # slot 50: the round-6 JPEG codec entry (VERDICT r5 #8 asks for a
+    # DRIVER-green row on real JPEG bytes; x31_dsir_weights yields its
+    # slot and heads the round-7 queue below)
+    "mm14_jpeg_roundtrip",
     # ---- position 51+ below (not driver-sampled this round) ----
     # never-sampled overflow — FIRST in line for round 7:
+    "x31_dsir_weights",
     "tx27_gopher_rules",
     "ts14_hard_negatives",
     "w15_stream_cdc_upsert",

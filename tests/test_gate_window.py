@@ -78,7 +78,9 @@ ROUND6_WINDOW = [
     "rel29_grouping_sets",
     "sk7_hll_merge",
     "dq9_fd_violations",
-    "x31_dsir_weights",
+    # slot 50: round-6 JPEG codec entry (driver-green-on-real-JPEG goal);
+    # x31_dsir_weights displaced to the round-7 queue
+    "mm14_jpeg_roundtrip",
 ]
 
 
