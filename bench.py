@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 second batch
+    "tx34_ngram_novelty",
+    "x40_skyline_2d",
+    "gr18_clustering_coeff",
+    "mm16_pixel_gini",
+    "x41_nucleus_coverage",
     # round-6 first batch
     "mm14_jpeg_roundtrip",
     "mm15_wav_silence_trim",

@@ -97,6 +97,115 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     )
 
 
+def local_clustering(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998):
+    (node, deg, n_tri, lcc_e6) for every node with deg >= 2, where
+    lcc_e6 = (2e6 · T(v)) div (deg·(deg-1)) and T(v) counts triangles
+    through v.
+
+    Same degree-oriented wedge plan as :func:`triangle_stats` (each
+    triangle enumerated ONCE), then each closed wedge fans out its three
+    corners — a 3× explode of the triangle stream, not a new join — and
+    one combinable count per node. Integer arithmetic throughout."""
+    und = _canonical(edges, a, b).persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    e1 = o.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    e2 = o.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    tri_nodes = closed.select(
+        F.explode(F.array("c", "x", "y")).alias("node")
+    )
+    per_node = tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST((2000000 * coalesce(n_tri, 0))"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("lcc_e6"),
+        )
+    )
+
+
+def duck_local_clustering(edges_select: str) -> str:
+    """DuckDB CTE body mirroring :func:`local_clustering`; exposes
+    ``lcc(node, deg, n_tri, lcc_e6)``. ``edges_select`` must project
+    ``src, dst``."""
+    return f"""
+eraw AS ({edges_select}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM eraw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS lo,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS hi
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+wedges AS (
+  SELECT e1.c, e1.x, e2.y
+  FROM (SELECT lo AS c, hi AS x FROM o) e1
+  JOIN (SELECT lo AS c, hi AS y FROM o) e2 ON e1.c = e2.c AND e1.x < e2.y
+),
+closed AS (
+  SELECT w.c, w.x, w.y FROM wedges w JOIN und ON und.u = w.x AND und.v = w.y
+),
+tri_nodes AS (
+  SELECT c AS node FROM closed
+  UNION ALL SELECT x FROM closed
+  UNION ALL SELECT y FROM closed
+),
+per_node AS (
+  SELECT node, count(*)::BIGINT AS n_tri FROM tri_nodes GROUP BY node
+),
+lcc AS (
+  SELECT d.node, d.deg,
+         coalesce(p.n_tri, 0)::BIGINT AS n_tri,
+         CAST((2000000 * coalesce(p.n_tri, 0))
+              // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_e6
+  FROM deg d LEFT JOIN per_node p USING (node)
+  WHERE d.deg >= 2
+)"""
+
+
 def duck_triangles(edges_select: str) -> str:
     """DuckDB CTE body mirroring :func:`triangle_stats`; exposes
     ``tri(n_nodes, n_edges, n_wedges, n_triangles)``. ``edges_select``

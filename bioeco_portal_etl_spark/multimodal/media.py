@@ -301,6 +301,66 @@ def png_channel_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
     )
 
 
+HISTOGRAM_STATS_SCHEMA = (
+    "media_id long, channel long, n_px long, n_distinct long, "
+    "mode_v long, mode_count long, gini_e6 long"
+)
+
+
+def image_histogram_stats(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> per-channel value-distribution statistics
+    via a FULL :func:`decode_image` raster reconstruction: distinct
+    value count, mode (ties break on the smallest value), and Gini
+    impurity 1 - Σ(c/n)² as an INTEGER e6 — the contrast/flatness
+    triage metric (gini 0 = flat single-color channel, → 1e6 = uniform
+    noise). Gini is rational in the counts, so unlike Shannon entropy it
+    needs no transcendental and both engines match bit-for-bit:
+    gini_e6 = 1e6 - (1e6 · Σc²) div n². Payload stays in the batch."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from collections import Counter
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, rows = decode_image(bytes(payload))
+                for c in range(ch):
+                    counts = Counter(
+                        r[i] for r in rows for i in range(c, len(r), ch)
+                    )
+                    n = sum(counts.values())
+                    mode_v, mode_count = min(
+                        counts.items(), key=lambda kv: (-kv[1], kv[0])
+                    )
+                    sq = sum(v * v for v in counts.values())
+                    out.append(
+                        (
+                            mid,
+                            c,
+                            n,
+                            len(counts),
+                            mode_v,
+                            mode_count,
+                            1_000_000 - (1_000_000 * sq) // (n * n),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "channel",
+                    "n_px",
+                    "n_distinct",
+                    "mode_v",
+                    "mode_count",
+                    "gini_e6",
+                ],
+            )
+
+    return df.mapInPandas(stats, schema=HISTOGRAM_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = (
     "media_id long, thumb binary, thumb_width long, thumb_height long"
 )

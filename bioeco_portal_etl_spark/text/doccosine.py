@@ -56,12 +56,18 @@ def term_counts(
     a small closed vocabulary every unigram is stopword-frequent, so
     shingles are what gives the df distribution a rare tail for
     ``max_df`` to bite on."""
+    # two select layers (the text/dedupe.py CollapseProject rule): the
+    # token array materializes as a named column so shingles()'s size
+    # guard + per-shingle slices don't each re-split the text
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tok")
+    )
     if shingle_k >= 2:
-        arr = shingles(tokens(text_col), shingle_k, distinct=False)
+        arr = shingles(F.col("__tok"), shingle_k, distinct=False)
     else:
-        arr = F.filter(tokens(text_col), lambda t: F.length(t) >= min_len)
+        arr = F.filter(F.col("__tok"), lambda t: F.length(t) >= min_len)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("term"))
+        tok.select("doc_id", F.explode(arr).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -51,6 +51,11 @@ from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
 )
 from bioeco_portal_etl_spark.similarity.ivf import ivf_topk  # noqa: E402
 from bioeco_portal_etl_spark.graph.linkpred import adamic_adar  # noqa: E402
+from bioeco_portal_etl_spark.text.novelty import ngram_novelty  # noqa: E402
+from bioeco_portal_etl_spark.operators.skyline import skyline_2d  # noqa: E402
+from bioeco_portal_etl_spark.graph.triangles import local_clustering  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import image_histogram_stats  # noqa: E402
+from bioeco_portal_etl_spark.text.nucleus import nucleus_coverage  # noqa: E402
 from bioeco_portal_etl_spark.similarity.centroids import label_centroid_stats  # noqa: E402
 from bioeco_portal_etl_spark.operators.balance import split_balance  # noqa: E402
 from bioeco_portal_etl_spark.operators.sampling import hash_bucket  # noqa: E402
@@ -249,6 +254,19 @@ def main() -> None:
             df.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1)))
+        )
+
+    def _coorder():
+        li1 = li.filter(F.col("l_orderkey") % 100 == 0)
+        src1 = li1.select("l_orderkey", "l_suppkey")
+        a, b = src1.alias("a"), src1.alias("b")
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            .select(
+                F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst"),
+            )
         )
 
     def _coact():
@@ -858,6 +876,62 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 second batch -----------------------------------------
+        # novelty: gram table Heaps-bounded; both shuffles on the gram key
+        "ngram_novelty": (
+            lambda s: ngram_novelty(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                k=3,
+            )
+        ),
+        # skyline: one sort, no join — scales like an orderBy
+        "skyline_2d": (
+            lambda s: skyline_2d(
+                (
+                    parts if s == 1 else scaled(parts, s, ["p_partkey"])
+                ).select(
+                    "p_partkey",
+                    F.floor(F.col("p_retailprice").cast("double") * 100)
+                    .cast("long")
+                    .alias("price_c"),
+                    F.col("p_size").cast("long").alias("p_size"),
+                ),
+                "price_c",
+                "p_size",
+            )
+        ),
+        # LCC: disjoint graph copies (both endpoints shifted)
+        "clustering_coeff": (
+            lambda s: local_clustering(
+                _coorder() if s == 1 else scaled(_coorder(), s, ["src", "dst"])
+            )
+        ),
+        # pixel gini: per-payload Arrow work, linear in image count
+        "pixel_gini": (
+            lambda s: image_histogram_stats(
+                synth_rgb_png(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 150),
+                    "doc_id",
+                )
+            )
+        ),
+        # nucleus: token counts partial-combine; window on vocab-sized table
+        "nucleus_coverage": (
+            lambda s: nucleus_coverage(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    F.coalesce("lang", F.lit("und")).alias("lang"), "text"
+                ),
+                "lang",
+                "text",
+                p_e6=800_000,
+            )
+        ),
         # round-6 first batch ------------------------------------------
         # Adamic-Adar: disjoint graph copies (both endpoints shifted);
         # wedge volume per copy constant -> total linear in copies

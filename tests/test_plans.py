@@ -1159,3 +1159,47 @@ def test_dq12_split_balance_broadcast_dims(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 second batch ----------------------------------------------------
+
+
+def test_tx34_novelty_two_gram_shuffles_no_python(spark):
+    """Novelty contract: gram-keyed groupBy + rejoin, partial aggs,
+    zero Python."""
+    plan = _physical(spark, "tx34_ngram_novelty")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x40_skyline_windows_not_join(spark):
+    """Skyline contract: the sort-scan formulation — window functions,
+    NO join at all (the textbook NOT EXISTS dominance would be a
+    quadratic self-join)."""
+    plan = _physical(spark, "x40_skyline_2d")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr18_lcc_oriented_wedges_partial_aggs(spark):
+    plan = _physical(spark, "gr18_clustering_coeff")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm16_gini_two_arrow_stages(spark):
+    plan = _physical(spark, "mm16_pixel_gini")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_x41_nucleus_partial_token_counts(spark):
+    """Nucleus contract: token counting partial-aggregates before the
+    (grp, tok) shuffle; the window runs on the vocab-sized table."""
+    plan = _physical(spark, "x41_nucleus_coverage")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
