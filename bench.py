@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 third batch
+    "tx35_term_burstiness",
+    "ts20_matryoshka_recall",
+    "sk11_minhash_lang_sim",
+    "mm17_jpeg_blockiness",
+    "dq13_duplicate_burden",
     # round-6 second batch
     "tx34_ngram_novelty",
     "x40_skyline_2d",

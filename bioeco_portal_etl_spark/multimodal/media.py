@@ -361,6 +361,54 @@ def image_histogram_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=HISTOGRAM_STATS_SCHEMA)
 
 
+BLOCKINESS_SCHEMA = (
+    "media_id long, n_boundary long, boundary_abs_sum long, "
+    "n_interior long, interior_abs_sum long"
+)
+
+
+def jpeg_blockiness(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> the classic no-reference blockiness
+    measurement on channel 0: horizontal-neighbor absolute differences
+    split into 8-pixel-grid BOUNDARY pairs (x+1 divisible by 8) vs
+    INTERIOR pairs. A block codec's artifacts concentrate energy on the
+    grid boundaries; boundary-vs-interior difference mass is the
+    standard detection statistic (Wang/Bovik-family metrics). Runs
+    through the FULL :func:`decode_image` raster (real JPEG/PNG decode),
+    integer sums only — engine-exact for a formula oracle."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, rows = decode_image(bytes(payload))
+                nb = ni = sb = si = 0
+                for r in rows:
+                    chan = r[::ch] if ch > 1 else r
+                    for x in range(w - 1):
+                        d = abs(chan[x] - chan[x + 1])
+                        if (x + 1) % 8 == 0:
+                            nb += 1
+                            sb += d
+                        else:
+                            ni += 1
+                            si += d
+                out.append((mid, nb, sb, ni, si))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_boundary",
+                    "boundary_abs_sum",
+                    "n_interior",
+                    "interior_abs_sum",
+                ],
+            )
+
+    return df.mapInPandas(stats, schema=BLOCKINESS_SCHEMA)
+
+
 RESIZE_SCHEMA = (
     "media_id long, thumb binary, thumb_width long, thumb_height long"
 )

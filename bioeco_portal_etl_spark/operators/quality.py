@@ -133,6 +133,75 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+def duplicate_burden(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Per-group duplicate burden: how much of the corpus volume is
+    redundant copies? (grp, n_docs, n_dup_excess, size_total,
+    size_excess, burden_e6) where a doc is EXCESS if it is not the
+    minimum-id member of its exact-content (md5) cluster — the
+    keep-first convention of the dedupe family — and burden_e6 is the
+    excess share of ``size_col`` volume. The number a curation team
+    reads as "dedup would save this fraction of tokens/compute".
+
+    One md5 groupBy for cluster minima (content-hash keyed, combinable),
+    one join back, one per-group rollup — the td1 exact-dedupe plan plus
+    a weighted audit head."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"),
+        F.col(size_col).cast("long").alias("__sz"),
+    )
+    keep = base.groupBy("__h").agg(F.min("__id").alias("__keep"))
+    flagged = base.join(keep, "__h").withColumn(
+        "__excess", (F.col("__id") != F.col("__keep")).cast("long")
+    )
+    return flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__excess").cast("long").alias("n_dup_excess"),
+        F.sum("__sz").cast("long").alias("size_total"),
+        F.sum(F.col("__excess") * F.col("__sz")).cast("long").alias(
+            "size_excess"
+        ),
+        F.expr(
+            "CASE WHEN sum(__sz) > 0 THEN"
+            " CAST((1000000 * sum(__excess * __sz)) div sum(__sz) AS BIGINT)"
+            " END"
+        ).alias("burden_e6"),
+    )
+
+
+def duck_duplicate_burden(source_sql: str) -> str:
+    """DuckDB CTE body mirroring :func:`duplicate_burden`; exposes
+    ``dburden(grp, n_docs, n_dup_excess, size_total, size_excess,
+    burden_e6)``. ``source_sql`` must project (grp, id, text, sz)."""
+    return f"""__db_base AS (
+  SELECT grp, id, md5(coalesce(text, '')) AS h, CAST(sz AS BIGINT) AS sz
+  FROM ({source_sql})
+),
+__db_keep AS (SELECT h, min(id) AS keep_id FROM __db_base GROUP BY h),
+__db_f AS (
+  SELECT b.grp, b.sz,
+         CASE WHEN b.id <> k.keep_id THEN 1 ELSE 0 END AS excess
+  FROM __db_base b JOIN __db_keep k USING (h)
+),
+dburden AS (
+  SELECT grp, count(*)::BIGINT AS n_docs,
+         sum(excess)::BIGINT AS n_dup_excess,
+         sum(sz)::BIGINT AS size_total,
+         sum(excess * sz)::BIGINT AS size_excess,
+         CASE WHEN sum(sz) > 0 THEN
+           CAST((1000000 * sum(excess * sz)) // sum(sz) AS BIGINT) END
+           AS burden_e6
+  FROM __db_f GROUP BY grp
+)"""
+
+
 def expectation_suite(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

@@ -52,6 +52,11 @@ from bioeco_portal_etl_spark.operators.rangepart import (  # noqa: E402
 from bioeco_portal_etl_spark.similarity.ivf import ivf_topk  # noqa: E402
 from bioeco_portal_etl_spark.graph.linkpred import adamic_adar  # noqa: E402
 from bioeco_portal_etl_spark.text.novelty import ngram_novelty  # noqa: E402
+from bioeco_portal_etl_spark.text.burst import term_burstiness  # noqa: E402
+from bioeco_portal_etl_spark.similarity.matryoshka import prefix_recall_at_k  # noqa: E402
+from bioeco_portal_etl_spark.sketches.minhash_merge import group_minhash_similarity  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import jpeg_blockiness  # noqa: E402
+from bioeco_portal_etl_spark.operators.quality import duplicate_burden  # noqa: E402
 from bioeco_portal_etl_spark.operators.skyline import skyline_2d  # noqa: E402
 from bioeco_portal_etl_spark.graph.triangles import local_clustering  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import image_histogram_stats  # noqa: E402
@@ -876,6 +881,72 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 third batch ------------------------------------------
+        # burstiness: vocab-keyed aggs, Heaps-bounded output
+        "term_burstiness": (
+            lambda s: term_burstiness(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                top_k=100,
+            )
+        ),
+        # matryoshka: corpus scales, fixed query set; both arms broadcast
+        "matryoshka_recall": (
+            lambda s: prefix_recall_at_k(
+                embeddings if s == 1 else scaled(embeddings, s, ["vec_id"]),
+                embeddings.filter(F.col("vec_id") < 10),
+                "embedding",
+                "vec_id",
+                prefix_dims=16,
+                k=5,
+            )
+        ),
+        # group minhash: signature agg combinable; pair table = groups^2
+        "minhash_group_sim": (
+            lambda s: group_minhash_similarity(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    F.coalesce("lang", F.lit("und")).alias("lang"),
+                    "doc_id",
+                    "text",
+                ),
+                "lang",
+                "doc_id",
+                "text",
+                k=3,
+                num_perm=8,
+            )
+        ),
+        # blockiness: per-payload Arrow scan, linear in image count
+        "jpeg_blockiness": (
+            lambda s: jpeg_blockiness(
+                synth_gray_jpeg(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 120),
+                    "doc_id",
+                )
+            )
+        ),
+        # duplicate burden: md5-keyed combinable aggs
+        "duplicate_burden": (
+            lambda s: duplicate_burden(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    F.coalesce("lang", F.lit("und")).alias("lang"),
+                    "doc_id",
+                    F.substring(F.coalesce("text", F.lit("")), 1, 100).alias(
+                        "fp"
+                    ),
+                    "n_chars",
+                ),
+                "lang",
+                "doc_id",
+                "fp",
+                "n_chars",
+            )
+        ),
         # round-6 second batch -----------------------------------------
         # novelty: gram table Heaps-bounded; both shuffles on the gram key
         "ngram_novelty": (

@@ -1203,3 +1203,44 @@ def test_x41_nucleus_partial_token_counts(spark):
     assert "partial_count" in plan
     assert "Window" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 third batch -----------------------------------------------------
+
+
+def test_tx35_burstiness_partial_aggs_takeordered(spark):
+    """Burstiness contract: both aggs partial-combine; the top-k head is
+    TakeOrdered, never a global sort."""
+    plan = _physical(spark, "tx35_term_burstiness")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts20_matryoshka_both_arms_broadcast(spark):
+    """Both ranking arms broadcast the query side; no cartesian."""
+    plan = _physical(spark, "ts20_matryoshka_recall")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sk11_minhash_signature_single_agg(spark):
+    """Mergeable-sketch contract: the 8-permutation signature computes
+    as ONE hash aggregate over the hashed grams (partial min columns),
+    and the group-pair comparison is a broadcast."""
+    plan = _physical(spark, "sk11_minhash_lang_sim")
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm17_blockiness_two_arrow_stages(spark):
+    plan = _physical(spark, "mm17_jpeg_blockiness")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_dq13_burden_hash_keyed_no_python(spark):
+    plan = _physical(spark, "dq13_duplicate_burden")
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
