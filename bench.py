@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 fourth batch
+    "rel33_max_concurrency",
+    "x43_weighted_median",
+    "x44_join_card_estimate",
+    "mm18_gain_normalization",
+    "tx36_langid_confusion",
     # round-6 third batch
     "tx35_term_burstiness",
     "ts20_matryoshka_recall",

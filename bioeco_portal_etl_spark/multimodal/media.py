@@ -361,6 +361,59 @@ def image_histogram_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=HISTOGRAM_STATS_SCHEMA)
 
 
+GAIN_SCHEMA = (
+    "media_id long, n_samples long, energy long, gain_e4 long, "
+    "n_clipped long"
+)
+
+
+def wav_gain_normalization(df: DataFrame, target_rms: int = 500) -> DataFrame:
+    """(media_id, payload) -> loudness-normalization report per clip:
+    the e4 gain that would bring the clip's RMS to ``target_rms``
+    (gain_e4 = floor(1e4·target / sqrt(energy/n)) — IEEE /, sqrt only,
+    which both engines round identically) and how many samples would
+    clip past int16 at that gain (an integer cross-multiply:
+    |s|·gain_e4 > 32767·1e4). The gain-staging pass every audio-ingest
+    pipeline runs before featurization; clips that would clip get a
+    limiter or rejection downstream. Silent clips (energy 0) report
+    NULL gain and 0 clipped."""
+    import math
+
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                n = len(s)
+                energy = sum(v * v for v in s)
+                if energy > 0:
+                    gain_e4 = math.floor(
+                        10000 * target_rms / math.sqrt(energy / n)
+                    )
+                    clipped = sum(
+                        1 for v in s if abs(v) * gain_e4 > 32767 * 10000
+                    )
+                else:
+                    gain_e4, clipped = None, 0
+                out.append((mid, n, energy, gain_e4, clipped))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "energy",
+                    "gain_e4",
+                    "n_clipped",
+                ],
+            )
+
+    return df.mapInPandas(stats, schema=GAIN_SCHEMA)
+
+
 BLOCKINESS_SCHEMA = (
     "media_id long, n_boundary long, boundary_abs_sum long, "
     "n_interior long, interior_abs_sum long"

@@ -243,3 +243,71 @@ def equi_depth_bins(
     return assigned.groupBy("bin", "hi_e").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight reaches half the group's total (2·cum(v) >=
+    W, cross-multiplied integers — no division). The robust center for
+    weighted observations (price per unit weighted by quantity, latency
+    weighted by traffic), where the unweighted median over-counts
+    low-weight rows.
+
+    Plan shape (the winsorize/equi-depth frequency-table recipe): values
+    collapse to a per-(group, value) weight table FIRST — one combinable
+    agg — and the cumulative window runs over the collapsed table, so
+    the single-partition-per-group sort touches distinct values, not
+    rows. Output: (grp, total_weight, wmedian)."""
+    from pyspark.sql import Window
+
+    vt = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col)).alias("w"))
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("grp")
+    cum = vt.select(
+        "grp",
+        "v",
+        F.sum("w").over(win).alias("cum"),
+        F.sum("w").over(wg).alias("total"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("grp")
+        .agg(
+            F.max("total").cast("long").alias("total_weight"),
+            F.min("v").cast("long").alias("wmedian"),
+        )
+    )
+
+
+def duck_weighted_median(source_sql: str) -> str:
+    """DuckDB CTE body mirroring :func:`weighted_median`; exposes
+    ``wmed(grp, total_weight, wmedian)``. ``source_sql`` must project
+    (grp, v, w)."""
+    return f"""__wm_vt AS (
+  SELECT grp, v, sum(w)::BIGINT AS w
+  FROM ({source_sql}) GROUP BY grp, v
+),
+__wm_cum AS (
+  SELECT grp, v,
+         sum(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(w) OVER (PARTITION BY grp) AS total
+  FROM __wm_vt
+),
+wmed AS (
+  SELECT grp, max(total)::BIGINT AS total_weight,
+         min(v)::BIGINT AS wmedian
+  FROM __wm_cum WHERE 2 * cum >= total GROUP BY grp
+)"""

@@ -53,6 +53,11 @@ from bioeco_portal_etl_spark.similarity.ivf import ivf_topk  # noqa: E402
 from bioeco_portal_etl_spark.graph.linkpred import adamic_adar  # noqa: E402
 from bioeco_portal_etl_spark.text.novelty import ngram_novelty  # noqa: E402
 from bioeco_portal_etl_spark.text.burst import term_burstiness  # noqa: E402
+from bioeco_portal_etl_spark.operators.concurrency import max_concurrency  # noqa: E402
+from bioeco_portal_etl_spark.operators.stats import weighted_median  # noqa: E402
+from bioeco_portal_etl_spark.operators.joinstats import join_card_audit  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import wav_gain_normalization  # noqa: E402
+from bioeco_portal_etl_spark.text.analysis import language_id  # noqa: E402
 from bioeco_portal_etl_spark.similarity.matryoshka import prefix_recall_at_k  # noqa: E402
 from bioeco_portal_etl_spark.sketches.minhash_merge import group_minhash_similarity  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import jpeg_blockiness  # noqa: E402
@@ -881,6 +886,100 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 fourth batch -----------------------------------------
+        # concurrency sweep: 2 rows/interval, one window per group
+        "max_concurrency": (
+            lambda s: max_concurrency(
+                (events if s == 1 else scaled(events, s, ["event_id"])).select(
+                    F.col("event_type").alias("grp"),
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                        "start_us"
+                    ),
+                    (
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        + (F.lit(60) + F.col("event_id") % 240) * 1_000_000
+                    ).alias("end_us"),
+                    F.col("event_id").alias("tid"),
+                ),
+                "grp",
+                "start_us",
+                "end_us",
+                "tid",
+            )
+        ),
+        # weighted median: frequency-table collapse before the window
+        "weighted_median": (
+            lambda s: weighted_median(
+                (li if s == 1 else scaled(li, s, ["l_orderkey"])).select(
+                    F.col("l_returnflag").alias("grp"),
+                    F.floor(F.col("l_extendedprice").cast("double") * 100)
+                    .cast("long")
+                    .alias("price_c"),
+                    F.col("l_quantity").cast("long").alias("qty"),
+                ),
+                "grp",
+                "price_c",
+                "qty",
+            )
+        ),
+        # join-card audit: per-key count tables, never the join itself
+        "join_card": (
+            lambda s: join_card_audit(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"])).select(
+                    F.col("o_orderkey").alias("k")
+                ),
+                (li if s == 1 else scaled(li, s, ["l_orderkey"])).select(
+                    F.col("l_orderkey").alias("k")
+                ),
+                "k",
+                "probe",
+            )
+        ),
+        # gain normalization: per-payload Arrow scan
+        "gain_norm": (
+            lambda s: wav_gain_normalization(
+                synth_pcm_wav(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 100),
+                    "doc_id",
+                ),
+                target_rms=500,
+            )
+        ),
+        # langid confusion: regex scores in codegen + tiny broadcast
+        "langid_confusion": (
+            lambda s: (
+                lambda d: (
+                    lambda cell: cell.join(
+                        F.broadcast(
+                            cell.groupBy("true_lang").agg(
+                                F.sum("n").alias("tn")
+                            )
+                        ),
+                        "true_lang",
+                    ).select(
+                        "true_lang",
+                        "pred_lang",
+                        "n",
+                        F.expr("CAST((1000000 * n) div tn AS BIGINT)").alias(
+                            "share_of_true_e6"
+                        ),
+                    )
+                )(
+                    d.groupBy("true_lang", "pred_lang").agg(
+                        F.count(F.lit(1)).alias("n")
+                    )
+                )
+            )(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    F.coalesce("lang", F.lit("und")).alias("true_lang"),
+                    language_id("text").alias("pred_lang"),
+                )
+            )
+        ),
         # round-6 third batch ------------------------------------------
         # burstiness: vocab-keyed aggs, Heaps-bounded output
         "term_burstiness": (

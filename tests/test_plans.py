@@ -1244,3 +1244,46 @@ def test_dq13_burden_hash_keyed_no_python(spark):
     assert "partial_min" in plan or "partial_count" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-6 fourth batch ----------------------------------------------------
+
+
+def test_rel33_sweep_one_window_no_python(spark):
+    """Concurrency contract: the sweep is windows over the grp key —
+    no self-join of intervals (the quadratic formulation)."""
+    plan = _physical(spark, "rel33_max_concurrency")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x43_wmedian_frequency_table_first(spark):
+    """Weighted-median contract: values collapse to a (grp, value)
+    weight table via a partial agg BEFORE the cumulative window."""
+    plan = _physical(spark, "x43_weighted_median")
+    assert "partial_sum" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x44_join_card_never_executes_the_join(spark):
+    """Estimator-audit contract: the exact size comes from per-key
+    COUNT tables joined key-to-key — the fact tables themselves never
+    join row-to-row (no join output scales with |A join B|)."""
+    plan = _physical(spark, "x44_join_card_estimate")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm18_gain_two_arrow_stages(spark):
+    plan = _physical(spark, "mm18_gain_normalization")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_tx36_confusion_broadcast_totals(spark):
+    plan = _physical(spark, "tx36_langid_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
