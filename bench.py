@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 fifth batch
+    "tx37_bpe_fertility",
+    "x45_bitmap_estimate",
+    "td13_shard_dup_locality",
+    "gr19_rich_club",
+    "w20_stream_union_dedupe",
     # round-6 fourth batch
     "rel33_max_concurrency",
     "x43_weighted_median",

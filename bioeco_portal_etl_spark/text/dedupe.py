@@ -497,3 +497,82 @@ def containment_pairs(
     return scored.filter(
         (F.col("cont_a_e4") >= t_e4) | (F.col("cont_b_e4") >= t_e4)
     )
+
+
+def shard_dup_locality(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Would shard-local dedupe suffice? Duplicate PAIRS classified by
+    whether both members land on the same shard (shard = id mod
+    ``n_shards``, the ingest partitioning): per cluster size m,
+    intra-shard pairs Σ_s C(m_s, 2) vs the cluster's total C(m, 2) —
+    the inter-shard share is exactly the dup mass a per-shard dedupe
+    pass would MISS, the number that justifies (or kills) the global
+    shuffle dedupe stage at 100 TB.
+
+    Plan: one (fp, shard) count agg, one per-fp rollup (both
+    combinable), one size-keyed rollup. Pair counts are computed from
+    group sizes — no pair enumeration anywhere.
+
+    Output: (cluster_size, n_clusters, intra_pairs, inter_pairs,
+    inter_share_e6), clusters of size 1 excluded (no pairs)."""
+    base = df.select(
+        F.col(fp_col).alias("__fp"),
+        (F.col(id_col) % n_shards).cast("long").alias("__shard"),
+    )
+    per_shard = base.groupBy("__fp", "__shard").agg(
+        F.count(F.lit(1)).alias("ms")
+    )
+    per_fp = per_shard.groupBy("__fp").agg(
+        F.sum("ms").alias("m"),
+        F.sum(F.expr("ms * (ms - 1) div 2")).alias("intra"),
+    )
+    clusters = per_fp.filter(F.col("m") >= 2).select(
+        F.col("m").alias("cluster_size"),
+        "intra",
+        (F.expr("m * (m - 1) div 2") - F.col("intra")).alias("inter"),
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("intra").cast("long").alias("intra_pairs"),
+        F.sum("inter").cast("long").alias("inter_pairs"),
+        F.expr(
+            "CAST((1000000 * sum(inter))"
+            " div (sum(intra) + sum(inter)) AS BIGINT)"
+        ).alias("inter_share_e6"),
+    )
+
+
+def duck_shard_dup_locality(source_sql: str, n_shards: int = 8) -> str:
+    """DuckDB CTE body mirroring :func:`shard_dup_locality`; exposes
+    ``sdl(cluster_size, n_clusters, intra_pairs, inter_pairs,
+    inter_share_e6)``. ``source_sql`` must project (id, fp)."""
+    return f"""__sd_base AS (
+  SELECT fp, CAST(id % {n_shards} AS BIGINT) AS shard
+  FROM ({source_sql})
+),
+__sd_shard AS (
+  SELECT fp, shard, count(*)::BIGINT AS ms
+  FROM __sd_base GROUP BY fp, shard
+),
+__sd_fp AS (
+  SELECT fp, sum(ms)::BIGINT AS m,
+         sum(ms * (ms - 1) // 2)::BIGINT AS intra
+  FROM __sd_shard GROUP BY fp
+),
+__sd_cl AS (
+  SELECT m AS cluster_size, intra,
+         m * (m - 1) // 2 - intra AS inter
+  FROM __sd_fp WHERE m >= 2
+),
+sdl AS (
+  SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         sum(intra)::BIGINT AS intra_pairs,
+         sum(inter)::BIGINT AS inter_pairs,
+         CAST((1000000 * sum(inter))
+              // (sum(intra) + sum(inter)) AS BIGINT) AS inter_share_e6
+  FROM __sd_cl GROUP BY cluster_size
+)"""

@@ -54,6 +54,9 @@ from bioeco_portal_etl_spark.graph.linkpred import adamic_adar  # noqa: E402
 from bioeco_portal_etl_spark.text.novelty import ngram_novelty  # noqa: E402
 from bioeco_portal_etl_spark.text.burst import term_burstiness  # noqa: E402
 from bioeco_portal_etl_spark.operators.concurrency import max_concurrency  # noqa: E402
+from bioeco_portal_etl_spark.operators.bitmapidx import bitmap_suitability  # noqa: E402
+from bioeco_portal_etl_spark.text.dedupe import shard_dup_locality  # noqa: E402
+from bioeco_portal_etl_spark.graph.richclub import rich_club  # noqa: E402
 from bioeco_portal_etl_spark.operators.stats import weighted_median  # noqa: E402
 from bioeco_portal_etl_spark.operators.joinstats import join_card_audit  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import wav_gain_normalization  # noqa: E402
@@ -886,6 +889,81 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 fifth batch ------------------------------------------
+        # fertility: vocab broadcast; token stream 10x
+        "bpe_fertility": (
+            lambda s: (
+                lambda d: (
+                    lambda vocab: (
+                        d.select(
+                            F.coalesce("lang", F.lit("und")).alias("lang"),
+                            "doc_id",
+                            F.explode(
+                                F.split(F.lower("text"), "[^a-z]+")
+                            ).alias("w"),
+                        )
+                        .filter(F.col("w") != "")
+                        .join(F.broadcast(vocab), "w")
+                        .groupBy("lang", "doc_id")
+                        .agg(
+                            F.count(F.lit(1)).alias("words"),
+                            F.sum("n_sub").alias("subs"),
+                        )
+                        .groupBy("lang")
+                        .agg(
+                            F.sum("words").alias("n_words"),
+                            F.sum("subs").alias("n_subtokens"),
+                        )
+                    )
+                )(
+                    (
+                        lambda wf: (
+                            lambda m1: apply_merge(
+                                m1, top_merge(pair_counts(m1))
+                            ).select(
+                                "w",
+                                F.size(F.split("spaced", " "))
+                                .cast("long")
+                                .alias("n_sub"),
+                            )
+                        )(
+                            apply_merge(wf, top_merge(pair_counts(wf))).select(
+                                "w", "cnt", "spaced"
+                            )
+                        )
+                    )(with_spaced(word_frequencies(d, "text")))
+                )
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
+        # bitmap audit: one lag window per column over the sort
+        "bitmap_suitability": (
+            lambda s: bitmap_suitability(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+                "o_orderkey",
+                ["o_orderstatus", "o_orderpriority"],
+            )
+        ),
+        # dup locality: size-derived pair counts, combinable aggs
+        "shard_dup_locality": (
+            lambda s: shard_dup_locality(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "doc_id",
+                    F.md5(
+                        F.substring(F.coalesce("text", F.lit("")), 1, 100)
+                    ).alias("fp"),
+                ),
+                "doc_id",
+                "fp",
+                n_shards=8,
+            )
+        ),
+        # rich club: disjoint graph copies
+        "rich_club": (
+            lambda s: rich_club(
+                _coorder() if s == 1 else scaled(_coorder(), s, ["src", "dst"]),
+                ks=[2, 4, 8, 16],
+            )
+        ),
         # round-6 fourth batch -----------------------------------------
         # concurrency sweep: 2 rows/interval, one window per group
         "max_concurrency": (

@@ -1287,3 +1287,39 @@ def test_tx36_confusion_broadcast_totals(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 fifth batch -----------------------------------------------------
+
+
+def test_tx37_fertility_vocab_broadcast(spark):
+    """Fertility contract: the Heaps-bounded vocab broadcasts onto the
+    corpus token stream; aggs partial-combine."""
+    plan = _physical(spark, "tx37_bpe_fertility")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x45_bitmap_lag_window_no_python(spark):
+    plan = _physical(spark, "x45_bitmap_estimate")
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_td13_locality_counts_not_pairs(spark):
+    """Locality contract: pair counts derive from group sizes — the
+    plan is chained aggs, no self-join of members (no pair blowup)."""
+    plan = _physical(spark, "td13_shard_dup_locality")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr19_rich_club_broadcast_thresholds(spark):
+    """Rich-club contract: degree dims and the k-threshold table
+    broadcast; one pass over the annotated edges."""
+    plan = _physical(spark, "gr19_rich_club")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
