@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 sixth batch
+    "ts21_nprobe_sweep",
+    "sk12_cms_error_sweep",
+    "tx38_garbage_score",
+    "mm19_channel_correlation",
+    "dq14_expectation_drift",
     # round-6 fifth batch
     "tx37_bpe_fertility",
     "x45_bitmap_estimate",

@@ -361,6 +361,58 @@ def image_histogram_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=HISTOGRAM_STATS_SCHEMA)
 
 
+CHANNEL_CORR_SCHEMA = "media_id long, pair string, r_e4 long"
+
+
+def channel_correlation(df: DataFrame) -> DataFrame:
+    """(media_id, payload) -> per-image Pearson correlation (floor e4)
+    between channel pairs ('rg', 'rb', 'gb') via a FULL
+    :func:`decode_image` raster: the grayscale-as-RGB (r = 1 on every
+    pair) and dead-channel (NULL — zero variance) detector. Integer
+    sufficient statistics inside the Arrow batch; the denominator is
+    sqrt(a)·sqrt(b) — NEVER sqrt(a·b), whose int64 product wraps (the
+    degree-assortativity postmortem). Requires 3-channel payloads."""
+    import math
+
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, rows = decode_image(bytes(payload))
+                if ch < 3:
+                    raise ValueError(
+                        f"channel_correlation needs 3 channels, got {ch}"
+                    )
+                chans = [
+                    [v for r in rows for v in r[c::ch]] for c in range(3)
+                ]
+                n = len(chans[0])
+                s = [sum(c) for c in chans]
+                ss = [sum(v * v for v in c) for c in chans]
+                for pair, (i, j) in (
+                    ("gb", (1, 2)),
+                    ("rb", (0, 2)),
+                    ("rg", (0, 1)),
+                ):
+                    cov = n * sum(
+                        a * b for a, b in zip(chans[i], chans[j])
+                    ) - s[i] * s[j]
+                    va = n * ss[i] - s[i] * s[i]
+                    vb = n * ss[j] - s[j] * s[j]
+                    if va > 0 and vb > 0:
+                        r_e4 = math.floor(
+                            10000 * cov / (math.sqrt(va) * math.sqrt(vb))
+                        )
+                    else:
+                        r_e4 = None
+                    out.append((mid, pair, r_e4))
+            yield pd.DataFrame(out, columns=["media_id", "pair", "r_e4"])
+
+    return df.mapInPandas(stats, schema=CHANNEL_CORR_SCHEMA)
+
+
 GAIN_SCHEMA = (
     "media_id long, n_samples long, energy long, gain_e4 long, "
     "n_clipped long"

@@ -57,6 +57,17 @@ from bioeco_portal_etl_spark.operators.concurrency import max_concurrency  # noq
 from bioeco_portal_etl_spark.operators.bitmapidx import bitmap_suitability  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import shard_dup_locality  # noqa: E402
 from bioeco_portal_etl_spark.graph.richclub import rich_club  # noqa: E402
+from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate  # noqa: E402
+from bioeco_portal_etl_spark.similarity.knn import cosine_topk  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import channel_correlation  # noqa: E402
+
+
+def _union_all(frames):
+    out = None
+    for f in frames:
+        out = f if out is None else out.unionByName(f)
+    return out
+
 from bioeco_portal_etl_spark.operators.stats import weighted_median  # noqa: E402
 from bioeco_portal_etl_spark.operators.joinstats import join_card_audit  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import wav_gain_normalization  # noqa: E402
@@ -261,6 +272,7 @@ def main() -> None:
     docs = read_parquet_table(spark, SF_DIR, "documents")
     events = read_parquet_table(spark, SF_DIR, "events")
     embeddings = read_parquet_table(spark, SF_DIR, "embeddings")
+    supplier = read_parquet_table(spark, SF_DIR, "supplier")
 
     def q1(df):
         return (
@@ -889,6 +901,153 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 sixth batch ------------------------------------------
+        # nprobe sweep: three IVF arms, corpus 10x, queries fixed
+        "nprobe_sweep": (
+            lambda s: (
+                lambda emb: (
+                    lambda exact: _union_all(
+                        [
+                            exact.join(
+                                ivf_topk(
+                                    emb,
+                                    embeddings.filter(F.col("vec_id") < 10),
+                                    embeddings.filter(F.col("vec_id") < 8),
+                                    "embedding",
+                                    "vec_id",
+                                    k=5,
+                                    nprobe=np,
+                                ).select(
+                                    "query_id",
+                                    "match_id",
+                                    F.lit(1).alias("__hit"),
+                                ),
+                                ["query_id", "match_id"],
+                                "left",
+                            ).agg(
+                                F.lit(np).alias("nprobe"),
+                                F.count(F.lit(1)).alias("n_exact"),
+                                F.sum(F.coalesce("__hit", F.lit(0))).alias(
+                                    "n_hits"
+                                ),
+                            )
+                            for np in (1, 2, 4)
+                        ]
+                    )
+                )(
+                    cosine_topk(
+                        emb,
+                        embeddings.filter(F.col("vec_id") < 10),
+                        "embedding",
+                        "vec_id",
+                        k=5,
+                    ).select("query_id", "match_id")
+                )
+            )(embeddings if s == 1 else scaled(embeddings, s, ["vec_id"]))
+        ),
+        # CMS sweep: three bounded grids, fact 10x
+        "cms_error_sweep": (
+            lambda s: (
+                lambda fact: _union_all(
+                    [
+                        cms_estimate(
+                            supplier.select(
+                                F.col("s_suppkey").alias("suppkey")
+                            ),
+                            cms_build(fact, "l_suppkey", d=4, w=w),
+                            "suppkey",
+                            d=4,
+                            w=w,
+                        ).agg(
+                            F.lit(w).alias("w"),
+                            F.sum("est_cnt").alias("total_est"),
+                        )
+                        for w in (64, 256, 1024)
+                    ]
+                )
+            )(li if s == 1 else scaled(li, s, ["l_orderkey"]))
+        ),
+        # garbage score: pure codegen projections
+        "garbage_score": (
+            lambda s: (
+                lambda d: d.select(
+                    "doc_id",
+                    F.length(
+                        F.regexp_replace(
+                            F.lower(F.coalesce("text", F.lit(""))),
+                            "[^a-z]",
+                            "",
+                        )
+                    ).alias("nl"),
+                    F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                F.split(
+                                    F.lower(F.coalesce("text", F.lit(""))),
+                                    "[aeiou]|[^a-z]",
+                                ),
+                                lambda x: F.length(x),
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("mrun"),
+                )
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
+        # channel correlation: per-payload Arrow work
+        "channel_corr": (
+            lambda s: channel_correlation(
+                synth_rgb_png(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 120),
+                    "doc_id",
+                )
+            )
+        ),
+        # expectation drift: two conditional-sum scans
+        "expectation_drift": (
+            lambda s: (
+                lambda o: (
+                    lambda sliced: expectation_suite(
+                        sliced.filter(F.col("__sl") == "a"),
+                        [
+                            ("price_positive", F.col("o_totalprice") > 0),
+                            (
+                                "custkey_present",
+                                F.col("o_custkey").isNotNull(),
+                            ),
+                        ],
+                    ).join(
+                        expectation_suite(
+                            sliced.filter(F.col("__sl") == "b"),
+                            [
+                                (
+                                    "price_positive",
+                                    F.col("o_totalprice") > 0,
+                                ),
+                                (
+                                    "custkey_present",
+                                    F.col("o_custkey").isNotNull(),
+                                ),
+                            ],
+                        ).withColumnRenamed("pass_e6", "pass_b"),
+                        "check",
+                    )
+                )(
+                    o.withColumn(
+                        "__sl",
+                        F.when(
+                            F.col("o_orderdate").cast("date")
+                            < F.lit("1998-01-01"),
+                            F.lit("a"),
+                        ).otherwise(F.lit("b")),
+                    )
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
         # round-6 fifth batch ------------------------------------------
         # fertility: vocab broadcast; token stream 10x
         "bpe_fertility": (

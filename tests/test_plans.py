@@ -1323,3 +1323,41 @@ def test_gr19_rich_club_broadcast_thresholds(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 sixth batch -----------------------------------------------------
+
+
+def test_ts21_sweep_no_cartesian_three_arms(spark):
+    plan = _physical(spark, "ts21_nprobe_sweep")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sk12_cms_grids_broadcast(spark):
+    """CMS contract at every width: the (row, bucket) grid broadcasts
+    onto the probes; the build agg partial-combines."""
+    plan = _physical(spark, "sk12_cms_error_sweep")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx38_garbage_pure_codegen(spark):
+    """Garbage heuristics are regex/HOF projections — no join, no
+    window, no Python."""
+    plan = _physical(spark, "tx38_garbage_score")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm19_corr_two_arrow_stages(spark):
+    plan = _physical(spark, "mm19_channel_correlation")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_dq14_drift_one_scan_per_slice(spark):
+    plan = _physical(spark, "dq14_expectation_drift")
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
