@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 seventh batch
+    "gr20_modularity",
+    "rel35_period_growth",
+    "ts22_centroid_drift",
+    "dq15_key_discovery",
+    "x46_ndv_estimate_audit",
     # round-6 sixth batch
     "ts21_nprobe_sweep",
     "sk12_cms_error_sweep",

@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, Window
 
 
 def label_propagation(
-    edges: DataFrame, rounds: int = 2, persist_edges: bool = True
+    edges: DataFrame,
+    rounds: int = 2,
+    persist_edges: bool = True,
+    pre_symmetrized: bool = False,
 ) -> DataFrame:
     """(node, label) after ``rounds`` synchronous updates; initial label =
     own node id. ``edges`` is an undirected edge list given as (src, dst)
@@ -44,13 +47,20 @@ def label_propagation(
     shuffle, not a lineage replay; the pagerank.py pattern. Turn off for
     one-shot tiny graphs."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = (
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if pre_symmetrized:
+        # caller certifies the list already contains both directions of
+        # every edge, deduplicated (e.g. a persisted co-activity join a
+        # downstream scorer also consumes — gr20 shares ONE materialized
+        # frame instead of replaying the self-join per consumer)
+        sym = e.repartition("dst")
+    else:
+        sym = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .repartition("dst")
         )
-        .distinct()
-        .repartition("dst")
-    )
     if persist_edges:
         sym = sym.persist()
     labels = (

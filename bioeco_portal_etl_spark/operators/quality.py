@@ -250,3 +250,52 @@ def expectation_suite(
             " THEN CAST((1000000 * n_pass) div n_rows AS BIGINT) END"
         ).alias("pass_e6"),
     )
+
+
+def key_discovery(
+    df: DataFrame, candidates: list[list[str]]
+) -> DataFrame:
+    """Candidate-key profiling (the uniqueness face of fd_audit): for
+    each candidate column set, (candidate, n_rows, n_distinct,
+    n_dup_rows, is_key) — is_key = 1 iff the set is unique over the
+    data. One count_distinct-of-struct aggregate per candidate over a
+    shared scan; the schema-inference pass run before choosing merge
+    keys or dedupe identities."""
+    out = None
+    for cols in candidates:
+        name = "+".join(cols)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(
+                "n_distinct"
+            ),
+        ).select(
+            F.lit(name).alias("candidate"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct"))
+            .cast("long")
+            .alias("is_key"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def duck_key_discovery(source_sql: str, candidates: list[list[str]]) -> str:
+    """DuckDB SELECT mirroring :func:`key_discovery` (UNION ALL, same
+    aliases)."""
+    parts = []
+    for cols in candidates:
+        name = "+".join(cols)
+        tup = ", ".join(cols)
+        parts.append(f"""
+SELECT '{name}' AS candidate, count(*)::BIGINT AS n_rows,
+       count(DISTINCT ({tup}))::BIGINT AS n_distinct,
+       (count(*) - count(DISTINCT ({tup})))::BIGINT AS n_dup_rows,
+       (CASE WHEN count(*) = count(DISTINCT ({tup}))
+             THEN 1 ELSE 0 END)::BIGINT AS is_key
+FROM ({source_sql})""")
+    return "\nUNION ALL\n".join(parts)

@@ -101,3 +101,86 @@ cstats AS (
          sum(sxx - 2 * c * sx + n * c * c)::BIGINT AS ssd_q
   FROM __cs_dev GROUP BY label
 )"""
+
+
+def label_centroid_drift(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    half_col: str,
+) -> DataFrame:
+    """The drift monitor ts19's stats feed: per label, the squared L2
+    distance between the quantized centroids of two slices
+    (``half_col`` ∈ {'a','b'} — yesterday/today, shard-1/shard-2):
+    (label, n_a, n_b, shift_q2 = Σ_d (c_a_d − c_b_d)²). A label whose
+    centroid moved is re-labeled/drifting data; shift 0 means the two
+    slices agree dimension-for-dimension after e4 quantization.
+
+    Same one-explode plan as label_centroid_stats with (label, half,
+    dim) keys; the pivot to per-dim (c_a, c_b) pairs is a conditional
+    max inside the SAME aggregate — no join of the two halves."""
+    q = df.select(
+        F.col(label_col).alias("label"),
+        F.col(half_col).alias("half"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    per = q.groupBy("label", "half", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("sx")
+    )
+    c = F.floor(F.col("sx").cast("double") / F.col("n")).cast("long")
+    piv = per.select("label", "half", "dim", F.col("n"), c.alias("c")).groupBy(
+        "label", "dim"
+    ).agg(
+        F.max(F.when(F.col("half") == "a", F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("half") == "b", F.col("c"))).alias("cb"),
+        F.max(F.when(F.col("half") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("half") == "b", F.col("n"))).alias("nb"),
+    )
+    d = F.coalesce("ca", F.lit(0)) - F.coalesce("cb", F.lit(0))
+    return piv.groupBy("label").agg(
+        F.max(F.coalesce("na", F.lit(0))).cast("long").alias("n_a"),
+        F.max(F.coalesce("nb", F.lit(0))).cast("long").alias("n_b"),
+        F.sum(d * d).cast("long").alias("shift_q2"),
+    )
+
+
+def duck_label_centroid_drift(vec_select: str, dims: int = 64) -> str:
+    """DuckDB CTE body mirroring :func:`label_centroid_drift`; exposes
+    ``cdrift(label, n_a, n_b, shift_q2)``. ``vec_select`` must project
+    (label, half, embedding)."""
+    return f"""__cd_rows AS (
+  SELECT label, half, embedding, unnest(range(0, {dims})) AS dim
+  FROM ({vec_select})
+),
+__cd_q AS (
+  SELECT label, half, dim,
+         CAST(floor(embedding[dim + 1]::DOUBLE * 10000) AS BIGINT) AS xq
+  FROM __cd_rows
+),
+__cd_per AS (
+  SELECT label, half, dim, count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx
+  FROM __cd_q GROUP BY label, half, dim
+),
+__cd_piv AS (
+  SELECT label, dim,
+         max(CASE WHEN half = 'a'
+                  THEN CAST(floor(sx::DOUBLE / n) AS BIGINT) END) AS ca,
+         max(CASE WHEN half = 'b'
+                  THEN CAST(floor(sx::DOUBLE / n) AS BIGINT) END) AS cb,
+         max(CASE WHEN half = 'a' THEN n END) AS na,
+         max(CASE WHEN half = 'b' THEN n END) AS nb
+  FROM __cd_per GROUP BY label, dim
+),
+cdrift AS (
+  SELECT label,
+         max(coalesce(na, 0))::BIGINT AS n_a,
+         max(coalesce(nb, 0))::BIGINT AS n_b,
+         sum((coalesce(ca, 0) - coalesce(cb, 0))
+             * (coalesce(ca, 0) - coalesce(cb, 0)))::BIGINT AS shift_q2
+  FROM __cd_piv GROUP BY label
+)"""

@@ -57,6 +57,10 @@ from bioeco_portal_etl_spark.operators.concurrency import max_concurrency  # noq
 from bioeco_portal_etl_spark.operators.bitmapidx import bitmap_suitability  # noqa: E402
 from bioeco_portal_etl_spark.text.dedupe import shard_dup_locality  # noqa: E402
 from bioeco_portal_etl_spark.graph.richclub import rich_club  # noqa: E402
+from bioeco_portal_etl_spark.graph.modularity import community_modularity  # noqa: E402
+from bioeco_portal_etl_spark.similarity.centroids import label_centroid_drift  # noqa: E402
+from bioeco_portal_etl_spark.operators.quality import key_discovery  # noqa: E402
+from bioeco_portal_etl_spark.operators.ndv import ndv_estimate_audit  # noqa: E402
 from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate  # noqa: E402
 from bioeco_portal_etl_spark.similarity.knn import cosine_topk  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import channel_correlation  # noqa: E402
@@ -901,6 +905,79 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 seventh batch ----------------------------------------
+        # modularity: ONE persisted symmetric frame shared between the
+        # detector and the scorer (the gr20 plan)
+        "modularity": (
+            lambda s: (
+                lambda sym: community_modularity(
+                    sym,
+                    label_propagation(sym, rounds=2, pre_symmetrized=True),
+                    top_k=20,
+                    pre_symmetrized=True,
+                )
+            )(
+                (
+                    _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"])
+                )
+                .distinct()
+                .persist()
+            )
+        ),
+        # period growth: rollup then a month-table window
+        "period_growth": (
+            lambda s: (
+                lambda o: (
+                    lambda m: m.withColumn(
+                        "prev", F.lag("rev_e2").over(Window.orderBy("month"))
+                    )
+                )(
+                    o.select(
+                        F.date_trunc(
+                            "month", F.col("o_orderdate").cast("timestamp")
+                        ).alias("month"),
+                        F.expr(
+                            "CAST(floor(o_totalprice * 100) AS BIGINT)"
+                        ).alias("p"),
+                    )
+                    .groupBy("month")
+                    .agg(F.sum("p").alias("rev_e2"))
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # centroid drift: one explode + one pivot agg
+        "centroid_drift": (
+            lambda s: label_centroid_drift(
+                (
+                    embeddings if s == 1 else scaled(embeddings, s, ["vec_id"])
+                ).select(
+                    F.col("label").cast("long").alias("label"),
+                    F.when(F.col("vec_id") % 2 == 0, F.lit("a"))
+                    .otherwise(F.lit("b"))
+                    .alias("half"),
+                    "embedding",
+                ),
+                "label",
+                "embedding",
+                "half",
+            )
+        ),
+        # key discovery: count-distinct aggs, one per candidate
+        "key_discovery": (
+            lambda s: key_discovery(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+                [["o_orderkey"], ["o_custkey"], ["o_custkey", "o_orderdate"]],
+            )
+        ),
+        # NDV audit: sampled value counts + true distinct
+        "ndv_audit": (
+            lambda s: ndv_estimate_audit(
+                li if s == 1 else scaled(li, s, ["l_orderkey"]),
+                F.concat_ws(":", "l_orderkey", "l_linenumber"),
+                ["l_partkey", "l_suppkey"],
+                sample_buckets=1000,
+            )
+        ),
         # round-6 sixth batch ------------------------------------------
         # nprobe sweep: three IVF arms, corpus 10x, queries fixed
         "nprobe_sweep": (

@@ -1361,3 +1361,45 @@ def test_dq14_drift_one_scan_per_slice(spark):
     plan = _physical(spark, "dq14_expectation_drift")
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-6 seventh batch ---------------------------------------------------
+
+
+def test_gr20_modularity_no_cartesian_persisted_edges(spark):
+    plan = _physical(spark, "gr20_modularity")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # canonical edges persisted once
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel35_growth_rollup_then_tiny_window(spark):
+    """MoM contract: the window (lag) runs AFTER the monthly rollup —
+    over the dimension-sized month table, not the fact rows."""
+    plan = _physical(spark, "rel35_period_growth")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts22_drift_single_agg_pivot_no_join(spark):
+    """Drift contract: the a/b pivot is a conditional max inside ONE
+    aggregate — the two halves never join."""
+    plan = _physical(spark, "ts22_centroid_drift")
+    assert "Join" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq15_key_discovery_partial_distincts(spark):
+    plan = _physical(spark, "dq15_key_discovery")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x46_ndv_sample_filter_in_scan_stage(spark):
+    """NDV-audit contract: the md5-bucket sample predicate evaluates in
+    the scan-side projection/filter (no join to build the sample)."""
+    plan = _physical(spark, "x46_ndv_estimate_audit")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
