@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 eighth batch
+    "mm20_shot_lengths",
+    "sk13_histq_error_sweep",
+    "ts23_pq_utilization",
+    "x47_decile_lift",
+    "rel36_cycle_time",
     # round-6 seventh batch
     "gr20_modularity",
     "rel35_period_growth",

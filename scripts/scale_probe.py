@@ -61,6 +61,9 @@ from bioeco_portal_etl_spark.graph.modularity import community_modularity  # noq
 from bioeco_portal_etl_spark.similarity.centroids import label_centroid_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.quality import key_discovery  # noqa: E402
 from bioeco_portal_etl_spark.operators.ndv import ndv_estimate_audit  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import attach_payload, scene_cuts  # noqa: E402
+from bioeco_portal_etl_spark.sketches.histq import binned_histogram, hist_quantiles  # noqa: E402
+from bioeco_portal_etl_spark.similarity.pq import pq_encode  # noqa: E402
 from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate  # noqa: E402
 from bioeco_portal_etl_spark.similarity.knn import cosine_topk  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import channel_correlation  # noqa: E402
@@ -905,6 +908,180 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 eighth batch -----------------------------------------
+        # shot lengths: one Arrow stage + per-clip windows
+        "shot_lengths": (
+            lambda s: (
+                lambda cuts: (
+                    lambda sh: sh.groupBy("media_id", "shot_id")
+                    .agg(F.count(F.lit(1)).alias("len"))
+                    .groupBy("media_id")
+                    .agg(
+                        F.sum("len").alias("n_frames"),
+                        F.count(F.lit(1)).alias("n_shots"),
+                    )
+                )(
+                    cuts.withColumn(
+                        "shot_id",
+                        F.sum(F.col("is_cut").cast("long")).over(
+                            Window.partitionBy("media_id")
+                            .orderBy("frame_idx")
+                            .rowsBetween(
+                                Window.unboundedPreceding, Window.currentRow
+                            )
+                        ),
+                    )
+                )
+            )(
+                scene_cuts(
+                    attach_payload(
+                        docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                        "doc_id",
+                        "text",
+                    ),
+                    frame_bytes=64,
+                    threshold=8,
+                    max_frames=8,
+                )
+            )
+        ),
+        # histq sweep: three bounded histograms + exact rank selection
+        "histq_error_sweep": (
+            lambda s: (
+                lambda o: _union_all(
+                    [
+                        hist_quantiles(
+                            binned_histogram(
+                                o,
+                                [],
+                                "o_totalprice",
+                                bins=b,
+                                lo_cents=0,
+                                step_cents=5_120_000 // b,
+                            ),
+                            [],
+                            [("p50", 2, 1)],
+                            lo_cents=0,
+                            step_cents=5_120_000 // b,
+                        ).select(
+                            F.lit(b).alias("bins"), F.col("p50_est_cents")
+                        )
+                        for b in (8, 16, 64)
+                    ]
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # PQ utilization: encode (broadcast codebook) + two tiny aggs
+        "pq_utilization": (
+            lambda s: (
+                lambda v: pq_encode(
+                    v,
+                    embeddings.select(
+                        "vec_id",
+                        F.transform(
+                            F.col("embedding"), lambda x: x.cast("double")
+                        ).alias("e"),
+                    )
+                    .filter(F.col("vec_id") < 128)
+                    .select(
+                        F.expr("vec_id div 16").cast("int").alias("subspace"),
+                        (F.col("vec_id") % 16).cast("int").alias("code"),
+                        F.expr(
+                            "slice(e, (vec_id div 16) * 8 + 1, 8)"
+                        ).alias("subvec"),
+                    ),
+                    "e",
+                    "vec_id",
+                )
+                .groupBy("subspace", "code")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("subspace")
+                .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("mx"))
+            )(
+                (
+                    embeddings if s == 1 else scaled(embeddings, s, ["vec_id"])
+                ).select(
+                    "vec_id",
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ).alias("e"),
+                )
+            )
+        ),
+        # decile lift: ntile sort + decile-table windows
+        "decile_lift": (
+            lambda s: (
+                lambda o: o.withColumn(
+                    "decile",
+                    F.ntile(10).over(
+                        Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+                    ),
+                )
+                .groupBy("decile")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (F.col("o_orderstatus") == "F").cast("long")
+                    ).alias("positives"),
+                )
+            )(orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+        ),
+        # cycle time: join + (month, days) frequency table + window
+        "cycle_time": (
+            lambda s: (
+                lambda li_s, o_s: (
+                    lambda j: (
+                        lambda vt: vt.select(
+                            "month",
+                            "days",
+                            F.sum("c")
+                            .over(
+                                Window.partitionBy("month")
+                                .orderBy("days")
+                                .rowsBetween(
+                                    Window.unboundedPreceding,
+                                    Window.currentRow,
+                                )
+                            )
+                            .alias("cum"),
+                            F.sum("c")
+                            .over(Window.partitionBy("month"))
+                            .alias("n"),
+                        )
+                        .groupBy("month")
+                        .agg(
+                            F.min(
+                                F.when(
+                                    F.lit(2) * F.col("cum") >= F.col("n"),
+                                    F.col("days"),
+                                )
+                            ).alias("p50_days")
+                        )
+                    )(
+                        j.groupBy("month", "days").agg(
+                            F.count(F.lit(1)).alias("c")
+                        )
+                    )
+                )(
+                    li_s.join(
+                        o_s, li_s["l_orderkey"] == o_s["o_orderkey"]
+                    ).select(
+                        F.date_trunc(
+                            "month", F.col("o_orderdate").cast("timestamp")
+                        ).alias("month"),
+                        F.datediff(
+                            F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"),
+                        )
+                        .cast("long")
+                        .alias("days"),
+                    )
+                )
+            )(
+                li if s == 1 else scaled(li, s, ["l_orderkey"]),
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"]),
+            )
+        ),
         # round-6 seventh batch ----------------------------------------
         # modularity: ONE persisted symmetric frame shared between the
         # detector and the scorer (the gr20 plan)

@@ -1403,3 +1403,47 @@ def test_x46_ndv_sample_filter_in_scan_stage(spark):
     plan = _physical(spark, "x46_ndv_estimate_audit")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 eighth batch ----------------------------------------------------
+
+
+def test_mm20_shot_lengths_arrow_then_windows(spark):
+    """Shot contract: one Arrow frame stage, then JVM windows/aggs —
+    the segmentation never re-enters Python."""
+    plan = _physical(spark, "mm20_shot_lengths")
+    assert plan.count("MapInPandas") == 1
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_sk13_histq_bounded_windows(spark):
+    """Histogram-quantile contract: cumulative windows run over
+    bin-sized tables (the partial agg collapses rows first)."""
+    plan = _physical(spark, "sk13_histq_error_sweep")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts23_pq_codebook_broadcast(spark):
+    plan = _physical(spark, "ts23_pq_utilization")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x47_lift_single_sort_windows(spark):
+    plan = _physical(spark, "x47_decile_lift")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel36_cycle_freq_table_before_window(spark):
+    """Cycle-time contract: the (month, days) frequency table collapses
+    BEFORE the cumulative window — the window never sees fact rows."""
+    plan = _physical(spark, "rel36_cycle_time")
+    assert "partial_count" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
