@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 ninth batch
+    "td14_dedupe_agreement",
+    "x48_top_movers",
+    "rel37_top_paths",
+    "mm21_frame_motion",
+    "tx40_hapax_ratio",
     # round-6 eighth batch
     "mm20_shot_lengths",
     "sk13_histq_error_sweep",

@@ -361,6 +361,62 @@ def image_histogram_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=HISTOGRAM_STATS_SCHEMA)
 
 
+FRAME_MOTION_SCHEMA = (
+    "media_id long, n_frames long, total_motion long, max_step_motion long"
+)
+
+
+def frame_motion(
+    df: DataFrame, frame_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """(media_id, payload) -> inter-frame motion energy: for each
+    consecutive frame pair, the sum of absolute byte differences over
+    the overlapping positions (the SAD statistic block-motion search
+    minimizes); total and max step per clip. Scene_cuts flags WHERE a
+    shot changes; this measures HOW MUCH is moving — the
+    static-slideshow vs action triage an ingest pipeline uses to pick
+    frame-sampling rates. Integer sums inside the Arrow batch."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [
+                    b[i * frame_bytes : (i + 1) * frame_bytes]
+                    for i in range(
+                        min(max_frames, (len(b) + frame_bytes - 1) // frame_bytes)
+                    )
+                ]
+                steps = [
+                    sum(
+                        abs(x - y)
+                        for x, y in zip(frames[i - 1], frames[i])
+                    )
+                    for i in range(1, len(frames))
+                ]
+                out.append(
+                    (
+                        mid,
+                        len(frames),
+                        sum(steps),
+                        max(steps) if steps else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "total_motion",
+                    "max_step_motion",
+                ],
+            )
+
+    return df.mapInPandas(stats, schema=FRAME_MOTION_SCHEMA)
+
+
 CHANNEL_CORR_SCHEMA = "media_id long, pair string, r_e4 long"
 
 

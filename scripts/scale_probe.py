@@ -64,6 +64,7 @@ from bioeco_portal_etl_spark.operators.ndv import ndv_estimate_audit  # noqa: E4
 from bioeco_portal_etl_spark.multimodal.media import attach_payload, scene_cuts  # noqa: E402
 from bioeco_portal_etl_spark.sketches.histq import binned_histogram, hist_quantiles  # noqa: E402
 from bioeco_portal_etl_spark.similarity.pq import pq_encode  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import frame_motion  # noqa: E402
 from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate  # noqa: E402
 from bioeco_portal_etl_spark.similarity.knn import cosine_topk  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import channel_correlation  # noqa: E402
@@ -908,6 +909,136 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 ninth batch ------------------------------------------
+        # dedupe agreement: cluster-local exact pairs + banded LSH arm
+        "dedupe_agreement": (
+            lambda s: (
+                lambda d: (
+                    lambda fp: fp.alias("a")
+                    .join(fp.alias("b"), "fp")
+                    .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                    .select(
+                        F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b"),
+                    )
+                    .join(
+                        minhash_lsh_pairs(d, "doc_id", "text").select(
+                            "id_a", "id_b", F.lit(1).alias("__l")
+                        ),
+                        ["id_a", "id_b"],
+                        "left",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n_exact"),
+                        F.sum(F.coalesce("__l", F.lit(0))).alias("n_both"),
+                    )
+                )(
+                    d.select(
+                        "doc_id",
+                        F.md5(
+                            F.substring(F.coalesce("text", F.lit("")), 1, 100)
+                        ).alias("fp"),
+                    )
+                )
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
+        # top movers: per-class lag + TakeOrdered head
+        "top_movers": (
+            lambda s: (
+                lambda m: m.withColumn(
+                    "prev",
+                    F.lag("rev_e2").over(
+                        Window.partitionBy("cls").orderBy("month")
+                    ),
+                )
+                .filter(F.col("prev").isNotNull())
+                .orderBy(
+                    F.desc(F.abs(F.col("rev_e2") - F.col("prev"))),
+                    "cls",
+                    "month",
+                )
+                .limit(15)
+            )(
+                (li if s == 1 else scaled(li, s, ["l_orderkey"]))
+                .select(
+                    (F.col("l_partkey") % 40).cast("long").alias("cls"),
+                    F.date_trunc(
+                        "month", F.col("l_shipdate").cast("timestamp")
+                    ).alias("month"),
+                    F.expr(
+                        "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+                    ).alias("p_e2"),
+                )
+                .groupBy("cls", "month")
+                .agg(F.sum("p_e2").alias("rev_e2"))
+            )
+        ),
+        # top paths: per-user double-lead window + counts
+        "top_paths": (
+            lambda s: (
+                lambda ev: ev.select(
+                    F.col("event_type").alias("e1"),
+                    F.lead("event_type", 1)
+                    .over(
+                        Window.partitionBy("user_id").orderBy(
+                            "ts", "event_id"
+                        )
+                    )
+                    .alias("e2"),
+                    F.lead("event_type", 2)
+                    .over(
+                        Window.partitionBy("user_id").orderBy(
+                            "ts", "event_id"
+                        )
+                    )
+                    .alias("e3"),
+                )
+                .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+                .groupBy("e1", "e2", "e3")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "e1", "e2", "e3")
+                .limit(20)
+            )(
+                (
+                    events
+                    if s == 1
+                    else scaled(events, s, ["event_id", "user_id"])
+                ).select(
+                    "user_id",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id",
+                    "event_type",
+                )
+            )
+        ),
+        # frame motion: one Arrow stage, linear in clips
+        "frame_motion": (
+            lambda s: frame_motion(
+                attach_payload(
+                    docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                    "doc_id",
+                    "text",
+                ),
+                frame_bytes=64,
+                max_frames=8,
+            )
+        ),
+        # hapax: (lang, tok) counts then rollup
+        "hapax_ratio": (
+            lambda s: (
+                lambda d: d.select(
+                    F.coalesce("lang", F.lit("und")).alias("lang"),
+                    F.explode(tokens("text")).alias("tok"),
+                )
+                .groupBy("lang", "tok")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("vocab"),
+                    F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+                )
+            )(docs if s == 1 else scaled(docs, s, ["doc_id"]))
+        ),
         # round-6 eighth batch -----------------------------------------
         # shot lengths: one Arrow stage + per-clip windows
         "shot_lengths": (

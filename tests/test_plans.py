@@ -1447,3 +1447,42 @@ def test_rel36_cycle_freq_table_before_window(spark):
     assert "partial_count" in plan
     assert "Window" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 ninth batch -----------------------------------------------------
+
+
+def test_td14_agreement_cluster_local_pairs(spark):
+    """Agreement contract: exact pairs enumerate inside fp clusters
+    (hash join on fp), LSH side is the banded path — no cartesian."""
+    plan = _physical(spark, "td14_dedupe_agreement")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x48_movers_takeordered(spark):
+    plan = _physical(spark, "x48_top_movers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel37_paths_user_window_then_agg(spark):
+    plan = _physical(spark, "rel37_top_paths")
+    assert "Window" in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm21_motion_single_arrow_stage(spark):
+    plan = _physical(spark, "mm21_frame_motion")
+    assert plan.count("MapInPandas") == 1
+    assert "EvalPython" not in plan
+
+
+def test_tx40_hapax_two_chained_aggs(spark):
+    plan = _physical(spark, "tx40_hapax_ratio")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
