@@ -233,6 +233,12 @@ BENCH_QUERIES = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
     "x32_join_skew_report",
+    # round-6 tenth batch
+    "gr21_edge_support",
+    "dq16_id_gaps",
+    "ts24_norm_profile",
+    "td15_soft_dedupe_weights",
+    "mm22_crest_factor",
     # round-6 ninth batch
     "td14_dedupe_agreement",
     "x48_top_movers",

@@ -242,3 +242,114 @@ tri AS (
          (SELECT count(*) FROM wedges) AS n_wedges,
          (SELECT count(*) FROM closed) AS n_triangles
 )"""
+
+
+def edge_support(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Per-edge triangle support histogram: support(e) = number of
+    triangles containing e; support-0 edges are LOCAL BRIDGES
+    (Granovetter's weak ties — removing one disconnects its endpoints'
+    neighborhoods), the classic community-boundary signal and the
+    backbone of truss decomposition.
+
+    Same oriented wedge enumeration as :func:`triangle_stats`; each
+    closed wedge (c, x, y) supports its THREE edges — (c,x), (c,y),
+    (x,y) in canonical order — so support is one combinable count over
+    the 3× exploded triangle stream joined back to the edge set.
+    Output: (support, n_edges) plus the derived bridge share is the
+    support-0 row."""
+    und = _canonical(edges, a, b).persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    e1 = o.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+    e2 = o.select(F.col("lo").alias("c"), F.col("hi").alias("y"))
+    wedges = e1.join(e2, "c").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("c", "x").alias("u"), F.greatest("c", "x").alias("v")
+                ),
+                F.struct(
+                    F.least("c", "y").alias("u"), F.greatest("c", "y").alias("v")
+                ),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    per_edge = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    supported = und.join(per_edge, ["u", "v"], "left").select(
+        F.coalesce("support", F.lit(0)).alias("support")
+    )
+    return supported.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).select(F.col("support").cast("long").alias("support"), "n_edges")
+
+
+def duck_edge_support(edges_select: str) -> str:
+    """DuckDB CTE body mirroring :func:`edge_support`; exposes
+    ``esup(support, n_edges)``."""
+    return f"""
+eraw AS ({edges_select}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM eraw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS lo,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS hi
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+wedges AS (
+  SELECT e1.c, e1.x, e2.y
+  FROM (SELECT lo AS c, hi AS x FROM o) e1
+  JOIN (SELECT lo AS c, hi AS y FROM o) e2 ON e1.c = e2.c AND e1.x < e2.y
+),
+closed AS (
+  SELECT w.c, w.x, w.y FROM wedges w JOIN und ON und.u = w.x AND und.v = w.y
+),
+tri_edges AS (
+  SELECT least(c, x) AS u, greatest(c, x) AS v FROM closed
+  UNION ALL SELECT least(c, y), greatest(c, y) FROM closed
+  UNION ALL SELECT x, y FROM closed
+),
+per_edge AS (
+  SELECT u, v, count(*)::BIGINT AS support FROM tri_edges GROUP BY u, v
+),
+esup AS (
+  SELECT coalesce(p.support, 0)::BIGINT AS support,
+         count(*)::BIGINT AS n_edges
+  FROM und LEFT JOIN per_edge p USING (u, v)
+  GROUP BY coalesce(p.support, 0)
+)"""

@@ -65,6 +65,8 @@ from bioeco_portal_etl_spark.multimodal.media import attach_payload, scene_cuts 
 from bioeco_portal_etl_spark.sketches.histq import binned_histogram, hist_quantiles  # noqa: E402
 from bioeco_portal_etl_spark.similarity.pq import pq_encode  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import frame_motion  # noqa: E402
+from bioeco_portal_etl_spark.graph.triangles import edge_support  # noqa: E402
+from bioeco_portal_etl_spark.multimodal.media import wav_clip_stats  # noqa: E402
 from bioeco_portal_etl_spark.sketches.cms import cms_build, cms_estimate  # noqa: E402
 from bioeco_portal_etl_spark.similarity.knn import cosine_topk  # noqa: E402
 from bioeco_portal_etl_spark.multimodal.media import channel_correlation  # noqa: E402
@@ -909,6 +911,100 @@ def main() -> None:
         # edges, the honest growth mode for a time-accumulated graph:
         # scaling orders instead would merge day cohorts and grow pairs
         # quadratically, a fixture artifact)
+        # round-6 tenth batch ------------------------------------------
+        # edge support: oriented triangles + 3x explode + count
+        "edge_support": (
+            lambda s: edge_support(
+                _coorder() if s == 1 else scaled(_coorder(), s, ["src", "dst"])
+            )
+        ),
+        # id gaps: distinct + one lag window over the id table
+        "id_gaps": (
+            lambda s: (
+                lambda ids: (
+                    lambda d: d.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum((F.col("delta") > 1).cast("long")).alias(
+                            "runs"
+                        ),
+                    )
+                )(
+                    ids.select(
+                        "id",
+                        (F.col("id") - F.lag("id").over(Window.orderBy("id")))
+                        .alias("delta"),
+                    )
+                )
+            )(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey"]))
+                .select(F.col("o_orderkey").alias("id"))
+                .distinct()
+            )
+        ),
+        # norm profile: codegen fold + bucket agg
+        "norm_profile": (
+            lambda s: (
+                lambda e: e.select(
+                    F.aggregate(
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x: F.floor(x.cast("double") * 10000).cast(
+                                "long"
+                            ),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, xq: acc + xq * xq,
+                    ).alias("norm2_q")
+                )
+                .select(F.expr("norm2_q div 50000000").alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_vecs"))
+            )(embeddings if s == 1 else scaled(embeddings, s, ["vec_id"]))
+        ),
+        # soft-dedupe weights: hash groupBy + join back
+        "soft_dedupe_weights": (
+            lambda s: (
+                lambda d: d.join(
+                    d.groupBy("fp").agg(
+                        F.count(F.lit(1)).alias("cluster_size")
+                    ),
+                    "fp",
+                ).select(
+                    "doc_id",
+                    F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias(
+                        "weight_e6"
+                    ),
+                )
+            )(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "doc_id",
+                    F.md5(
+                        F.substring(F.coalesce("text", F.lit("")), 1, 100)
+                    ).alias("fp"),
+                )
+            )
+        ),
+        # crest factor: one Arrow stats stage + JVM projection
+        "crest_factor": (
+            lambda s: wav_clip_stats(
+                synth_pcm_wav(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 100),
+                    "doc_id",
+                )
+            ).select(
+                "media_id",
+                F.expr(
+                    "CASE WHEN energy > 0 THEN CAST(floor(10000"
+                    " * greatest(max_s, -min_s)"
+                    " / sqrt(CAST(energy AS DOUBLE) / n_samples))"
+                    " AS BIGINT) END"
+                ).alias("crest_e4"),
+            )
+        ),
         # round-6 ninth batch ------------------------------------------
         # dedupe agreement: cluster-local exact pairs + banded LSH arm
         "dedupe_agreement": (

@@ -1486,3 +1486,43 @@ def test_tx40_hapax_two_chained_aggs(spark):
     assert "partial_count" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-6 tenth batch -----------------------------------------------------
+
+
+def test_gr21_edge_support_oriented_persisted(spark):
+    plan = _physical(spark, "gr21_edge_support")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # canonical edges persisted once
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq16_id_gaps_distinct_before_window(spark):
+    """Gap contract: the lag window runs on the DISTINCT id table."""
+    plan = _physical(spark, "dq16_id_gaps")
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts24_norm_profile_codegen_fold_no_python(spark):
+    """Norm contract: the quantized fold is a codegen HOF; one agg."""
+    plan = _physical(spark, "ts24_norm_profile")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_td15_weights_hash_join_back(spark):
+    plan = _physical(spark, "td15_soft_dedupe_weights")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mm22_crest_metric_jvm_side(spark):
+    """Crest contract: ONE Arrow stage per synth/decode pair; the crest
+    arithmetic itself is a JVM projection over the stats columns."""
+    plan = _physical(spark, "mm22_crest_factor")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
