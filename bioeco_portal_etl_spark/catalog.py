@@ -1084,6 +1084,12 @@ _GATE_FIRST = [
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
 ]
+# Round-7 rotation plan: after the 6 overflow entries above, gate the 50
+# round-6 additions (ext21–ext30, declaration order — oldest batch
+# first; mm14_jpeg_roundtrip already gated at slot 50 this round), then
+# resume the longest-since-sampled refresh (r3/r4-era entries). Update
+# tests/test_gate_window.py's pin in the SAME commit as any _GATE_FIRST
+# edit — the round-5 silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},

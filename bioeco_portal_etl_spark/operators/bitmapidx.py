@@ -26,7 +26,6 @@ def bitmap_suitability(
     column, runs measured under ``order_col`` order."""
     out = None
     for c in columns:
-        w = Window.orderBy(order_col)
         runs = df.select(
             F.col(c).cast("string").alias("v"), F.col(order_col).alias("o")
         ).select(
@@ -52,7 +51,6 @@ def bitmap_suitability(
             ),
         )
         out = agg if out is None else out.unionByName(agg)
-        del w
     return out
 
 
