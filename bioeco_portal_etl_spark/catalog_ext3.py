@@ -545,7 +545,10 @@ ranked AS (
 ),
 prefix AS (
   SELECT doc_id, s FROM ranked
-  WHERE rk <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+  -- exact integer miss budget (n * 2000) // 10000 = floor(0.2 n): the
+  -- float 0.19999...996 * n form lost a whole miss at exact boundaries
+  -- (round-6 hypothesis-completeness fix, mirrored from dedupe.py)
+  WHERE rk <= (n * 2000) // 10000 + 1
     AND df BETWEEN 2 AND 1000
 ),
 probe AS (

@@ -451,7 +451,16 @@ def containment_pairs(
         F.row_number().over(w).alias("__rk"),
         F.count(F.lit(1)).over(nw).alias("__n"),
     )
-    miss_budget = F.floor((1.0 - threshold) * F.col("__n")).cast("long")
+    # EXACT integer budget: floor(n·(1-t)) computed as
+    # (n · (10000 - t_e4)) div 10000 — the float form
+    # floor((1.0 - 0.8) · n) evaluates floor(0.19999…996 · n) and LOSES a
+    # whole miss at exact boundaries (n = 10 → 1, not 2), silently
+    # emptying the prefix and dropping pairs sitting exactly AT the
+    # threshold (found by the hypothesis completeness property, round 6)
+    t_e4_budget = int(round(threshold * 10000))
+    miss_budget = F.expr(
+        f"(__n * {10000 - t_e4_budget}) div 10000"
+    ).cast("long")
     prefix = ranked.filter(
         (F.col("__rk") <= miss_budget + 1)
         & (F.col("__df") >= 2)
@@ -493,7 +502,8 @@ def containment_pairs(
             F.expr("(n_common * 10000) div n_b").alias("cont_b_e4"),
         )
     )
-    t_e4 = int(threshold * 10000)
+    # round, don't truncate: int(0.7 * 10000) is 6999 for some floats
+    t_e4 = int(round(threshold * 10000))
     return scored.filter(
         (F.col("cont_a_e4") >= t_e4) | (F.col("cont_b_e4") >= t_e4)
     )
