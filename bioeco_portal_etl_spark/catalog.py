@@ -1014,82 +1014,83 @@ _CATALOG.update(CATALOG_TPCH2)
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # slot 1: the de-vacuated gate entry (round-6 fix, nonzero rows now)
-    "tx31_doc_cosine",
-    # ext5 (first round-5 batch + remainder) — parked since mid-round-5:
-    "gr6_dup_components",
-    "dq3_split_leakage",
-    "x22_incremental_agg",
-    "mm6_png_channel_stats",
-    "ts9_recall_at_k",
-    "mm7_wav_clip_stats",
-    "x23_scd2_history",
-    "tx20_winnow_fingerprints",
-    "w11_stream_static_enrich",
-    "dq4_psi_drift",
-    "ts10_sq8_topk",
-    # ext6:
-    "dq5_k_anonymity",
-    "tx21_bpe_merges",
-    "td11_semantic_dedupe",
-    "x24_zorder_layout",
-    "dq6_benford",
-    "mm8_phash_groups",
-    "w12_stream_outer_join",
-    # ext7:
-    "tx22_bm25",
-    "ts11_rrf_fusion",
-    "gr7_label_communities",
-    "gr8_kcore",
-    "dq7_profile_drift",
-    "x25_salted_join",
-    # ext8:
-    "tx23_heavy_hitters",
-    "tx24_bpe_encode",
-    "x26_bloom_join",
-    "dq8_lateness_audit",
-    "rel26_pivot",
-    "mm9_wav_downsample",
-    # ext9:
-    "w13_stream_two_level_agg",
-    "td12_lsh_quality",
-    "x27_epoch_shuffle",
-    "x28_compaction_plan",
-    "tx25_blocklist_filter",
-    "rel27_rolling_slope",
-    # ext10/ext11 displaced:
-    "gr9_hits",
-    "ts12_range_search",
-    "x29_cdc_net_effect",
-    # later-displaced round-5 remainder (ext11-ext13 era):
-    "tx26_rake_keywords",
-    "ts13_filtered_ann",
-    "w14_stream_complete_topk",
-    "gr10_random_walks",
-    "x30_scd2_asof",
-    "rel28_percent_rank",
-    "rel29_grouping_sets",
-    "sk7_hll_merge",
-    "dq9_fd_violations",
-    # slot 50: the round-6 JPEG codec entry (VERDICT r5 #8 asks for a
-    # DRIVER-green row on real JPEG bytes; x31_dsir_weights yields its
-    # slot and heads the round-7 queue below)
-    "mm14_jpeg_roundtrip",
-    # ---- position 51+ below (not driver-sampled this round) ----
-    # never-sampled overflow — FIRST in line for round 7:
+    # ---- ROUND-7 WINDOW (slots 1-50): all 50 are never-driver-sampled.
+    # Slots 1-6: the round-5 stragglers that overflowed the round-6 window:
     "x31_dsir_weights",
     "tx27_gopher_rules",
     "ts14_hard_negatives",
     "w15_stream_cdc_upsert",
     "tx29_ngram_coverage",
     "ts15_ivf_balance",
+    # Slots 7-50: the round-6 additions, declaration order, oldest batch
+    # first (ext21's mm14_jpeg_roundtrip was already driver-sampled in
+    # round 6 at slot 50, so ext21 contributes its remaining 4).
+    # ext21:
+    "mm15_wav_silence_trim",
+    "gr17_adamic_adar",
+    "ts19_centroid_stats",
+    "dq12_split_balance",
+    # ext22:
+    "tx34_ngram_novelty",
+    "x40_skyline_2d",
+    "gr18_clustering_coeff",
+    "mm16_pixel_gini",
+    "x41_nucleus_coverage",
+    # ext23:
+    "tx35_term_burstiness",
+    "ts20_matryoshka_recall",
+    "sk11_minhash_lang_sim",
+    "mm17_jpeg_blockiness",
+    "dq13_duplicate_burden",
+    # ext24:
+    "rel33_max_concurrency",
+    "x43_weighted_median",
+    "x44_join_card_estimate",
+    "mm18_gain_normalization",
+    "tx36_langid_confusion",
+    # ext25:
+    "tx37_bpe_fertility",
+    "x45_bitmap_estimate",
+    "td13_shard_dup_locality",
+    "gr19_rich_club",
+    "w20_stream_union_dedupe",
+    # ext26:
+    "ts21_nprobe_sweep",
+    "sk12_cms_error_sweep",
+    "tx38_garbage_score",
+    "mm19_channel_correlation",
+    "dq14_expectation_drift",
+    # ext27:
+    "gr20_modularity",
+    "rel35_period_growth",
+    "ts22_centroid_drift",
+    "dq15_key_discovery",
+    "x46_ndv_estimate_audit",
+    # ext28:
+    "mm20_shot_lengths",
+    "sk13_histq_error_sweep",
+    "ts23_pq_utilization",
+    "x47_decile_lift",
+    "rel36_cycle_time",
+    # ext29:
+    "td14_dedupe_agreement",
+    "x48_top_movers",
+    "rel37_top_paths",
+    "mm21_frame_motion",
+    "tx40_hapax_ratio",
+    # ---- position 51+ below (not driver-sampled this round) ----
+    # never-sampled overflow — FIRST in line for round 8 (ext30):
+    "gr21_edge_support",
+    "dq16_id_gaps",
+    "ts24_norm_profile",
+    "td15_soft_dedupe_weights",
+    "mm22_crest_factor",
 ]
-# Round-7 rotation plan: after the 6 overflow entries above, gate the 50
-# round-6 additions (ext21–ext30, declaration order — oldest batch
-# first; mm14_jpeg_roundtrip already gated at slot 50 this round), then
-# resume the longest-since-sampled refresh (r3/r4-era entries). Update
-# tests/test_gate_window.py's pin in the SAME commit as any _GATE_FIRST
-# edit — the round-5 silent-displacement trap.
+# Round-8 rotation plan: gate ext30's 5 overflow entries above, then any
+# round-7 additions (oldest batch first), then resume the
+# longest-since-sampled refresh (r2/r3-era entries, oldest driver row
+# first). Update tests/test_gate_window.py's pin in the SAME commit as
+# any _GATE_FIRST edit — the round-5 silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},
