@@ -403,6 +403,86 @@ def compact_line(
     return line
 
 
+def _bench_one(spark, name: str, sf_dir: str) -> float:
+    """Steady-state timing for one query: 1 untimed warm-up, min of 3."""
+    qmap = catalog.queries()
+    qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _calibration_df(spark):
+    return spark.range(1_500_000_000).selectExpr(
+        "sum(id * 3 + 1) AS s", "count(*) AS n"
+    )
+
+
+def _calibrate(spark) -> float:
+    _calibration_df(spark).write.format("noop").mode("overwrite").save()
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_df(spark).write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - t0)
+    return calib
+
+
+def isolate_main(names: list[str]) -> None:
+    """Fresh-JVM-per-query mode (VERDICT r6 #4): each query is measured in
+    its own subprocess with its own SparkSession, so a suspected mover can
+    be separated from suite-position/GC effects by inspection. The td2
+    isolation study (SCALING.md "Bench methodology") showed sub-2s queries
+    swing ~2x with host contention; this mode plus the per-run calibration
+    row is the standing tool for adjudicating such movers.
+    """
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--isolated-one", name],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[name] = {"sec": row["sec"], "calibration_sec": row["calibration_sec"]}
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_fresh_jvm",
+                "unit": "sec",
+                "queries": out,
+                "sf": sf,
+            }
+        )
+    )
+
+
+def isolated_one_main(name: str) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name=f"bench-isolate-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    calib = _calibrate(spark)
+    sec = _bench_one(spark, name, sf_dir)
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "sec": round(sec, 3),
+                "calibration_sec": round(calib, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -412,18 +492,13 @@ def main() -> None:
     qmap = catalog.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
 
-    # Fixed CPU-bound calibration, timed with the same protocol: a pure
-    # codegen aggregate over a literal range, no I/O, no data dependence.
-    # Cross-round comparisons divide by this — the box's effective speed
-    # varies run-to-run (host contention / frequency scaling; a uniform
-    # 1.4x swing across byte-identical queries was measured in round 4),
-    # and the calibration row lets a reader separate machine drift from
-    # code drift.
-    def _calibration():
-        return spark.range(1_500_000_000).selectExpr(
-            "sum(id * 3 + 1) AS s", "count(*) AS n"
-        )
-
+    # Fixed CPU-bound calibration (see _calibration_df), timed with the same
+    # protocol: a pure codegen aggregate over a literal range, no I/O, no
+    # data dependence. Cross-round comparisons divide by this — the box's
+    # effective speed varies run-to-run (host contention / frequency
+    # scaling; a uniform 1.4x swing across byte-identical queries was
+    # measured in round 4), and the calibration row lets a reader separate
+    # machine drift from code drift.
     # Steady-state protocol: one untimed warm-up pass per query (parquet
     # footers, broadcast relations, codegen JIT), then MIN of three timed
     # passes. Min-of-3 (raised from 2 in round 4) is the noise methodology:
@@ -435,12 +510,7 @@ def main() -> None:
     for name in names:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    _calibration().write.format("noop").mode("overwrite").save()
-    calib = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _calibration().write.format("noop").mode("overwrite").save()
-        calib = min(calib, time.perf_counter() - t0)
+    calib = _calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -479,4 +549,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        isolate_main([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolated-one":
+        isolated_one_main(sys.argv[2])
+    else:
+        main()
