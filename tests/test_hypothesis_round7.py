@@ -1,0 +1,267 @@
+"""Round-7 adversarial property tests (VERDICT r6 #8): one per major
+family that lacked one.
+
+1. Streaming sessionization is invariant under micro-batch RE-SLICING:
+   any consecutive slicing of a per-user time-ordered event stream —
+   with arbitrary re-ordering WITHIN each batch — yields byte-identical
+   closed sessions and the same open-tail state as the single-batch run
+   and as a pure-Python reference. This is the exactness contract
+   streaming/sessions_stream.py documents; here it is enforced over
+   generated streams instead of hand-picked fixtures.
+
+2. PQ re-encode idempotence: decoding a PQ code (replacing each
+   subvector by its assigned centroid) and encoding again returns the
+   SAME codes, for any corpus and any codebook with distinct entries.
+   Distance-to-own-centroid is exactly 0.0 in IEEE (x-x underflows to
+   nothing), and any distinct centroid has strictly positive distance at
+   the generated magnitudes, so a flip would mean the argmin or the
+   tiebreak is wrong.
+
+3. SQ quantizer error law: naive re-encode idempotence is FALSE for a
+   floor quantizer (floor((c*amax/127)/amax*127) lands on c-1 for ~16%
+   of (c, amax) — measured, not hypothesized — because the decode
+   divides and re-multiplies through amax and floor amplifies a half-ulp
+   shortfall into a full step). The property the codec actually
+   guarantees, and the one a scale/sign bug would break, is the
+   reconstruction bound: for every coordinate,
+   x - step < decode(encode(x)) <= x + eps with step = amax/127, plus
+   code range |c| <= 127 and sign agreement.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bioeco_portal_etl_spark.streaming.sessions_stream import _make_sessionize_fn
+
+_PURE_SETTINGS = settings(max_examples=60, deadline=None)
+_SPARK_SETTINGS = settings(max_examples=5, deadline=None)
+
+_US = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# 1. sessionization: batch re-slicing invariance
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState — enough to drive the
+    applyInPandasWithState function body deterministically in-process."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):  # pragma: no cover - no-op in fake
+        pass
+
+
+def _ref_sessions(times_us: list[int], gap_us: int):
+    """Pure-Python single-pass gap sessionization over the sorted stream."""
+    closed = []
+    start = end = n = None
+    for t in sorted(times_us):
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > gap_us:
+            closed.append((start, end, (end - start) // _US, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = max(end, t), n + 1
+    return closed, (start, end, n)
+
+
+def _drive(batches: list[list[tuple[int, int]]], gap_us: int):
+    """Feed event batches [(ts_us, event_id)] through the streaming fn
+    body with a fake state; return (closed sessions, final state)."""
+    fn = _make_sessionize_fn(gap_us)
+    state = _FakeGroupState()
+    closed = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "user_id": [7] * len(batch),
+                "ts": pd.to_datetime([t for t, _ in batch], unit="us"),
+                "event_id": [e for _, e in batch],
+            }
+        )
+        for out in fn((7,), iter([pdf]), state):
+            for r in out.itertuples(index=False):
+                closed.append(
+                    (
+                        r.session_start.value // 1000,  # ns -> us
+                        r.session_end.value // 1000,
+                        int(r.duration_sec),
+                        int(r.n_events),
+                    )
+                )
+    return closed, state._v
+
+
+@given(
+    times=st.lists(st.integers(0, 40 * _US), min_size=1, max_size=60),
+    gap_s=st.integers(1, 12),
+    seed=st.randoms(use_true_random=False),
+    cuts=st.lists(st.integers(1, 6), min_size=0, max_size=20),
+)
+@_PURE_SETTINGS
+def test_sessionize_invariant_under_batch_reslicing(times, gap_s, seed, cuts):
+    gap_us = gap_s * _US
+    ordered = [(t, i) for i, t in enumerate(sorted(times))]
+    ref_closed, ref_open = _ref_sessions(times, gap_us)
+
+    # slice the ordered stream into consecutive batches per generated cut
+    # sizes (remainder becomes the last batch), then shuffle WITHIN each
+    # batch — the contract allows intra-batch disorder, not inter-batch.
+    batches: list[list[tuple[int, int]]] = []
+    i = 0
+    for c in cuts:
+        if i >= len(ordered):
+            break
+        batches.append(ordered[i : i + c])
+        i += c
+    if i < len(ordered):
+        batches.append(ordered[i:])
+    for b in batches:
+        seed.shuffle(b)
+
+    got_closed, got_state = _drive(batches, gap_us)
+    assert got_closed == ref_closed
+    assert got_state is not None
+    assert (got_state[0], got_state[1], got_state[2]) == ref_open
+
+    # and the one-batch run (the batch face's shape) agrees too
+    one_closed, one_state = _drive([list(ordered)], gap_us)
+    assert one_closed == ref_closed
+    assert one_state == got_state
+
+
+# ---------------------------------------------------------------------------
+# 2. PQ re-encode idempotence
+# ---------------------------------------------------------------------------
+
+_N_SUB, _SUB_DIM = 4, 2
+_COORD = st.integers(-50, 50).map(lambda v: v / 10.0)  # grid avoids underflow
+
+
+@st.composite
+def _pq_case(draw):
+    n_codes = draw(st.integers(2, 5))
+    books = []
+    for s in range(_N_SUB):
+        entries = draw(
+            st.lists(
+                st.tuples(*[_COORD for _ in range(_SUB_DIM)]),
+                min_size=n_codes,
+                max_size=n_codes,
+                unique=True,  # distinct centroids: zero-distance ties impossible
+            )
+        )
+        books.extend((s, c, list(vec)) for c, vec in enumerate(entries))
+    n_vecs = draw(st.integers(1, 6))
+    vecs = draw(
+        st.lists(
+            st.tuples(*[_COORD for _ in range(_N_SUB * _SUB_DIM)]),
+            min_size=n_vecs,
+            max_size=n_vecs,
+        )
+    )
+    return books, [list(v) for v in vecs]
+
+
+@given(case=_pq_case())
+@_SPARK_SETTINGS
+def test_pq_reencode_is_identity(spark, case):
+    from bioeco_portal_etl_spark.similarity.pq import pq_encode
+
+    books, vecs = case
+    cb = spark.createDataFrame(books, "subspace int, code int, subvec array<double>")
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, vec array<double>"
+    )
+    codes = pq_encode(corpus, cb, "vec", "id", n_sub=_N_SUB, sub_dim=_SUB_DIM)
+    first = {(r.vec_id, r.subspace): r.code for r in codes.collect()}
+
+    # decode: replace every subvector by its assigned centroid, exactly
+    book = {(s, c): v for s, c, v in books}
+    decoded = []
+    for i, _v in enumerate(vecs):
+        flat: list[float] = []
+        for s in range(_N_SUB):
+            flat.extend(book[(s, first[(i, s)])])
+        decoded.append((i, flat))
+    corpus2 = spark.createDataFrame(decoded, "id long, vec array<double>")
+    codes2 = pq_encode(corpus2, cb, "vec", "id", n_sub=_N_SUB, sub_dim=_SUB_DIM)
+    second = {(r.vec_id, r.subspace): r.code for r in codes2.collect()}
+    assert second == first
+
+
+# ---------------------------------------------------------------------------
+# 3. SQ quantizer error law (re-encode idempotence is provably false)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, width=32).map(float),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SPARK_SETTINGS
+def test_sq_codes_bound_range_and_reconstruction(spark, vecs):
+    from bioeco_portal_etl_spark.similarity.sq import sq_encode, sq_scale
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, vec array<double>"
+    )
+    scale = sq_scale(corpus, "vec")
+    amax = scale.collect()[0]["amax"]
+    rows = sq_encode(corpus, "vec", scale).collect()
+    if amax == 0.0:
+        assert all(all(c == 0 for c in r.code) for r in rows)
+        return
+    step = amax / 127.0
+    eps = 1e-9 * amax
+    for r in rows:
+        x = vecs[r.id]
+        assert len(r.code) == 64
+        for xi, c in zip(x, r.code):
+            assert -127 <= c <= 127
+            if xi > step:
+                assert c > 0
+            d = c * step  # decode
+            # floor quantizer: d <= x (up to float eps), and within one step
+            assert d <= xi + eps
+            assert xi - d < step + eps
+
+
+@pytest.mark.parametrize("c,amax", [(-112, 582996.9044608243), (19, 103055.7124444883)])
+def test_sq_floor_reencode_counterexamples(c, amax):
+    """Pins WHY property 3 is an error law and not naive idempotence:
+    concrete (code, scale) pairs where floor re-encode drops a step."""
+    d = c * amax / 127
+    assert math.floor(d / amax * 127) == c - 1
