@@ -359,6 +359,12 @@ BENCH_QUERIES = [
     "dq4_psi_drift",
     "ts10_sq8_topk",
     "dq5_k_anonymity",
+    # round-7 first batch
+    "mm23_jpeg_color_roundtrip",
+    "td16_minhash_error_sweep",
+    "tx41_zipf_slope",
+    "ts25_dim_covariance",
+    "x49_poisson_bootstrap",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

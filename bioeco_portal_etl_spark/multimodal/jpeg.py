@@ -14,11 +14,20 @@ sequential grayscale profile (ITU-T T.81 / ISO 10918-1, the public spec):
   tables, bit-stuffing, edge-replication padding for non-multiple-of-8
   dimensions.
 
+Round 7 extends the same machinery to BASELINE 4:4:4 YCbCr COLOR
+(VERDICT r6 #6): three interleaved 8x8 blocks per MCU (Y, Cb, Cr — no
+chroma subsampling, so no upsampling filter enters the exactness
+argument), Annex K chrominance Huffman tables (K.4/K.6), a second
+all-ones quantization table, and the JFIF RGB<->YCbCr conversion with a
+PINNED rounding convention (floor(v + 0.5), clamp to [0, 255]; see
+_rgb_to_ycbcr) so an arithmetic oracle can mirror it literal-for-literal.
+
 NOT supported (raise ValueError, per the seam's "raise, never fake
-pixels" contract): progressive (SOF2), arithmetic coding, multi-component
-scans (color needs chroma upsampling + YCbCr math this sandbox cannot
-verify against an independent decoder), restart intervals (DRI), 12-bit
-depth. A production deployment swaps PIL in at the same decode seam.
+pixels" contract): progressive (SOF2), arithmetic coding, chroma
+SUBSAMPLING (4:2:0 / 4:2:2 — the upsampling filter choice is
+decoder-specific, so an independent arithmetic oracle cannot pin it),
+restart intervals (DRI), 12-bit depth, component counts other than 1 or
+3. A production deployment swaps PIL in at the same decode seam.
 
 Exactness model for oracle-checked fixtures (the PNG playbook adapted to
 a LOSSY codec): with all-ones quantization tables and images CONSTANT
@@ -70,6 +79,39 @@ AC_VALS = (
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 )
+# --- Annex K chrominance tables (ITU-T T.81 Tables K.4 / K.6, public) ----
+
+DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+DC_VALS_C = tuple(range(12))
+
+AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+# fmt: off
+AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+# fmt: on
+assert sum(AC_BITS_C) == len(AC_VALS_C) == 162
+
 # zigzag index -> raster index (standard scan order)
 ZIGZAG = (
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -103,6 +145,47 @@ def _canonical_codes(bits, vals):
 
 _DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+_DC_ENC_C = _canonical_codes(DC_BITS_C, DC_VALS_C)
+_AC_ENC_C = _canonical_codes(AC_BITS_C, AC_VALS_C)
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+# JFIF color conversion with a PINNED rounding convention. Five literals
+# only (0.299, 0.587, 0.114, 1.402, 1.772); the derived forms keep the
+# forward/inverse pair mathematically exact before rounding:
+#   y  = 0.299 r + 0.587 g + 0.114 b
+#   cb = 128 + (b - y) / 1.772        (equiv. -0.1687 r - 0.3313 g + 0.5 b)
+#   cr = 128 + (r - y) / 1.402        (equiv.  0.5 r - 0.4187 g - 0.0813 b)
+# inverse: r = y + 1.402 (cr-128); b = y + 1.772 (cb-128);
+#          g = (y - 0.299 r0 - 0.114 b0) / 0.587  on the UNROUNDED r0/b0.
+# Each output rounds floor(v + 0.5) then clamps to [0, 255]. The oracle
+# SQL (catalog mm23) mirrors these literals and this order EXACTLY —
+# IEEE doubles make the two engines bit-identical.
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y0 = 0.299 * r + 0.587 * g + 0.114 * b
+    cb0 = 128.0 + (b - y0) / 1.772
+    cr0 = 128.0 + (r - y0) / 1.402
+    return (
+        _clamp8(math.floor(y0 + 0.5)),
+        _clamp8(math.floor(cb0 + 0.5)),
+        _clamp8(math.floor(cr0 + 0.5)),
+    )
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r0 = y + 1.402 * (cr - 128)
+    b0 = y + 1.772 * (cb - 128)
+    g0 = (y - 0.299 * r0 - 0.114 * b0) / 0.587
+    return (
+        _clamp8(math.floor(r0 + 0.5)),
+        _clamp8(math.floor(g0 + 0.5)),
+        _clamp8(math.floor(b0 + 0.5)),
+    )
 
 # 8x8 DCT basis: _COS[u][x] = cos((2x+1) u pi / 16), C(u) normalization
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
@@ -178,6 +261,50 @@ def _encode_amplitude(n: int) -> tuple[int, int]:
     return n, cat
 
 
+def _encode_coeffs(bw: _BitWriter, coeffs, prev_dc: int, dc_enc, ac_enc) -> int:
+    """Huffman-encode one quantized block (raster order): DC DPCM against
+    ``prev_dc``, AC run-length in zigzag. Returns the block's DC for the
+    next prediction. Shared by the grayscale and color encoders."""
+    diff = coeffs[0] - prev_dc
+    amp, cat = _encode_amplitude(diff)
+    code, length = dc_enc[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(amp, cat)
+    zz = [coeffs[ZIGZAG[i]] for i in range(1, 64)]
+    last_nz = -1
+    for i, v in enumerate(zz):
+        if v:
+            last_nz = i
+    run = 0
+    for i in range(last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zcode, zlen = ac_enc[0xF0]  # ZRL
+            bw.write(zcode, zlen)
+            run -= 16
+        amp, cat = _encode_amplitude(v)
+        acode, alen = ac_enc[(run << 4) | cat]
+        bw.write(acode, alen)
+        bw.write(amp, cat)
+        run = 0
+    if last_nz < 62:
+        ecode, elen = ac_enc[0x00]  # EOB
+        bw.write(ecode, elen)
+    return coeffs[0]
+
+
+def _plane_block(plane: list[list[int]], bx: int, by: int, w: int, h: int):
+    """8x8 level-shifted block at tile (bx, by) with edge replication."""
+    return [
+        [plane[min(by + y, h - 1)][min(bx + x, w - 1)] - 128 for x in range(8)]
+        for y in range(8)
+    ]
+
+
 def encode_jpeg_gray(rows: list[list[int]]) -> bytes:
     """8-bit grayscale rows -> baseline sequential JFIF bytes with
     all-ones quantization (quality-100-lossless-for-flat-blocks) and the
@@ -193,46 +320,8 @@ def encode_jpeg_gray(rows: list[list[int]]) -> bytes:
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = [
-                [
-                    rows[min(by + y, h - 1)][min(bx + x, w - 1)] - 128
-                    for x in range(8)
-                ]
-                for y in range(8)
-            ]
-            coeffs = _fdct_quant(block)
-            # DC: DPCM
-            diff = coeffs[0] - prev_dc
-            prev_dc = coeffs[0]
-            amp, cat = _encode_amplitude(diff)
-            code, length = _DC_ENC[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(amp, cat)
-            # AC: run-length in zigzag order
-            zz = [coeffs[ZIGZAG[i]] for i in range(1, 64)]
-            last_nz = -1
-            for i, v in enumerate(zz):
-                if v:
-                    last_nz = i
-            run = 0
-            for i in range(last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    zcode, zlen = _AC_ENC[0xF0]  # ZRL
-                    bw.write(zcode, zlen)
-                    run -= 16
-                amp, cat = _encode_amplitude(v)
-                acode, alen = _AC_ENC[(run << 4) | cat]
-                bw.write(acode, alen)
-                bw.write(amp, cat)
-                run = 0
-            if last_nz < 62:
-                ecode, elen = _AC_ENC[0x00]  # EOB
-                bw.write(ecode, elen)
+            coeffs = _fdct_quant(_plane_block(rows, bx, by, w, h))
+            prev_dc = _encode_coeffs(bw, coeffs, prev_dc, _DC_ENC, _AC_ENC)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -245,6 +334,67 @@ def encode_jpeg_gray(rows: list[list[int]]) -> bytes:
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(rows: list[list[int]]) -> bytes:
+    """8-bit interleaved-RGB rows (each of length 3*width) -> baseline
+    sequential 4:4:4 YCbCr JFIF bytes. Per MCU one 8x8 block per
+    component in (Y, Cb, Cr) order with independent DC predictors; Y uses
+    the Annex K luminance tables + quant table 0, Cb/Cr the chrominance
+    tables + quant table 1 (both all-ones). RGB->YCbCr uses the pinned
+    conversion above, so for tile-constant RGB the encode->decode
+    round-trip equals exactly the double conversion
+    _ycbcr_to_rgb(_rgb_to_ycbcr(px)) — pure arithmetic an oracle can
+    mirror (the mm14 block-constant playbook, now through three
+    interleaved component pipelines)."""
+    h = len(rows)
+    if h == 0 or len(rows[0]) == 0:
+        raise ValueError("empty image")
+    if any(len(r) % 3 for r in rows):
+        raise ValueError("interleaved RGB rows must have length 3*width")
+    w = len(rows[0]) // 3
+    if any(len(r) != 3 * w for r in rows):
+        raise ValueError("ragged rows")
+    planes: list[list[list[int]]] = [
+        [[0] * w for _ in range(h)] for _ in range(3)
+    ]
+    for y, r in enumerate(rows):
+        for x in range(w):
+            ycc = _rgb_to_ycbcr(r[3 * x], r[3 * x + 1], r[3 * x + 2])
+            for c in range(3):
+                planes[c][y][x] = ycc[c]
+    tabs = ((_DC_ENC, _AC_ENC), (_DC_ENC_C, _AC_ENC_C), (_DC_ENC_C, _AC_ENC_C))
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for c in range(3):
+                coeffs = _fdct_quant(_plane_block(planes[c], bx, by, w, h))
+                prev[c] = _encode_coeffs(bw, coeffs, prev[c], *tabs[c])
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # two all-ones 8-bit quant tables in one DQT segment
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64) + b"\x01" + bytes([1] * 64))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00"  # Y:  id 1, 1x1 sampling, qtable 0
+        + b"\x02\x11\x01"  # Cb: id 2, 1x1 sampling, qtable 1
+        + b"\x03\x11\x01",  # Cr: id 3, 1x1 sampling, qtable 1
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -312,17 +462,19 @@ def _extend(amp: int, cat: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
-    """Baseline sequential grayscale decode -> (width, height, channels=1,
-    rows of flat 8-bit samples) — the decode_image contract of
-    multimodal/media.py. Raises ValueError on profiles outside the
-    supported baseline (see module docstring)."""
+    """Baseline sequential decode -> (width, height, channels, rows of
+    flat 8-bit samples) — the decode_image contract of
+    multimodal/media.py. Grayscale (1 component) yields channels=1;
+    4:4:4 YCbCr (3 components, all 1x1 sampling) yields channels=3 with
+    interleaved RGB via the pinned inverse conversion. Raises ValueError
+    on profiles outside the supported baseline (see module docstring)."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = None
+    sof_comps: list[tuple[int, int]] = []  # (component id, qtable id)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -353,76 +505,109 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit depth supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "only single-component (grayscale) JPEG supported"
+                    "only 1-component (gray) or 3-component (YCbCr) "
+                    "JPEG supported"
                 )
-            # component spec: id(1) sampling(1) qtable(1) from offset 6
-            sampling = body[7]
-            if sampling != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_q = body[8]
+            sof_comps = []
+            for i in range(ncomp):
+                # component spec: id(1) sampling(1) qtable(1) from offset 6
+                cid, sampling, qid = body[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG (4:2:0/4:2:2) unsupported — only "
+                        "4:4:4 decodes here (no upsampling filter to pin)"
+                    )
+                sof_comps.append((cid, qid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:  # SOS — scan data follows the header
-            if w is None or comp_q not in qtables:
-                raise ValueError("SOS before SOF/DQT")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
-            dc_tab = htables.get((0, dc_id))
-            ac_tab = htables.get((1, ac_id))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("missing Huffman tables")
-            q = qtables[comp_q]
-            return _decode_scan(payload[pos + seg_len :], w, h, q, dc_tab, ac_tab)
+            if w is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != len(sof_comps):
+                raise ValueError("scan/frame component count mismatch")
+            sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
+            comps = []
+            for cid, qid in sof_comps:
+                if cid not in sel or qid not in qtables:
+                    raise ValueError("SOS component without tables")
+                dc_tab = htables.get((0, sel[cid] >> 4))
+                ac_tab = htables.get((1, sel[cid] & 0x0F))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("missing Huffman tables")
+                comps.append((qtables[qid], dc_tab, ac_tab))
+            return _decode_scan(payload[pos + seg_len :], w, h, comps)
         pos += seg_len
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, w, h, q, dc_tab, ac_tab):
+def _decode_block(br: _BitReader, dc_tab, ac_tab, q, prev_dc: int):
+    """One entropy-coded block -> (8x8 spatial floats, new DC predictor)."""
+    zz = [0] * 64
+    cat = _read_huffman(br, dc_tab)
+    prev_dc += _extend(br.read_bits(cat), cat)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _read_huffman(br, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    coeffs = [0] * 64
+    for i in range(64):
+        coeffs[ZIGZAG[i]] = zz[i] * q[i]
+    return _idct(coeffs), prev_dc
+
+
+def _decode_scan(data, w, h, comps):
+    """Interleaved MCU scan: per MCU one 8x8 block per component (4:4:4,
+    so an MCU is one tile position), independent DC predictors. 1
+    component -> grayscale rows; 3 -> interleaved RGB rows through the
+    pinned YCbCr inverse."""
     br = _BitReader(data)
+    nc = len(comps)
     bw_blocks = (w + 7) // 8
     bh_blocks = (h + 7) // 8
-    out = [[0] * w for _ in range(h)]
-    prev_dc = 0
+    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    prev = [0] * nc
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
-            zz = [0] * 64
-            cat = _read_huffman(br, dc_tab)
-            prev_dc += _extend(br.read_bits(cat), cat)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_huffman(br, ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            coeffs = [0] * 64
-            for i in range(64):
-                coeffs[ZIGZAG[i]] = zz[i] * q[i]
-            spat = _idct(coeffs)
-            for y in range(8):
-                py = by * 8 + y
-                if py >= h:
-                    break
-                row = out[py]
-                srow = spat[y]
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= w:
+            for c, (q, dc_tab, ac_tab) in enumerate(comps):
+                spat, prev[c] = _decode_block(br, dc_tab, ac_tab, q, prev[c])
+                plane = planes[c]
+                for y in range(8):
+                    py = by * 8 + y
+                    if py >= h:
                         break
-                    v = int(math.floor(srow[x] + 128.5))
-                    row[px] = 0 if v < 0 else (255 if v > 255 else v)
-    return w, h, 1, out
+                    row = plane[py]
+                    srow = spat[y]
+                    for x in range(8):
+                        px = bx * 8 + x
+                        if px >= w:
+                            break
+                        v = int(math.floor(srow[x] + 128.5))
+                        row[px] = 0 if v < 0 else (255 if v > 255 else v)
+    if nc == 1:
+        return w, h, 1, planes[0]
+    out = [[0] * (3 * w) for _ in range(h)]
+    for y in range(h):
+        yrow, cbrow, crrow, orow = planes[0][y], planes[1][y], planes[2][y], out[y]
+        for x in range(w):
+            r, g, b = _ycbcr_to_rgb(yrow[x], cbrow[x], crrow[x])
+            orow[3 * x], orow[3 * x + 1], orow[3 * x + 2] = r, g, b
+    return w, h, 3, out
 
 
 def jpeg_header_fn(payload: bytes) -> tuple[int, int, str]:

@@ -113,11 +113,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     """Full-pixel decode plug-point: (width, height, channels, rows of flat
     8-bit samples). REAL for PNG — the pure-stdlib codec in
     :mod:`multimodal.png` (zlib inflate + all five scanline filters) — and
-    for baseline sequential grayscale JPEG — :mod:`multimodal.jpeg`
-    (Huffman + DPCM + dequant + IDCT). Color/progressive JPEG and WebP
-    need PIL/opencv wired HERE — same signature, same mapInPandas batch
-    contract — and raise until then: the seam's error contract is "raise
-    on what you can't decode", never silent fake pixels."""
+    for baseline sequential JPEG, grayscale AND 4:4:4 YCbCr color —
+    :mod:`multimodal.jpeg` (Huffman + DPCM + dequant + IDCT + pinned
+    YCbCr<->RGB). Progressive/subsampled JPEG and WebP need PIL/opencv
+    wired HERE — same signature, same mapInPandas batch contract — and
+    raise until then: the seam's error contract is "raise on what you
+    can't decode", never silent fake pixels."""
     from bioeco_portal_etl_spark.multimodal.jpeg import decode_jpeg, is_jpeg
     from bioeco_portal_etl_spark.multimodal.png import decode_png, is_png
 
@@ -126,10 +127,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     if is_jpeg(payload):
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG and baseline grayscale JPEG decode pixel-level in this "
-        "environment (multimodal/png.py, multimodal/jpeg.py); WebP/color "
-        "JPEG need PIL/opencv wired here with the same "
-        "(w, h, channels, rows) contract"
+        "only PNG and baseline JPEG (grayscale + 4:4:4 color) decode "
+        "pixel-level in this environment (multimodal/png.py, "
+        "multimodal/jpeg.py); WebP and progressive/subsampled JPEG need "
+        "PIL/opencv wired here with the same (w, h, channels, rows) "
+        "contract"
     )
 
 
@@ -224,6 +226,46 @@ def synth_gray_jpeg(
                 ]
                 ids.append(int(mid))
                 blobs.append(encode_jpeg_gray(rows))
+            yield pd.DataFrame({"media_id": ids, "payload": blobs})
+
+    return df.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def synth_rgb_jpeg(
+    df: DataFrame, id_col: str, seed_col: str | None = None
+) -> DataFrame:
+    """(media_id, payload) with payload a REAL baseline 4:4:4 YCbCr COLOR
+    JPEG (multimodal/jpeg.py encode_jpeg_color) of a block-constant RGB
+    tiling: channel c of tile (tx, ty) is
+    ``(seed*31 + tx*7 + ty*11 + c*17) % 256`` — the gray formula plus a
+    per-channel offset. Tile-constant RGB means tile-constant YCbCr, so
+    under all-ones quantization decode(encode(px)) equals EXACTLY the
+    pinned double conversion ycbcr_to_rgb(rgb_to_ycbcr(px)) — pure
+    arithmetic the mm23 oracle mirrors literal-for-literal while the
+    Spark side runs three interleaved Huffman/DPCM/IDCT pipelines."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from bioeco_portal_etl_spark.multimodal.jpeg import encode_jpeg_color
+
+        for pdf in batches:
+            ids, blobs = [], []
+            seeds = pdf[seed_col] if seed_col else pdf[id_col]
+            for mid, seed in zip(pdf[id_col], seeds):
+                seed = int(seed)
+                w = JPEG_W_BASE + seed % JPEG_W_MOD
+                h = JPEG_H_BASE + seed % JPEG_H_MOD
+                rows = [
+                    [
+                        (seed * 31 + (x // 8) * 7 + (y // 8) * 11 + c * 17)
+                        % 256
+                        for x in range(w)
+                        for c in range(3)
+                    ]
+                    for y in range(h)
+                ]
+                ids.append(int(mid))
+                blobs.append(encode_jpeg_color(rows))
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
     return df.mapInPandas(gen, schema="media_id long, payload binary")

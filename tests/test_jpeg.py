@@ -146,7 +146,8 @@ def test_decoder_rejects_unsupported_profiles():
     good = encode_jpeg_gray([[((x * 37) ^ (y * 91)) % 256 for x in range(16)] for y in range(16)])
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
-    # multi-component SOF
+    # subsampled 3-component SOF (2x2 luma sampling) — 4:4:4 color IS
+    # supported since round 7 (test_jpeg_color.py); subsampling still raises
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -160,5 +161,18 @@ def test_decoder_rejects_unsupported_profiles():
         )
         + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="grayscale"):
+    with pytest.raises(ValueError, match="subsampled"):
         decode_jpeg(multi)
+    # component counts other than 1/3 still raise
+    four = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 8, 4)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01\x04\x11\x01",
+        )
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="1-component|3-component"):
+        decode_jpeg(four)

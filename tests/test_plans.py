@@ -1526,3 +1526,57 @@ def test_mm22_crest_metric_jvm_side(spark):
     plan = _physical(spark, "mm22_crest_factor")
     assert plan.count("MapInPandas") == 2
     assert "EvalPython" not in plan
+
+
+# --- round-7 first batch (ext31) ------------------------------------------
+
+
+def test_mm23_color_jpeg_two_arrow_stages(spark):
+    """Color-codec contract: exactly two Arrow stages (synth color encode
+    + decode/stats); JPEG bytes never cross row-wise Python."""
+    plan = _physical(spark, "mm23_jpeg_color_roundtrip")
+    assert plan.count("MapInPandas") == 2
+    assert "EvalPython" not in plan
+
+
+def test_td16_sweep_persisted_grams_broadcast_pairs(spark):
+    """Sweep contract: the gram stream persists ONCE and feeds both the
+    signature and exact arms; the 40-doc pair frame is a broadcast, never
+    a cartesian of shingles."""
+    plan = _physical(spark, "td16_minhash_error_sweep")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # K-row signature cross
+    assert "partial_" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx41_zipf_partial_counts_single_window(spark):
+    """Zipf contract: term counts partial-aggregate map-side; the only
+    window is the bounded top-200 rank; regression sums are one agg."""
+    plan = _physical(spark, "tx41_zipf_slope")
+    assert "partial_" in plan
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ts25_covariance_one_generate_one_agg(spark):
+    """Covariance contract: one posexplode into 63-per-row long form,
+    one partially-aggregated groupBy(dim); no join, no Python."""
+    plan = _physical(spark, "ts25_dim_covariance")
+    assert "Generate" in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_x49_bootstrap_partial_aggs_tiny_broadcasts(spark):
+    """Bootstrap contract: the B=32 explode partially aggregates map-side
+    (weights are per-row deterministic — no resample pass); the lo/hi
+    order statistics ride 1-row broadcasts."""
+    plan = _physical(spark, "x49_poisson_bootstrap")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row lo/hi frames
+    assert "EvalPython" not in plan and "InPandas" not in plan
