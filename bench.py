@@ -362,7 +362,7 @@ BENCH_QUERIES = [
     # round-7 first batch
     "mm23_jpeg_color_roundtrip",
     "td16_minhash_error_sweep",
-    "tx41_zipf_slope",
+    "tx41_rank_stability",
     "ts25_dim_covariance",
     "x49_poisson_bootstrap",
 ]

@@ -12,10 +12,10 @@
   |est - true| Jaccard over all doc pairs at signature lengths 2/4/8
   from ONE 8-permutation signature pass (prefix estimates; error should
   fall ~1/sqrt(k)); the dedupe-family twin of sk12's CMS eps-sweep;
-- tx41_zipf_slope: corpus Zipf exponent — OLS slope of ln(freq) vs
-  ln(rank) over the top-200 terms with R^2, per-term logs e6-quantized
-  BEFORE the integer-sum regression so cross-partition float order
-  cannot flip the hash;
+- tx41_rank_stability: shard linguistic exchangeability — Spearman rank
+  correlation between the term-frequency rankings of the even/odd doc_id
+  halves over their top-200 shared terms (all-integer until one final
+  floored division); the vocabulary-axis twin of dq3/dq12 split QA;
 - ts25_dim_covariance: adjacent-dimension covariance profile of the
   embedding corpus (cov(v_i, v_{i+1}) for i in 0..62) in one pass —
   e5-quantize-then-integer-sum keeps n*sxy and sx*sy far from int64
@@ -153,18 +153,26 @@ def td16_minhash_error_sweep(spark: SparkSession, sf: str) -> DataFrame:
     convention of sk12 (CMS) and sk13 (histogram quantiles) applied to
     the dedupe family's core sketch. ONE shuffle builds the signatures
     (min() aggregates) and the exact arm reuses the persisted gram
-    stream (the recompute-once rule)."""
+    stream (the recompute-once rule). Like td12_lsh_quality, this is an
+    AUDIT operator: the exact arm is all-pairs by definition, so at
+    production scale it runs on a bounded document slice (here: the
+    first 40 ids)."""
+    docs = (
+        T(spark, sf, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    return minhash_error_sweep_frame(docs)
+
+
+def minhash_error_sweep_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of td16 over a (doc_id, text) slice."""
     from bioeco_portal_etl_spark.text.dedupe import (
         minhash_signature_cols,
         shingle_hash,
         shingled,
     )
 
-    docs = (
-        T(spark, sf, "documents")
-        .filter(F.col("doc_id") < 40)
-        .select("doc_id", "text")
-    )
     sh = shingled(docs, "doc_id", "text", 3)
     grams = sh.select("doc_id", F.explode("sh").alias("s")).persist()
     hashed = grams.select("doc_id", shingle_hash("s").alias("h"))
@@ -315,80 +323,76 @@ FROM sweep GROUP BY num_perm ORDER BY num_perm"""
 
 
 # ---------------------------------------------------------------------------
-# tx41 — Zipf slope
+# tx41 — shard rank-stability (Spearman over term rankings)
 # ---------------------------------------------------------------------------
 
 
-def tx41_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus Zipf exponent: OLS slope of ln(freq) on ln(rank) over the
-    top-200 terms, plus R^2. Per-term logs are e6-quantized to BIGINT
-    BEFORE the regression sums (integer sums are order-exact across
-    partitions; the slope is scale-invariant since both axes carry the
-    same factor). The only doubles are the two final divisions, spelled
-    identically in the oracle."""
-    docs = T(spark, sf, "documents").select("text")
+def tx41_rank_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Are two shards of the corpus linguistically exchangeable? Spearman
+    rank correlation between the term-frequency RANKINGS of the
+    even-doc_id and odd-doc_id halves, over their top-200 shared terms —
+    the split-QA twin of dq3 (leakage) and dq12 (stratum balance) for
+    the vocabulary axis: rho near 1e6 means any half trains like the
+    whole; a low rho flags a content-skewed shard assignment. Entirely
+    integer arithmetic (counts, ranks, d^2 sums) until one final IEEE
+    division inside a floor."""
+    return rank_stability_frame(
+        T(spark, sf, "documents").select("doc_id", "text")
+    )
+
+
+def rank_stability_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of tx41 over a (doc_id, text) projection."""
     from bioeco_portal_etl_spark.text.tokenize import tokens
 
     terms = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens(F.col("text"))).alias("t"),
+        )
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
     )
-    ranked = (
-        terms.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("t"))),
-        )
-        .filter(F.col("rank") <= 200)
-        .select(
-            F.floor(F.log(F.col("rank").cast("double")) * 1e6)
-            .cast("long")
-            .alias("xq"),
-            F.floor(F.log(F.col("cnt").cast("double")) * 1e6)
-            .cast("long")
-            .alias("yq"),
-        )
+    # bounded surface: top-200 shared terms by combined count — a
+    # TakeOrdered heap, never a vocabulary-wide sort
+    top = terms.orderBy(
+        F.desc(F.col("ca") + F.col("cb")), F.asc("t")
+    ).limit(200)
+    ranked = top.select(
+        "t",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ca"), F.asc("t")))
+        .cast("long")
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cb"), F.asc("t")))
+        .cast("long")
+        .alias("rb"),
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
-        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum(
+            (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        ).alias("d2"),
     )
     return agg.select(
-        F.col("n").alias("n_terms"),
+        F.col("n").alias("n_common_terms"),
+        F.col("d2").alias("d2_sum"),
         F.floor(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
+            (
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("d2").cast("double")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
             )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            )
-            * 10000.0
+            * 1000000.0
         )
         .cast("long")
-        .alias("slope_e4"),
-        F.floor(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / (
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                    "double"
-                )
-            )
-            * 10000.0
-        )
-        .cast("long")
-        .alias("r2_e4"),
+        .alias("spearman_e6"),
     )
 
 
@@ -396,38 +400,35 @@ def _tx41_sql() -> str:
     from bioeco_portal_etl_spark.text.tokenize import duck_tokens
 
     return f"""
-WITH terms AS (
-  SELECT t, count(*)::BIGINT AS cnt
-  FROM (SELECT unnest({duck_tokens("text")}) AS t FROM documents)
-  GROUP BY t
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest({duck_tokens("text")}) AS t
+  FROM documents
+),
+terms AS (
+  SELECT t,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM toks GROUP BY t
+  HAVING ca > 0 AND cb > 0
+),
+top AS (
+  SELECT t, ca, cb FROM terms ORDER BY ca + cb DESC, t ASC LIMIT 200
 ),
 ranked AS (
-  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e6)::BIGINT AS xq,
-         floor(ln(CAST(cnt AS DOUBLE)) * 1e6)::BIGINT AS yq
-  FROM (
-    SELECT cnt,
-           row_number() OVER (ORDER BY cnt DESC, t ASC) AS rank
-    FROM terms
-  )
-  WHERE rank <= 200
+  SELECT t,
+         row_number() OVER (ORDER BY ca DESC, t ASC)::BIGINT AS ra,
+         row_number() OVER (ORDER BY cb DESC, t ASC)::BIGINT AS rb
+  FROM top
 ),
 agg AS (
   SELECT count(*)::BIGINT AS n,
-         sum(xq)::BIGINT AS sx, sum(yq)::BIGINT AS sy,
-         sum(xq * yq)::BIGINT AS sxy,
-         sum(xq * xq)::BIGINT AS sxx,
-         sum(yq * yq)::BIGINT AS syy
+         sum((ra - rb) * (ra - rb))::BIGINT AS d2
   FROM ranked
 )
-SELECT n AS n_terms,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) * 10000.0)::BIGINT
-         AS slope_e4,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE)
-             * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) * 10000.0)::BIGINT
-         AS r2_e4
+SELECT n AS n_common_terms, d2 AS d2_sum,
+       floor((1.0 - 6.0 * CAST(d2 AS DOUBLE)
+              / CAST(n * (n * n - 1) AS DOUBLE)) * 1000000.0)::BIGINT
+         AS spearman_e6
 FROM agg"""
 
 
@@ -444,6 +445,11 @@ def ts25_dim_covariance(spark: SparkSession, sf: str) -> DataFrame:
     integer moment sums per dim (order-exact; |xq| <= ~1e5 keeps n*sxy
     under 1e17 at any realistic SF)."""
     emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100000)
+    return dim_covariance_frame(emb)
+
+
+def dim_covariance_frame(emb: DataFrame) -> DataFrame:
+    """Frame-level body of ts25 over a (vec_id, embedding) frame."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     pair = F.zip_with(
         F.slice(v, 1, 63),
@@ -538,7 +544,12 @@ def x49_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
     combinable, and B scales the explode factor, not the shuffle count.
     Output: full-sample mean, ~5th/95th percentile resample means (rank
     2 and 31 of 32)."""
-    orders = T(spark, sf, "orders").select(
+    return poisson_bootstrap_frame(T(spark, sf, "orders"))
+
+
+def poisson_bootstrap_frame(orders_raw: DataFrame) -> DataFrame:
+    """Frame-level body of x49 over an orders frame."""
+    orders = orders_raw.select(
         "o_orderkey",
         F.floor(F.col("o_totalprice").cast("double") * 100.0)
         .cast("long")
@@ -650,7 +661,7 @@ FROM point"""
 CATALOG_EXT31 = {
     "mm23_jpeg_color_roundtrip": (mm23_jpeg_color_roundtrip, _mm23_sql()),
     "td16_minhash_error_sweep": (td16_minhash_error_sweep, _td16_sql()),
-    "tx41_zipf_slope": (tx41_zipf_slope, _tx41_sql()),
+    "tx41_rank_stability": (tx41_rank_stability, _tx41_sql()),
     "ts25_dim_covariance": (ts25_dim_covariance, _ts25_sql()),
     "x49_poisson_bootstrap": (x49_poisson_bootstrap, _x49_sql()),
 }

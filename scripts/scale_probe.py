@@ -169,6 +169,12 @@ from bioeco_portal_etl_spark.multimodal.phash import (  # noqa: E402
 from bioeco_portal_etl_spark.streaming.joins import interval_join_outer  # noqa: E402
 from bioeco_portal_etl_spark.text.bm25 import bm25_topk  # noqa: E402
 from bioeco_portal_etl_spark.graph.labelprop import label_propagation  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext31 import (  # noqa: E402
+    dim_covariance_frame,
+    minhash_error_sweep_frame,
+    poisson_bootstrap_frame,
+    rank_stability_frame,
+)
 from bioeco_portal_etl_spark.graph.kcore import kcore  # noqa: E402
 from bioeco_portal_etl_spark.operators.drift import profile_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.skew import salted_join  # noqa: E402
@@ -239,11 +245,22 @@ def scaled_cross(df, n, key_cols):
     index (same key-shift semantics as :func:`scaled`). Used for the
     100x ladder: a 100-branch union would make Catalyst analyze 100
     identical scan subtrees and re-open the parquet 100 times per stage,
-    measuring plan overhead instead of operator scaling."""
+    measuring plan overhead instead of operator scaling.
+
+    The input is repartitioned BEFORE the replication join. Round-7
+    finding: without it, a base frame whose lineage is broadcast-joins
+    over a single-split parquet file (sf0.1 tables are one file each)
+    has ONE partition, so the n-fold expansion + the first partial
+    aggregate after it ran as ONE task (measured: a 100x modularity
+    probe pinned one core for >20 min in that single task while 31 sat
+    idle). Production tables have thousands of splits, so a 100x probe
+    serialized by local file granularity measures the harness, not the
+    operator; the cheap pre-expansion shuffle (the 1x row count) restores
+    the parallelism the operator would see on a real layout."""
     rep = F.broadcast(
         df.sparkSession.range(n).select(F.col("id").alias("__rep"))
     )
-    out = df.crossJoin(rep)
+    out = df.repartition(32).crossJoin(rep)
     for k in key_cols:
         out = out.withColumn(
             k, F.col(k) + F.col("__rep") * F.lit(1_000_000_000)
@@ -1003,6 +1020,54 @@ def main() -> None:
                     " / sqrt(CAST(energy AS DOUBLE) / n_samples))"
                     " AS BIGINT) END"
                 ).alias("crest_e4"),
+            )
+        ),
+        # round-7 first batch ------------------------------------------
+        # color JPEG roundtrip: two Arrow stages; images scale with ids
+        "color_jpeg": (
+            lambda s: png_channel_stats(
+                synth_rgb_jpeg(
+                    (
+                        docs.select("doc_id")
+                        if s == 1
+                        else scaled(docs.select("doc_id"), s, ["doc_id"])
+                    ).filter(F.col("doc_id") % 1_000_000_000 < 120),
+                    "doc_id",
+                )
+            )
+        ),
+        # minhash error sweep: AUDIT op — exact arm is all-pairs by
+        # definition (td12 precedent), so pairs grow ~s^2; the probe
+        # documents that quadratic, it does not hide it
+        "minhash_sweep": (
+            lambda s: minhash_error_sweep_frame(
+                (
+                    docs if s == 1 else scaled(docs, s, ["doc_id"])
+                )
+                .filter(F.col("doc_id") % 1_000_000_000 < 40)
+                .select("doc_id", "text")
+            )
+        ),
+        # rank stability: token volume scales, top-200 heap is bounded
+        "rank_stability": (
+            lambda s: rank_stability_frame(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "doc_id", "text"
+                )
+            )
+        ),
+        # adjacent-dim covariance: one generate + one partial agg
+        "dim_covariance": (
+            lambda s: dim_covariance_frame(
+                embeddings
+                if s == 1
+                else scaled(embeddings, s, ["vec_id"])
+            )
+        ),
+        # poisson bootstrap: B=32 explode, map-side combinable
+        "poisson_bootstrap": (
+            lambda s: poisson_bootstrap_frame(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"])
             )
         ),
         # round-6 ninth batch ------------------------------------------

@@ -1551,11 +1551,13 @@ def test_td16_sweep_persisted_grams_broadcast_pairs(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
-def test_tx41_zipf_partial_counts_single_window(spark):
-    """Zipf contract: term counts partial-aggregate map-side; the only
-    window is the bounded top-200 rank; regression sums are one agg."""
-    plan = _physical(spark, "tx41_zipf_slope")
+def test_tx41_rank_stability_bounded_heap_then_windows(spark):
+    """Rank-stability contract: per-half term counts partial-aggregate
+    map-side; the top-200 cut is a TakeOrdered heap (never a
+    vocabulary-wide sort); both rank windows run over the 200-row frame."""
+    plan = _physical(spark, "tx41_rank_stability")
     assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan

@@ -109,42 +109,48 @@ def test_td16_catalog_shape_and_error_monotonicity(spark, q):
     assert by_k[8] <= by_k[4] <= by_k[2]
 
 
-def test_tx41_recovers_constructed_power_law(spark, q):
-    """On a corpus whose term frequencies are an EXACT power law
-    freq(rank) = round(1000 * rank^-1), the regression must recover a
-    slope near -1 (quantization + rounding move it only slightly)."""
-    from bioeco_portal_etl_spark.text.tokenize import tokens
+def test_tx41_identical_halves_give_perfect_rho(spark):
+    """If both halves carry byte-identical text, every shared term ranks
+    identically -> d2 = 0 and Spearman = exactly 1e6."""
+    from bioeco_portal_etl_spark.catalog_ext31 import rank_stability_frame
 
-    words = []
-    for rank in range(1, 51):
-        freq = max(1, round(1000 * rank**-1.0))
-        words.extend([f"w{rank:03d}"] * freq)
+    text = "alpha alpha alpha beta beta gamma delta delta delta delta"
     docs = spark.createDataFrame(
-        [(0, " ".join(words))], "doc_id long, text string"
+        [(0, text), (1, text), (2, text), (3, text)],
+        "doc_id long, text string",
     )
-    terms = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    # reference OLS with the SAME quantization as the operator
-    ranked = sorted(terms, key=lambda r: (-r.cnt, r.t))
-    xq = [math.floor(math.log(i + 1) * 1e6) for i in range(len(ranked))]
-    yq = [math.floor(math.log(r.cnt) * 1e6) for r in ranked]
-    n = len(xq)
-    sx, sy = sum(xq), sum(yq)
-    sxy = sum(a * b for a, b in zip(xq, yq))
-    sxx = sum(a * a for a in xq)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    assert -1.05 < slope < -0.95
+    row = rank_stability_frame(docs).collect()[0]
+    assert row.d2_sum == 0
+    assert row.spearman_e6 == 1_000_000
+    assert row.n_common_terms == 4
 
 
-def test_tx41_catalog_slope_is_negative_r2_high(spark, q):
-    row = q["tx41_zipf_slope"](spark, SF).collect()[0]
-    assert row.n_terms > 0
-    assert row.slope_e4 < 0  # frequencies fall with rank, always
-    assert 0 <= row.r2_e4 <= 10000
+def test_tx41_swapped_ranks_match_hand_formula(spark):
+    """Even half ranks alpha>beta>gamma; odd half swaps alpha/beta.
+    Shared top terms rank (1,2,3) vs (2,1,3): d2 = 1+1+0 = 2 and
+    rho = 1 - 6*2/(3*8) = 0.5 exactly."""
+    from bioeco_portal_etl_spark.catalog_ext31 import rank_stability_frame
+
+    even = "alpha alpha alpha beta beta gamma"
+    odd = "beta beta beta alpha alpha gamma"
+    docs = spark.createDataFrame(
+        [(0, even), (1, odd)], "doc_id long, text string"
+    )
+    row = rank_stability_frame(docs).collect()[0]
+    assert row.n_common_terms == 3
+    assert row.d2_sum == 2
+    assert row.spearman_e6 == 500_000
+
+
+def test_tx41_catalog_rho_in_range(spark, q):
+    row = q["tx41_rank_stability"](spark, SF).collect()[0]
+    assert 0 < row.n_common_terms <= 200
+    assert -1_000_000 <= row.spearman_e6 <= 1_000_000
+    # the synthetic corpus is homogeneous, so the halves must correlate
+    # positively — but at sf0.001 (60 docs) the top-200 tail is tie-heavy
+    # and alphabetical tie-breaks disagree across halves, so the bar is
+    # "clearly positive", not "near 1"
+    assert row.spearman_e6 > 100_000
 
 
 def test_ts25_matches_numpy_covariance(spark, q):
