@@ -365,6 +365,12 @@ BENCH_QUERIES = [
     "tx41_rank_stability",
     "ts25_dim_covariance",
     "x49_poisson_bootstrap",
+    # round-7 second batch
+    "x50_ks_test",
+    "tx42_js_divergence",
+    "gr22_assortativity",
+    "td17_truncation_dupes",
+    "rel38_time_weighted_avg",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -961,6 +961,7 @@ from bioeco_portal_etl_spark.catalog_ext28 import CATALOG_EXT28  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext29 import CATALOG_EXT29  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext30 import CATALOG_EXT30  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext31 import CATALOG_EXT31  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext32 import CATALOG_EXT32  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -994,6 +995,7 @@ _CATALOG.update(CATALOG_EXT28)
 _CATALOG.update(CATALOG_EXT29)
 _CATALOG.update(CATALOG_EXT30)
 _CATALOG.update(CATALOG_EXT31)
+_CATALOG.update(CATALOG_EXT32)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)

@@ -12,12 +12,14 @@ Usage: python scripts/scale_probe.py [N]   (default 10)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark import StorageLevel  # noqa: E402
 import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import Window  # noqa: E402
 
@@ -175,6 +177,13 @@ from bioeco_portal_etl_spark.catalog_ext31 import (  # noqa: E402
     poisson_bootstrap_frame,
     rank_stability_frame,
 )
+from bioeco_portal_etl_spark.catalog_ext32 import (  # noqa: E402
+    assortativity_frame,
+    js_divergence_frame,
+    ks_test_frame,
+    time_weighted_avg_frame,
+    truncation_dupes_frame,
+)
 from bioeco_portal_etl_spark.graph.kcore import kcore  # noqa: E402
 from bioeco_portal_etl_spark.operators.drift import profile_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.skew import salted_join  # noqa: E402
@@ -290,7 +299,15 @@ def main() -> None:
     # probe only matching cases (targeted re-runs of a flagged operator)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
-    spark = get_spark(app_name="scale-probe")
+    # Big-N ladders need data-proportional shuffle partitioning: at 100x
+    # the default 32 partitions put ~30M rows in each hash-aggregate task
+    # and 32 concurrent tasks exhaust the unified region (two measured
+    # SparkOutOfMemoryError runs) — exactly why production submits scale
+    # spark.sql.shuffle.partitions with data volume (session.py note).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or (
+        256 if n > 10 else None
+    )
+    spark = get_spark(app_name="scale-probe", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     li = read_parquet_table(spark, SF_DIR, "lineitem")
@@ -1070,6 +1087,51 @@ def main() -> None:
                 orders if s == 1 else scaled(orders, s, ["o_orderkey"])
             )
         ),
+        # round-7 second batch -----------------------------------------
+        # exact two-sample KS: per-value partials; value domain saturates
+        "ks_test": (
+            lambda s: ks_test_frame(
+                orders if s == 1 else scaled(orders, s, ["o_orderkey"])
+            )
+        ),
+        # JS divergence: vocab constant under replication, counts scale
+        "js_divergence": (
+            lambda s: js_divergence_frame(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"]))
+                .select(
+                    F.coalesce("lang", F.lit("und")).alias("grp"), "text"
+                )
+            )
+        ),
+        # assortativity: moment sums over the co-activity edge list
+        "assortativity": (
+            lambda s: assortativity_frame(
+                (
+                    _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"])
+                ).distinct()
+            )
+        ),
+        # truncation dupes: replicating CONTENT multiplies every true
+        # prefix pair across copies (s^2 output) — correctness, not a
+        # plan defect; wall-time tracks the candidate volume the data
+        # actually contains
+        "truncation_dupes": (
+            lambda s: truncation_dupes_frame(
+                (docs if s == 1 else scaled(docs, s, ["doc_id"])).select(
+                    "doc_id", "text"
+                )
+            )
+        ),
+        # TWA: disjoint replica users keep groups constant-size
+        "twa": (
+            lambda s: time_weighted_avg_frame(
+                (
+                    events
+                    if s == 1
+                    else scaled(events, s, ["event_id", "user_id"])
+                ).filter(F.col("user_id") % 1_000_000_000 < 50)
+            )
+        ),
         # round-6 ninth batch ------------------------------------------
         # dedupe agreement: cluster-local exact pairs + banded LSH arm
         "dedupe_agreement": (
@@ -1390,7 +1452,13 @@ def main() -> None:
                     _coact() if s == 1 else scaled(_coact(), s, ["src", "dst"])
                 )
                 .distinct()
-                .persist()
+                # at 100x the shared frame is ~1e9 rows: caching it on
+                # disk keeps the unified region free for the per-round
+                # label aggregations (storage evicts execution under
+                # pressure only up to the protected fraction)
+                .persist(
+                    StorageLevel.DISK_ONLY if s > 10 else StorageLevel.MEMORY_AND_DISK
+                )
             )
         ),
         # period growth: rollup then a month-table window

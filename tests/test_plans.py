@@ -1582,3 +1582,62 @@ def test_x49_bootstrap_partial_aggs_tiny_broadcasts(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row lo/hi frames
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-7 second batch (ext32) ------------------------------------------
+
+
+def test_x50_ks_integer_core_single_value_window(spark):
+    """KS contract: per-value counts partial-aggregate; the cumulative
+    window runs over the DISTINCT-value table; totals ride a 1-row
+    broadcast; the integer max precedes the only division."""
+    plan = _physical(spark, "x50_ks_test")
+    assert "partial_" in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals frame
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_tx42_js_pair_grid_broadcast(spark):
+    """JS contract: term tables partial-aggregate; the |langs|^2 pair
+    grid and per-side count lookups are broadcasts, never a shuffle of
+    the vocabulary per pair."""
+    plan = _physical(spark, "tx42_js_divergence")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr22_assortativity_persisted_edges_broadcast_degrees(spark):
+    """Assortativity contract: the edge list persists once (degrees +
+    the annotated join both consume it); the degree table broadcasts to
+    both sides; moment sums partial-aggregate."""
+    plan = _physical(spark, "gr22_assortativity")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_td17_truncation_blocked_equi_join(spark):
+    """Truncation-dupe contract: candidates come from a hash equi-join
+    on the 32-char block key — never a cartesian of documents; the
+    substring verification is a post-join filter."""
+    plan = _physical(spark, "td17_truncation_dupes")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rel38_twa_one_window_one_agg(spark):
+    """TWA contract: one lead() window per (user, day), one partially-
+    aggregated groupBy; no join anywhere."""
+    plan = _physical(spark, "rel38_time_weighted_avg")
+    assert "Window" in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
