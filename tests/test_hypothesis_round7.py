@@ -265,3 +265,83 @@ def test_sq_floor_reencode_counterexamples(c, amax):
     concrete (code, scale) pairs where floor re-encode drops a step."""
     d = c * amax / 127
     assert math.floor(d / amax * 127) == c - 1
+
+
+# ---------------------------------------------------------------------------
+# 4. color JPEG codec: roundtrip law over ARBITRARY tile-constant rasters
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.data(),
+    tw=st.integers(1, 3),
+    th=st.integers(1, 3),
+    extra_w=st.integers(0, 7),
+    extra_h=st.integers(0, 7),
+)
+@settings(max_examples=25, deadline=None)
+def test_color_jpeg_roundtrip_equals_double_conversion(
+    data, tw, th, extra_w, extra_h
+):
+    """For ANY tile-constant RGB raster (hypothesis-chosen tile colors,
+    dims including non-multiples of 8), decode(encode(x)) equals exactly
+    the pinned double conversion — the law the mm23 oracle relies on,
+    enforced beyond the fixed synth formula."""
+    from bioeco_portal_etl_spark.multimodal.jpeg import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    w = (tw - 1) * 8 + (extra_w or 8)
+    h = (th - 1) * 8 + (extra_h or 8)
+    tiles = {
+        (tx, ty): data.draw(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            )
+        )
+        for tx in range((w + 7) // 8)
+        for ty in range((h + 7) // 8)
+    }
+    rows = [
+        [
+            v
+            for x in range(w)
+            for v in tiles[(x // 8, y // 8)]
+        ]
+        for y in range(h)
+    ]
+    gw, gh, gc, got = decode_jpeg(encode_jpeg_color(rows))
+    assert (gw, gh, gc) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            exp = _ycbcr_to_rgb(*_rgb_to_ycbcr(*tiles[(x // 8, y // 8)]))
+            assert tuple(got[y][3 * x : 3 * x + 3]) == exp
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.integers(0, 255), min_size=9, max_size=9),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_color_jpeg_general_content_bounded(rows):
+    """Arbitrary (non-tile-constant) content: lossy, but every sample
+    stays within a small bound of the double-converted original under
+    all-ones quantization — a wrong quant table or rounding convention
+    blows far past it."""
+    from bioeco_portal_etl_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    w = 3
+    gw, gh, gc, got = decode_jpeg(encode_jpeg_color(rows))
+    assert (gw, gh, gc) == (w, len(rows), 3)
+    for y in range(len(rows)):
+        for i in range(3 * w):
+            assert abs(got[y][i] - rows[y][i]) <= 8
