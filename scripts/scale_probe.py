@@ -99,6 +99,7 @@ from bioeco_portal_etl_spark.multimodal.media import (  # noqa: E402
     png_channel_stats,
     synth_gray_jpeg,
     synth_pcm_wav,
+    synth_rgb_jpeg,
     wav_trim_bounds,
 )
 from bioeco_portal_etl_spark.text.feature_hash import collision_audit  # noqa: E402
