@@ -371,6 +371,11 @@ BENCH_QUERIES = [
     "gr22_assortativity",
     "td17_truncation_dupes",
     "rel38_time_weighted_avg",
+    # round-7 third batch
+    "w21_stream_locf_segments",
+    "x51_exact_quantiles",
+    "gr23_degree_inequality",
+    "dq17_freshness_lag",
 ]
 
 # The 26 queries benched identically since round 1 — their sum is the

@@ -962,6 +962,7 @@ from bioeco_portal_etl_spark.catalog_ext29 import CATALOG_EXT29  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext30 import CATALOG_EXT30  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext31 import CATALOG_EXT31  # noqa: E402
 from bioeco_portal_etl_spark.catalog_ext32 import CATALOG_EXT32  # noqa: E402
+from bioeco_portal_etl_spark.catalog_ext33 import CATALOG_EXT33  # noqa: E402
 from bioeco_portal_etl_spark.catalog_tpch2 import CATALOG_TPCH2  # noqa: E402
 
 _CATALOG.update(CATALOG_EXT)
@@ -996,6 +997,7 @@ _CATALOG.update(CATALOG_EXT29)
 _CATALOG.update(CATALOG_EXT30)
 _CATALOG.update(CATALOG_EXT31)
 _CATALOG.update(CATALOG_EXT32)
+_CATALOG.update(CATALOG_EXT33)
 _CATALOG.update(CATALOG_REL)
 _CATALOG.update(CATALOG_TPCH)
 _CATALOG.update(CATALOG_TPCH2)

@@ -185,6 +185,10 @@ from bioeco_portal_etl_spark.catalog_ext32 import (  # noqa: E402
     time_weighted_avg_frame,
     truncation_dupes_frame,
 )
+from bioeco_portal_etl_spark.catalog_ext33 import (  # noqa: E402
+    degree_inequality_frame,
+    exact_quantiles_frame,
+)
 from bioeco_portal_etl_spark.graph.kcore import kcore  # noqa: E402
 from bioeco_portal_etl_spark.operators.drift import profile_drift  # noqa: E402
 from bioeco_portal_etl_spark.operators.skew import salted_join  # noqa: E402
@@ -1131,6 +1135,29 @@ def main() -> None:
                     if s == 1
                     else scaled(events, s, ["event_id", "user_id"])
                 ).filter(F.col("user_id") % 1_000_000_000 < 50)
+            )
+        ),
+        # round-7 third batch ------------------------------------------
+        # exact two-phase quantiles: histogram pass + 3-bucket resolve
+        # (w21's streaming segments share the twa case's lead-window
+        # shape; the drain itself is bench-timed, not probe-scaled)
+        "exact_quantiles": (
+            lambda s: exact_quantiles_frame(
+                (
+                    orders if s == 1 else scaled(orders, s, ["o_orderkey"])
+                ).select(
+                    F.floor(F.col("o_totalprice").cast("double") * 100.0)
+                    .cast("long")
+                    .alias("v")
+                )
+            )
+        ),
+        # degree inequality: vertex-scaled windows over the node table
+        "degree_inequality": (
+            lambda s: degree_inequality_frame(
+                (orders if s == 1 else scaled(orders, s, ["o_orderkey", "o_custkey"]))
+                .groupBy(F.col("o_custkey").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
             )
         ),
         # round-6 ninth batch ------------------------------------------

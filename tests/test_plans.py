@@ -1641,3 +1641,38 @@ def test_rel38_twa_one_window_one_agg(spark):
     assert "partial_" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- round-7 third batch (ext33) -------------------------------------------
+
+
+def test_x51_two_phase_no_global_sort(spark):
+    """Exact-quantile contract: phase-1 histogram and phase-2 per-value
+    counts are partial aggregates; the target-bucket frame is a
+    broadcast; the only window runs inside the 3 located buckets — no
+    whole-table Sort node anywhere."""
+    plan = _physical(spark, "x51_exact_quantiles")
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_gr23_inequality_vertex_scaled_windows(spark):
+    """Degree-inequality contract: ranks come from windows over the NODE
+    table (after the per-customer count collapses orders), and the
+    moment sums are one partially-aggregated pass."""
+    plan = _physical(spark, "gr23_degree_inequality")
+    assert "Window" in plan
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dq17_freshness_single_pass_broadcast_hwm(spark):
+    plan = _physical(spark, "dq17_freshness_lag")
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row high-water mark
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
