@@ -228,8 +228,14 @@ def degree_inequality_frame(deg: DataFrame) -> DataFrame:
         F.sum(F.col("i") * F.col("deg")).alias("si"),
         F.sum(
             F.when(
+                # floor(), never a bare cast: DuckDB CAST(1.5 AS BIGINT)
+                # ROUNDS to 2 while Spark truncates to 1 (PORTABILITY.md) —
+                # this fired at sf0.001 where n=150 makes n/100 = 1.5
                 F.col("j")
-                <= F.greatest(F.lit(1), (F.col("nn") / 100).cast("long")),
+                <= F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(F.col("nn") / 100).cast("long"),
+                ),
                 F.col("deg"),
             ).otherwise(F.lit(0))
         ).alias("top_sum"),
@@ -274,7 +280,7 @@ ranked AS (
 agg AS (
   SELECT count(*)::BIGINT AS n, sum(deg)::BIGINT AS sd,
          sum(i * deg)::BIGINT AS si,
-         sum(CASE WHEN j <= greatest(1, CAST(nn / 100 AS BIGINT))
+         sum(CASE WHEN j <= greatest(1, floor(nn / 100)::BIGINT)
                   THEN deg ELSE 0 END)::BIGINT AS top_sum
   FROM ranked
 )
