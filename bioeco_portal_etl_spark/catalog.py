@@ -1020,83 +1020,75 @@ _CATALOG.update(CATALOG_TPCH2)
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # ---- ROUND-7 WINDOW (slots 1-50): all 50 are never-driver-sampled.
-    # Slots 1-6: the round-5 stragglers that overflowed the round-6 window:
-    "x31_dsir_weights",
-    "tx27_gopher_rules",
-    "ts14_hard_negatives",
-    "w15_stream_cdc_upsert",
-    "tx29_ngram_coverage",
-    "ts15_ivf_balance",
-    # Slots 7-50: the round-6 additions, declaration order, oldest batch
-    # first (ext21's mm14_jpeg_roundtrip was already driver-sampled in
-    # round 6 at slot 50, so ext21 contributes its remaining 4).
-    # ext21:
-    "mm15_wav_silence_trim",
-    "gr17_adamic_adar",
-    "ts19_centroid_stats",
-    "dq12_split_balance",
-    # ext22:
-    "tx34_ngram_novelty",
-    "x40_skyline_2d",
-    "gr18_clustering_coeff",
-    "mm16_pixel_gini",
-    "x41_nucleus_coverage",
-    # ext23:
-    "tx35_term_burstiness",
-    "ts20_matryoshka_recall",
-    "sk11_minhash_lang_sim",
-    "mm17_jpeg_blockiness",
-    "dq13_duplicate_burden",
-    # ext24:
-    "rel33_max_concurrency",
-    "x43_weighted_median",
-    "x44_join_card_estimate",
-    "mm18_gain_normalization",
-    "tx36_langid_confusion",
-    # ext25:
-    "tx37_bpe_fertility",
-    "x45_bitmap_estimate",
-    "td13_shard_dup_locality",
-    "gr19_rich_club",
-    "w20_stream_union_dedupe",
-    # ext26:
-    "ts21_nprobe_sweep",
-    "sk12_cms_error_sweep",
-    "tx38_garbage_score",
-    "mm19_channel_correlation",
-    "dq14_expectation_drift",
-    # ext27:
-    "gr20_modularity",
-    "rel35_period_growth",
-    "ts22_centroid_drift",
-    "dq15_key_discovery",
-    "x46_ndv_estimate_audit",
-    # ext28:
-    "mm20_shot_lengths",
-    "sk13_histq_error_sweep",
-    "ts23_pq_utilization",
-    "x47_decile_lift",
-    "rel36_cycle_time",
-    # ext29:
-    "td14_dedupe_agreement",
-    "x48_top_movers",
-    "rel37_top_paths",
-    "mm21_frame_motion",
-    "tx40_hapax_ratio",
-    # ---- position 51+ below (not driver-sampled this round) ----
-    # never-sampled overflow — FIRST in line for round 8 (ext30):
+    # ---- ROUND-8 WINDOW (slots 1-50).
+    # Slots 1-19: every entry with no driver row in rounds 1-7 — the
+    # ext30 overflow (5) then the round-7 additions (ext31-33, batch
+    # order). After this round the driver has sampled the FULL catalog.
     "gr21_edge_support",
     "dq16_id_gaps",
     "ts24_norm_profile",
     "td15_soft_dedupe_weights",
     "mm22_crest_factor",
+    "mm23_jpeg_color_roundtrip",
+    "td16_minhash_error_sweep",
+    "tx41_rank_stability",
+    "ts25_dim_covariance",
+    "x49_poisson_bootstrap",
+    "x50_ks_test",
+    "tx42_js_divergence",
+    "gr22_assortativity",
+    "td17_truncation_dupes",
+    "rel38_time_weighted_avg",
+    "w21_stream_locf_segments",
+    "x51_exact_quantiles",
+    "gr23_degree_inequality",
+    "dq17_freshness_lag",
+    # Slots 20-21: changed-since-sampled re-gates with SPAN-LEVEL edits
+    # (scripts/regate_check.py, REGATE_r08.json): both sampled round 4,
+    # their implementing function bodies edited after — exactly the gap
+    # the gr23 floor-fix exposed (VERDICT r7 item #5).
+    "x19_group_normalize",
+    "gr5_node_similarity",
+    # Slots 22-50: the longest-since-sampled refresh — 29 of the 49
+    # round-2-era entries (oldest driver rows in the catalog, all also
+    # regate-flagged via the shared loader's round-7 edit), name order.
+    # The remaining 20 r2-era entries queue for round 9.
+    "a1_grouped_merge",
+    "a2_dedupe_keep_first",
+    "a3_duplicate_audit",
+    "a4_make_unique",
+    "f_filters",
+    "g1_point_wkt",
+    "g2_multipoint_union",
+    "g5_geom_type",
+    "g7_linestring_track",
+    "g9_union_points_geojson",
+    "j1_broadcast_left_join",
+    "j4_differing_key_names",
+    "p12_make_identifier",
+    "p18_row_number",
+    "p19_sql_script",
+    "p1_select_rename",
+    "p6_recode_passthrough",
+    "p7_str_trunc",
+    "p8_p9_year_dates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "r2_unpivot_flags",
+    "td1_exact_dedupe",
+    "td2_minhash_lsh",
+    "td3_simhash",
+    "td4_jaccard_pairs",
+    "td5_embedding_neardup",
 ]
-# Round-8 rotation plan: gate ext30's 5 overflow entries above, then any
-# round-7 additions (oldest batch first), then resume the
-# longest-since-sampled refresh (r2/r3-era entries, oldest driver row
-# first). Update tests/test_gate_window.py's pin in the SAME commit as
-# any _GATE_FIRST edit — the round-5 silent-displacement trap.
+# Round-9 rotation plan: run scripts/regate_check.py first (its
+# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries),
+# then continue the longest-since-sampled refresh: the 20 remaining
+# r2-era entries (td6-td9, ts1-ts7, tx1-tx8, tx10, u1, x1, ...), then
+# the r3 cohort. Update tests/test_gate_window.py's pin in the SAME
+# commit as any _GATE_FIRST edit — the round-5 silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},

@@ -17,73 +17,76 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The round-7 window, by position. Slots 1-6 are the round-5 stragglers
-# that overflowed the round-6 window; slots 7-50 are the round-6
-# additions (ext21-ext29, declaration order, oldest batch first —
-# mm14_jpeg_roundtrip was already driver-sampled at round-6 slot 50, so
-# ext21 contributes 4). All 50 have no driver row in rounds 1-6.
-ROUND7_WINDOW = [
-    # round-5 overflow:
-    "x31_dsir_weights",
-    "tx27_gopher_rules",
-    "ts14_hard_negatives",
-    "w15_stream_cdc_upsert",
-    "tx29_ngram_coverage",
-    "ts15_ivf_balance",
-    # ext21 (minus mm14, sampled r6):
-    "mm15_wav_silence_trim",
-    "gr17_adamic_adar",
-    "ts19_centroid_stats",
-    "dq12_split_balance",
-    # ext22:
-    "tx34_ngram_novelty",
-    "x40_skyline_2d",
-    "gr18_clustering_coeff",
-    "mm16_pixel_gini",
-    "x41_nucleus_coverage",
-    # ext23:
-    "tx35_term_burstiness",
-    "ts20_matryoshka_recall",
-    "sk11_minhash_lang_sim",
-    "mm17_jpeg_blockiness",
-    "dq13_duplicate_burden",
-    # ext24:
-    "rel33_max_concurrency",
-    "x43_weighted_median",
-    "x44_join_card_estimate",
-    "mm18_gain_normalization",
-    "tx36_langid_confusion",
-    # ext25:
-    "tx37_bpe_fertility",
-    "x45_bitmap_estimate",
-    "td13_shard_dup_locality",
-    "gr19_rich_club",
-    "w20_stream_union_dedupe",
-    # ext26:
-    "ts21_nprobe_sweep",
-    "sk12_cms_error_sweep",
-    "tx38_garbage_score",
-    "mm19_channel_correlation",
-    "dq14_expectation_drift",
-    # ext27:
-    "gr20_modularity",
-    "rel35_period_growth",
-    "ts22_centroid_drift",
-    "dq15_key_discovery",
-    "x46_ndv_estimate_audit",
-    # ext28:
-    "mm20_shot_lengths",
-    "sk13_histq_error_sweep",
-    "ts23_pq_utilization",
-    "x47_decile_lift",
-    "rel36_cycle_time",
-    # ext29:
-    "td14_dedupe_agreement",
-    "x48_top_movers",
-    "rel37_top_paths",
-    "mm21_frame_motion",
-    "tx40_hapax_ratio",
+# The round-8 window, by position.
+#   Slots 1-19  — every entry with no driver row in rounds 1-7 (ext30
+#                 overflow + all round-7 additions); after round 8 the
+#                 driver has sampled the full catalog at least once.
+#   Slots 20-21 — changed-since-sampled re-gates with span-level edits
+#                 (scripts/regate_check.py / REGATE_r08.json): function
+#                 bodies edited after their round-4 driver rows.
+#   Slots 22-50 — longest-since-sampled refresh: 29 of the 49 round-2-era
+#                 entries, name order (all also regate-flagged via the
+#                 shared loader's round-7 edit).
+ROUND8_WINDOW = [
+    # never-sampled (ext30 overflow):
+    "gr21_edge_support",
+    "dq16_id_gaps",
+    "ts24_norm_profile",
+    "td15_soft_dedupe_weights",
+    "mm22_crest_factor",
+    # never-sampled (round-7 ext31):
+    "mm23_jpeg_color_roundtrip",
+    "td16_minhash_error_sweep",
+    "tx41_rank_stability",
+    "ts25_dim_covariance",
+    "x49_poisson_bootstrap",
+    # never-sampled (round-7 ext32):
+    "x50_ks_test",
+    "tx42_js_divergence",
+    "gr22_assortativity",
+    "td17_truncation_dupes",
+    "rel38_time_weighted_avg",
+    # never-sampled (round-7 ext33):
+    "w21_stream_locf_segments",
+    "x51_exact_quantiles",
+    "gr23_degree_inequality",
+    "dq17_freshness_lag",
+    # span-level changed-since-sampled re-gates:
+    "x19_group_normalize",
+    "gr5_node_similarity",
+    # r2-era refresh (oldest driver rows), name order:
+    "a1_grouped_merge",
+    "a2_dedupe_keep_first",
+    "a3_duplicate_audit",
+    "a4_make_unique",
+    "f_filters",
+    "g1_point_wkt",
+    "g2_multipoint_union",
+    "g5_geom_type",
+    "g7_linestring_track",
+    "g9_union_points_geojson",
+    "j1_broadcast_left_join",
+    "j4_differing_key_names",
+    "p12_make_identifier",
+    "p18_row_number",
+    "p19_sql_script",
+    "p1_select_rename",
+    "p6_recode_passthrough",
+    "p7_str_trunc",
+    "p8_p9_year_dates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "r2_unpivot_flags",
+    "td1_exact_dedupe",
+    "td2_minhash_lsh",
+    "td3_simhash",
+    "td4_jaccard_pairs",
+    "td5_embedding_neardup",
 ]
+
+N_NEVER_SAMPLED = 19  # slots 1-19 must have no driver row through round 7
 
 
 def _sampled_through_round(n: int) -> set[str]:
@@ -99,59 +102,65 @@ def test_window_is_exactly_the_planned_50():
     from bioeco_portal_etl_spark.catalog import _CATALOG
 
     window = list(_CATALOG.keys())[:50]
-    assert window == ROUND7_WINDOW, (
+    assert window == ROUND8_WINDOW, (
         "driver-gate window drifted from the plan — a batch insert "
         "displaced entries past slot 50 (the round-5 silent-displacement "
         "trap). Diff: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND7_WINDOW)) if a != b]}"
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND8_WINDOW)) if a != b]}"
     )
 
 
-def test_window_maximizes_new_driver_coverage():
-    """Every slot must be an entry with NO driver row in rounds 1-6 —
-    the whole point of the rotation."""
-    sampled = _sampled_through_round(6)
-    stale = [k for k in ROUND7_WINDOW if k in sampled]
-    assert not stale, f"window wastes slots on already-sampled entries: {stale}"
-
-
-def test_window_plus_history_covers_catalog_minus_overflow():
-    """After this round's gate runs, cumulative driver coverage should be
-    the full catalog minus the documented round-8 overflow (ext30's 5).
-    Guards the arithmetic behind VERDICT r6 item #1 (>=295/300)."""
+def test_never_sampled_debt_fully_scheduled():
+    """Slots 1-19 must be EXACTLY the entries with no driver row in
+    rounds 1-7 — after this round's gate, cumulative driver coverage is
+    the full catalog (VERDICT r7 item #1)."""
     from bioeco_portal_etl_spark.catalog import queries
 
-    sampled = _sampled_through_round(6)
-    after_r7 = sampled | set(ROUND7_WINDOW)
-    overflow = {
-        k for k in queries() if k not in after_r7
-    }
-    expected_overflow = {
-        "gr21_edge_support",
-        "dq16_id_gaps",
-        "ts24_norm_profile",
-        "td15_soft_dedupe_weights",
-        "mm22_crest_factor",
-    }
-    # Round-7 additions (registered in catalog_ext31+ modules, written
-    # after this pin) are allowed to extend the overflow — they queue
-    # for round 8 behind ext30. Anything else uncovered is a rotation bug.
-    q = queries()
-    unexpected = [
-        k
-        for k in sorted(overflow - expected_overflow)
-        if not _is_round7_module(q[k].__module__)
-    ]
-    assert not unexpected, (
-        f"pre-round-7 entries missing from both history and window: {unexpected}"
+    sampled = _sampled_through_round(7)
+    never = {k for k in queries() if k not in sampled}
+    head = set(ROUND8_WINDOW[:N_NEVER_SAMPLED])
+    assert head == never, (
+        f"slots 1-{N_NEVER_SAMPLED} != never-sampled set. "
+        f"missing={sorted(never - head)} extra={sorted(head - never)}"
     )
 
 
-def _is_round7_module(mod: str) -> bool:
+def test_refresh_slots_are_resamples_of_oldest_rows():
+    """Slots 20-50 re-sample entries the driver HAS seen — the two
+    span-level regate flags first, then the r2-era cohort (the oldest
+    rows in CORRECTNESS history)."""
+    sampled_r2 = _sampled_through_round(2)
+    regate = ROUND8_WINDOW[N_NEVER_SAMPLED:N_NEVER_SAMPLED + 2]
+    assert regate == ["x19_group_normalize", "gr5_node_similarity"]
+    refresh = ROUND8_WINDOW[N_NEVER_SAMPLED + 2:]
+    not_r2 = [k for k in refresh if k not in sampled_r2]
+    assert not not_r2, f"refresh slots should be r2-era rows: {not_r2}"
+    assert refresh == sorted(refresh), "r2-era refresh must be name-ordered"
+
+
+def test_window_plus_history_covers_catalog():
+    """After this round's gate runs, cumulative driver coverage is
+    314/314. Entries added in round 8+ batches (catalog_ext34 onward)
+    would queue for round 9 and are the only tolerated overflow."""
+    from bioeco_portal_etl_spark.catalog import queries
+
+    sampled = _sampled_through_round(7)
+    after_r8 = sampled | set(ROUND8_WINDOW)
+    q = queries()
+    uncovered = [
+        k for k in sorted(set(q) - after_r8)
+        if not _is_round8_module(q[k].__module__)
+    ]
+    assert not uncovered, (
+        f"pre-round-8 entries missing from both history and window: {uncovered}"
+    )
+
+
+def _is_round8_module(mod: str) -> bool:
     tail = mod.rsplit(".", 1)[-1]
     if tail.startswith("catalog_ext"):
         suffix = tail[len("catalog_ext"):]
-        return suffix.isdigit() and int(suffix) >= 31
+        return suffix.isdigit() and int(suffix) >= 34
     return False
 
 
