@@ -442,8 +442,13 @@ def ts25_dim_covariance(spark: SparkSession, sf: str) -> DataFrame:
     dimension-correlation diagnostic read before PQ subspace slicing
     (strongly covarying adjacent dims argue for rotation before product
     quantization). One pass: e5-quantize each coordinate to BIGINT, then
-    integer moment sums per dim (order-exact; |xq| <= ~1e5 keeps n*sxy
-    under 1e17 at any realistic SF)."""
+    integer moment sums per dim (order-exact). The n*sxy - sx*sy
+    combination is computed in DOUBLE on both engines: with the n<=1e5
+    vector cap and unit-norm coords, n*sxy is ~1.6e18 (only ~6x int64
+    headroom) and the |xq|<=1e5 worst case is 1e20 — int64 would wrap
+    on Spark and error on DuckDB; the sums themselves (|sxy|<=1.6e13,
+    |sx|,|sy|<=1e10) are < 2^53 so the double products round
+    identically on both engines and the result is floored anyway."""
     emb = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100000)
     return dim_covariance_frame(emb)
 
@@ -474,8 +479,9 @@ def dim_covariance_frame(emb: DataFrame) -> DataFrame:
         "dim",
         F.col("n").alias("n_vecs"),
         F.floor(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
+            (
+                F.col("sxy").cast("double") * F.col("n")
+                - F.col("sx").cast("double") * F.col("sy")
             )
             / F.col("n")
             / F.col("n")
@@ -503,7 +509,8 @@ agg AS (
   FROM q GROUP BY dim
 )
 SELECT dim::BIGINT AS dim, n AS n_vecs,
-       floor(CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 1000000.0)::BIGINT
+       floor((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+             / n / n / 1000000.0)::BIGINT
          AS cov_e4
 FROM agg ORDER BY dim"""
 
@@ -560,9 +567,18 @@ def poisson_bootstrap_frame(orders_raw: DataFrame) -> DataFrame:
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
     ).withColumn(
+        # Reduce o_orderkey mod 1000003 BEFORE the Knuth multiply:
+        # ((a mod m) * k + c) mod m == (a*k + c) mod m, and the reduced
+        # product tops out at ~2.65e15 — raw o_orderkey * 2654435761
+        # would overflow int64 once orderkeys exceed ~3.5e9 (TPC-H
+        # SF >~ 580): Spark wraps to a negative u (weight 0 rows) while
+        # the DuckDB oracle errors. Spelled identically in _x49_sql().
         "u",
         (
-            (F.col("o_orderkey") * F.lit(2654435761) + F.col("b") * F.lit(40503))
+            (
+                (F.col("o_orderkey") % F.lit(1000003)) * F.lit(2654435761)
+                + F.col("b") * F.lit(40503)
+            )
             % F.lit(1000003)
         ).cast("double")
         / F.lit(1000003.0),
@@ -628,8 +644,8 @@ rep AS (
 ),
 u AS (
   SELECT b, cents,
-         CAST((o_orderkey * 2654435761 + b * 40503) % 1000003 AS DOUBLE)
-           / 1000003.0 AS u
+         CAST(((o_orderkey % 1000003) * 2654435761 + b * 40503) % 1000003
+              AS DOUBLE) / 1000003.0 AS u
   FROM rep
 ),
 wtd AS (SELECT b, cents, {_pois_case("u")} AS w FROM u),

@@ -6,8 +6,10 @@ columns plus a typed metadata struct; decode / feature-extract runs as
 sanctioned Python hot path in the engine). Codec status: PNG decodes
 PIXEL-LEVEL for real via the pure-stdlib codec in :mod:`multimodal.png`
 (``decode_image``, and the ``decode_fn`` seams on the metadata/resize
-stages); other containers (JPEG/WebP, ffmpeg audio/video) still need a
-library wired at the same seams and raise until then. The default-path
+stages) and for baseline JPEG via :mod:`multimodal.jpeg`; profiles beyond
+those route through the OPTIONAL Pillow arm (``_pil_decode``) when Pillow
+is installed, and raise otherwise (ffmpeg audio/video still need a library
+wired at the same seams). The default-path
 stubs (``decode_media_metadata`` with ``decode_fn=None`` etc.) derive
 deterministic fake dimensions from the byte stream so the Spark-side
 contract — schema, batch shape, partitioning — stays oracle-checkable with
@@ -109,29 +111,78 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, str]:
     return w, abs(h), "bmp"
 
 
+def _pil_available() -> bool:
+    """True when Pillow is importable. Import-probe (not find_spec) so
+    tests can exercise the optional path by planting a stand-in module."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Optional-Pillow arm of the ``decode_image`` seam: same
+    ``(width, height, channels, rows of flat 8-bit samples)`` contract as
+    the stdlib codecs. Grayscale stays 1-channel; everything else is
+    normalized to RGB (3 channels) so downstream pixel stages see the
+    same shapes the PNG/JPEG codecs produce. Lazy import + module-level
+    def keep it picklable for mapInPandas closures."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        img.load()
+        if img.mode != "L":
+            img = img.convert("RGB")
+        width, height = img.size
+        channels = 1 if img.mode == "L" else 3
+        flat = list(img.getdata())
+    if channels == 1:
+        rows = [list(flat[y * width : (y + 1) * width]) for y in range(height)]
+    else:
+        rows = [
+            [s for px in flat[y * width : (y + 1) * width] for s in px]
+            for y in range(height)
+        ]
+    return width, height, channels, rows
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     """Full-pixel decode plug-point: (width, height, channels, rows of flat
     8-bit samples). REAL for PNG — the pure-stdlib codec in
     :mod:`multimodal.png` (zlib inflate + all five scanline filters) — and
     for baseline sequential JPEG, grayscale AND 4:4:4 YCbCr color —
     :mod:`multimodal.jpeg` (Huffman + DPCM + dequant + IDCT + pinned
-    YCbCr<->RGB). Progressive/subsampled JPEG and WebP need PIL/opencv
-    wired HERE — same signature, same mapInPandas batch contract — and
-    raise until then: the seam's error contract is "raise on what you
-    can't decode", never silent fake pixels."""
+    YCbCr<->RGB). Profiles outside that (progressive/subsampled JPEG,
+    WebP, ...) fall through to the OPTIONAL Pillow arm (:func:`_pil_decode`,
+    import-gated like requests in sources/rest.py); without Pillow the
+    seam's error contract holds — raise on what you can't decode, never
+    silent fake pixels."""
     from bioeco_portal_etl_spark.multimodal.jpeg import decode_jpeg, is_jpeg
     from bioeco_portal_etl_spark.multimodal.png import decode_png, is_png
 
     if is_png(payload):
         return decode_png(payload)
     if is_jpeg(payload):
-        return decode_jpeg(payload)
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            # Outside the stdlib baseline (progressive, subsampled, 16-bit
+            # tables) — or genuinely corrupt, in which case Pillow raises
+            # its own parse error with this ValueError chained as context.
+            if _pil_available():
+                return _pil_decode(payload)
+            raise
+    if _pil_available():
+        return _pil_decode(payload)
     raise NotImplementedError(
         "only PNG and baseline JPEG (grayscale + 4:4:4 color) decode "
-        "pixel-level in this environment (multimodal/png.py, "
-        "multimodal/jpeg.py); WebP and progressive/subsampled JPEG need "
-        "PIL/opencv wired here with the same (w, h, channels, rows) "
-        "contract"
+        "pixel-level without Pillow (multimodal/png.py, multimodal/"
+        "jpeg.py); install Pillow to light up the _pil_decode arm for "
+        "WebP and progressive/subsampled JPEG — same (w, h, channels, "
+        "rows) contract"
     )
 
 

@@ -51,6 +51,19 @@ def _locf_fn(
     out: list[tuple[int, int, int, int]] = []
     for t, _tie, vq in events:
         if last_us is not None:
+            if t < last_us:
+                # The non-decreasing-arrival precondition (module
+                # docstring) is violated: a later micro-batch delivered
+                # this user's event BEHIND the held state. Emitting
+                # would produce a negative-duration segment and silently
+                # corrupt every downstream TWA — fail loudly so the
+                # replay layout gets fixed instead.
+                raise ValueError(
+                    f"streaming_locf_segments: out-of-order cross-batch "
+                    f"event for user {key[0]}: ts={t}us < held "
+                    f"state {last_us}us — replay must be per-user "
+                    f"non-decreasing at batch granularity"
+                )
             out.append((key[0], last_us, t - last_us, last_vq))
         last_us, last_vq = t, vq
     state.update((last_us, last_vq))
