@@ -2351,6 +2351,23 @@ def main() -> None:
                 min_df=2,
             )
         ),
+        # selectivity-preserving variant for the 100x ladder: with s
+        # replicated copies every gram trivially reaches min_df=2 (each
+        # text exists s times), so the common-gram cut stops cutting and
+        # the position blowup saturates — a profile no real corpus has.
+        # Scaling min_df with s keeps the SELECTIVITY of the cut at its
+        # 1x level (a gram in d docs at 1x is in s*d docs at s-fold), so
+        # this case measures the operator on a workload whose
+        # repeated-span fraction matches the 1x corpus.
+        "ngram_coverage_seltv": (
+            lambda s: ngram_coverage(
+                docs if s == 1 else scaled(docs, s, ["doc_id"]),
+                "doc_id",
+                "text",
+                k=3,
+                min_df=2 * s,
+            )
+        ),
         # HLL merge: day registers -> week/global by register max; the
         # merged grains aggregate register rows, never raw events
         "hll_merge": (
