@@ -13,8 +13,10 @@ sub-document granularity.
 Exact-integer surface: coverage_e6 = (1e6 * covered_positions) div
 n_tokens; a position j is covered iff some common k-gram starts in
 [j-k+1, j]. Covered-position counting is the interval union of [s, s+k-1]
-per common gram start — computed as explode+distinct (k-bounded blowup),
-not a merge pass, because k is a small constant.
+per common gram start — equal-width intervals over per-doc-unique sorted
+starts, so the union is a lag-window run merge (k + min(k, gap) per
+start), one shuffle per doc key instead of the k-times position explode
++ distinct the round-5 form paid.
 
 Scale shape: one token explode into (doc, start, gram) rows; gram
 document-frequency is a partial-aggregated groupBy(gram); the common-gram
@@ -27,7 +29,7 @@ explosion, so only repeated spans pay the k-times blowup.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from bioeco_portal_etl_spark.text.tokenize import duck_tokens, tokens
 
@@ -70,17 +72,27 @@ def ngram_coverage(
         .filter(F.col("__df") >= min_df)
         .select("__g")
     )
+    # Interval union of the k-wide spans [s, s+k-1] per doc. Gram starts
+    # are UNIQUE within a doc (one gram per position), so with starts
+    # sorted the union is k for the first run plus min(k, gap) per
+    # subsequent start — a lag window per doc replaces the round-5
+    # explode(k)+distinct form (which paid a k-times row blowup and an
+    # extra distinct shuffle for the same number). The window partitions
+    # by doc id, so no global sort; per-partition state is one doc's
+    # common-gram starts, bounded by doc length.
+    w = Window.partitionBy(id_col).orderBy("__s")
     covered = (
         grams.join(common, "__g")
+        .select(id_col, "__s")
+        .withColumn("__gap", F.col("__s") - F.lag("__s").over(w))
         .select(
             id_col,
-            F.explode(
-                F.sequence(F.col("__s"), F.col("__s") + (k - 1))
-            ).alias("__j"),
+            F.when(F.col("__gap").isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("__gap")))
+            .alias("__c"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("covered"))
+        .agg(F.sum("__c").alias("covered"))
     )
     return (
         toked.select(id_col, "n_tokens")

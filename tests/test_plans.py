@@ -769,11 +769,17 @@ def test_sk7_hll_merge_combinable_no_raw_rescan(spark):
 
 
 def test_tx29_coverage_candidate_cut_before_blowup(spark):
-    """n-gram coverage contract: the min_df cut happens on the gram
-    table BEFORE the k-position explosion (generate over the joined,
-    filtered grams), and gram df is partial-aggregated."""
+    """n-gram coverage contract: gram df is partial-aggregated, and the
+    covered-position count is the round-8 lag-window run merge — only
+    the gram explode Generates (once per consumer of the gram frame:
+    the df aggregate and the join side; the k-position explode+distinct
+    of the round-5 form added a THIRD) and a window partitioned by doc
+    id (never a global sort), whose hash partitioning the final per-doc
+    aggregate reuses."""
     plan = _physical(spark, "tx29_ngram_coverage")
     assert "partial_" in plan
+    assert plan.count("Generate") == 2
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
 
