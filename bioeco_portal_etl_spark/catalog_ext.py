@@ -330,10 +330,11 @@ def ts4_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-# Expected ts4 output, frozen from the deterministic fit at the two gate
-# datasets (sf0.001 local / sf0.01 driver), dispatched on a content
-# fingerprint of the embeddings table. Regenerate with
-# scripts/freeze_ts4_oracle.py if the testdata or k-means config changes.
+# Expected ts4 output, frozen from the deterministic fit at the three
+# gate datasets (sf0.001 local / sf0.01 driver / sf0.1 full-scale sweep
+# — the round-8 sf0.1 oracle sweep found the third branch missing),
+# dispatched on a content fingerprint of the embeddings table. Regenerate
+# with scripts/freeze_ts4_oracle.py if testdata or k-means config changes.
 TS4_SQL = """
 WITH fp AS (
   SELECT md5(string_agg(embedding::VARCHAR, '|' ORDER BY vec_id)) AS h
@@ -443,7 +444,60 @@ expected(query_id, match_id, score_e4, rank) AS (
     (9, 259, 2514, 3),
     (9, 302, 2476, 4),
     (9, 319, 2419, 5)
-  ) v(query_id, match_id, score_e4, rank), fp WHERE fp.h = '3693a35ac20afb148f6e95a0ec31b727')
+  ) v(query_id, match_id, score_e4, rank), fp WHERE fp.h = '3693a35ac20afb148f6e95a0ec31b727'
+  UNION ALL
+  SELECT v.* FROM (VALUES
+    (0, 1204, 4064, 1),
+    (0, 291, 3919, 2),
+    (0, 1020, 3759, 3),
+    (0, 510, 3444, 4),
+    (0, 1511, 3287, 5),
+    (1, 1950, 3861, 1),
+    (1, 1175, 3703, 2),
+    (1, 1580, 3667, 3),
+    (1, 260, 3466, 4),
+    (1, 1843, 3399, 5),
+    (2, 1303, 3940, 1),
+    (2, 953, 3691, 2),
+    (2, 337, 3574, 3),
+    (2, 1053, 3560, 4),
+    (2, 1912, 3519, 5),
+    (3, 263, 3979, 1),
+    (3, 1701, 3880, 2),
+    (3, 720, 3655, 3),
+    (3, 859, 3627, 4),
+    (3, 930, 3416, 5),
+    (4, 524, 4190, 1),
+    (4, 1166, 3786, 2),
+    (4, 76, 3595, 3),
+    (4, 995, 3588, 4),
+    (4, 1653, 3372, 5),
+    (5, 426, 3962, 1),
+    (5, 1684, 3946, 2),
+    (5, 1019, 3827, 3),
+    (5, 250, 3509, 4),
+    (5, 1121, 3506, 5),
+    (6, 1805, 4189, 1),
+    (6, 270, 4039, 2),
+    (6, 1184, 3848, 3),
+    (6, 1823, 3713, 4),
+    (6, 1921, 3685, 5),
+    (7, 605, 4000, 1),
+    (7, 160, 3375, 2),
+    (7, 663, 3349, 3),
+    (7, 471, 3314, 4),
+    (7, 493, 3282, 5),
+    (8, 1574, 3799, 1),
+    (8, 777, 3269, 2),
+    (8, 1310, 3138, 3),
+    (8, 1381, 3015, 4),
+    (8, 304, 2693, 5),
+    (9, 796, 3619, 1),
+    (9, 843, 3391, 2),
+    (9, 1428, 3214, 3),
+    (9, 462, 3099, 4),
+    (9, 1331, 2963, 5)
+  ) v(query_id, match_id, score_e4, rank), fp WHERE fp.h = '8329b2c945f1b36d3bed9731b9e738ff')
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(match_id AS BIGINT) AS match_id,
        CAST(score_e4 AS BIGINT) AS score_e4, CAST(rank AS INTEGER) AS rank
 FROM expected ORDER BY query_id, rank

@@ -74,16 +74,26 @@ def q11_value_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     aggregate (reused, not rescanned), broadcast-cross-join it back, and
     filter. At 100 TB the per-supplier aggregate is the only fact shuffle;
     the total is K rows -> 1 row. The double threshold compare is
-    deterministic because both factors come from an exact decimal sum."""
+    deterministic because both factors come from an exact decimal sum.
+
+    The cut is ABOVE-MEAN share (fraction = 1/n_suppliers), the
+    data-relative form of TPC-H's 0.0001/SF spec scaling (SF is
+    proportional to supplier count): a FIXED fraction empties as the
+    fleet grows — the round-8 sf0.1 oracle sweep caught the original
+    0.005 returning zero rows once shares fell to ~1/1000."""
     l = T(spark, sf, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("value"))
     total = per_supp.agg(
-        F.sum(F.col("value").cast("double")).alias("grand_total")
+        F.sum(F.col("value").cast("double")).alias("grand_total"),
+        F.count(F.lit(1)).alias("nsupp"),
     )
     return (
         per_supp.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") > F.col("grand_total") * 0.005)
+        .filter(
+            F.col("value").cast("double")
+            > F.col("grand_total") / F.col("nsupp")
+        )
         # surface as double on both engines (decimal stays internal); cast
         # BEFORE the sort so tie order under double rounding matches too
         .select("l_suppkey", F.col("value").cast("double").alias("value"))
@@ -100,7 +110,7 @@ WITH v AS (
 SELECT l_suppkey, value::DOUBLE AS value
 FROM v
 WHERE CAST(value AS DOUBLE) >
-      (SELECT sum(CAST(value AS DOUBLE)) FROM v) * 0.005
+      (SELECT sum(CAST(value AS DOUBLE)) / count(*) FROM v)
 ORDER BY value::DOUBLE DESC, l_suppkey
 """
 

@@ -420,21 +420,50 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 def q20_part_stock_chain(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q20 shape: nested IN chains -> a semi-join ladder. Suppliers
-    who shipped > 50 units of some 'small%' part during 1996, restricted
-    to one nation: qty aggregate per (supplier, part) -> semi vs the
-    LIKE-filtered part set -> threshold -> distinct suppliers -> semi vs
-    supplier -> nation filter. Every rung keeps left-side cardinality."""
+    who shipped an above-threshold volume of some 'small%' part during
+    1996, restricted to one nation: qty aggregate per (supplier, part) ->
+    semi vs the LIKE-filtered part set -> threshold -> distinct suppliers
+    -> semi vs supplier -> nation filter. Every rung keeps left-side
+    cardinality.
+
+    Threshold = 1.5x the mean per-pair volume, in EXACT int64 arithmetic
+    (2*shipped*npairs > 3*total; l_quantity is integral): TPC-H's own Q20
+    compares against 0.5*sum-per-pair for the same reason — a FIXED "> 50
+    units" cut empties as SF grows because per-(supplier, part) lineitem
+    counts fall with part-table size (the round-8 sf0.1 sweep measured
+    the fixed cut decaying 17 pairs @ sf0.01 -> 15 @ sf0.1 while pairs
+    grew 1206 -> 11288; the relative cut holds ~24% at every SF).
+
+    The one-nation restriction is likewise data-derived (alphabetically
+    first nation that HAS suppliers, an exact string min on both
+    engines): the original literal NATION_5 has zero suppliers at
+    sf0.001 — a hardcoded dimension member is a scale-DOWN hazard the
+    same way a fixed threshold is a scale-up one."""
     l = T(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     p = T(spark, sf, "part").filter(F.col("p_name").like("small%"))
     s = T(spark, sf, "supplier")
-    n = T(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
-    qty = (
+    nat = T(spark, sf, "nation")
+    target_nation = (
+        s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
+        .agg(F.min("n_name").alias("n_name"))
+    )
+    n = nat.join(F.broadcast(target_nation), "n_name", "left_semi")
+    pair_qty = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("shipped"))
-        .filter(F.col("shipped") > 50)
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped"))
+    )
+    tot = pair_qty.agg(
+        F.sum("shipped").alias("total_q"), F.count(F.lit(1)).alias("npairs")
+    )
+    qty = (
+        pair_qty.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(2) * F.col("shipped") * F.col("npairs")
+            > F.lit(3) * F.col("total_q")
+        )
         .select("l_suppkey")
         .distinct()
     )
@@ -447,15 +476,23 @@ def q20_part_stock_chain(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q20_SQL = """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS shipped
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
 SELECT s_suppkey, s_name
 FROM supplier
 WHERE s_suppkey IN (
-    SELECT l_suppkey FROM lineitem
-    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-    GROUP BY l_suppkey, l_partkey
-    HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 50)
-  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+    SELECT l_suppkey FROM qty
+    WHERE 2 * shipped * (SELECT count(*) FROM qty) >
+          3 * (SELECT sum(shipped) FROM qty))
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_name = (SELECT min(n_name) FROM nation
+                    JOIN supplier ON s_nationkey = n_nationkey))
 ORDER BY s_suppkey
 """
 

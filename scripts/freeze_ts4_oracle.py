@@ -1,7 +1,7 @@
 """Regenerate catalog_ext.TS4_SQL: run the deterministic ts4_kmeans_ivf
-entry at the two gate datasets (sf0.001 local pytest gate, sf0.01 driver
-gate), fingerprint each embeddings table, and emit the literal-VALUES
-oracle dispatched on that fingerprint.
+entry at the three gate datasets (sf0.001 local pytest gate, sf0.01
+driver gate, sf0.1 full-scale sweep), fingerprint each embeddings table,
+and emit the literal-VALUES oracle dispatched on that fingerprint.
 
 Run after any change to the testdata, k-means config (k / max_iter / init),
 or IVF parameters, then paste the output over the TS4_SQL block:
@@ -14,7 +14,7 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import SparkSession
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
 def main() -> None:
