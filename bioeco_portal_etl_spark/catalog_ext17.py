@@ -199,16 +199,21 @@ ORDER BY media_id, channel"""
 def x35_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     """Association rules over order baskets with items = part class
     (l_partkey % 40): support / confidence / lift in e6 integers,
-    min_support 50 (operators/basket.py)."""
+    RELATIVE min support 1/200 of baskets with an absolute floor of 2
+    (operators/basket.py). The round-8 sf0.001 sweep caught the
+    original absolute min_support=50 returning zero pairs at 1.5k
+    baskets (max pair support 28) while cutting NOTHING at >= 14k
+    baskets — an absolute support cut is scale-dependent in both
+    directions; the basket-fraction form is the textbook one."""
     from bioeco_portal_etl_spark.operators.basket import association_rules
 
     li = T(spark, sf, "lineitem").select(
         F.col("l_orderkey").alias("basket"),
         (F.col("l_partkey") % 40).cast("long").alias("item"),
     )
-    return association_rules(li, "basket", "item", min_support=50).orderBy(
-        "item_a", "item_b"
-    )
+    return association_rules(
+        li, "basket", "item", min_support=2, min_support_per=200
+    ).orderBy("item_a", "item_b")
 
 
 def _x35_sql() -> str:
@@ -217,7 +222,8 @@ def _x35_sql() -> str:
     body = duck_association_rules(
         "SELECT l_orderkey AS basket,"
         " CAST(l_partkey % 40 AS BIGINT) AS item FROM lineitem",
-        min_support=50,
+        min_support=2,
+        min_support_per=200,
     )
     return f"""
 WITH {body}

@@ -181,7 +181,12 @@ FROM l2 GROUP BY label
 ORDER BY size DESC, community LIMIT 20"""
 
 
-_KCORE_K = 8
+# k=4 is the largest k whose core is non-empty at EVERY gate SF: the
+# sf0.001 co-activity graph tops out at 5-customer date cohorts (max
+# clique 5 -> max possible core 4), so the original k=8 hash-matched
+# empty-vs-empty there — the round-8 sweep's vacuous-gate finding. At
+# sf0.01/sf0.1 (max cohorts 16/90) k=4 still peels a real fringe.
+_KCORE_K = 4
 
 
 def gr8_kcore(spark: SparkSession, sf: str) -> DataFrame:

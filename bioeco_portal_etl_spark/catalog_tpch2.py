@@ -74,15 +74,30 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
     (A,B) or (B,A), grouped by (supp_nation, cust_nation, ship year).
     Nations broadcast twice under different aliases; the pair disjunction
     rides the joined row (it spans both dimension sides, so it cannot push
-    below either join)."""
+    below either join).
+
+    The pair itself is data-derived — the two alphabetically-first
+    nations having BOTH suppliers and customers (exact string mins,
+    identical on both engines): the original literal (NATION_1,
+    NATION_2) pair has no sf0.001 members on one side, so the entry
+    hash-matched empty-vs-empty there (round-8 sweep finding; same
+    hardcoded-dimension-member hazard as q20's NATION_5)."""
     l = T(spark, sf, "lineitem")
     o = T(spark, sf, "orders")
     c = T(spark, sf, "customer")
     s = T(spark, sf, "supplier")
-    n1 = T(spark, sf, "nation").select(
+    nat = T(spark, sf, "nation")
+    eligible = nat.join(
+        s, nat.n_nationkey == s.s_nationkey, "left_semi"
+    ).join(c, nat.n_nationkey == c.c_nationkey, "left_semi")
+    pair2 = (
+        eligible.select("n_name").orderBy("n_name").limit(2)
+        .agg(F.min("n_name").alias("na"), F.max("n_name").alias("nb"))
+    )
+    n1 = nat.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = T(spark, sf, "nation").select(
+    n2 = nat.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
@@ -91,10 +106,15 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .crossJoin(F.broadcast(pair2))
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == F.col("na"))
+        & (F.col("cust_nation") == F.col("nb"))
+    ) | (
+        (F.col("supp_nation") == F.col("nb"))
+        & (F.col("cust_nation") == F.col("na"))
+    )
     return (
         j.filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
@@ -105,6 +125,12 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q7_SQL = """
+WITH ns AS (
+  SELECT n_name FROM nation
+  WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    AND n_nationkey IN (SELECT c_nationkey FROM customer)
+  ORDER BY n_name LIMIT 2
+)
 SELECT supp_nation, cust_nation, l_year, sum(volume)::DOUBLE AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -116,8 +142,10 @@ FROM (
   JOIN supplier ON l_suppkey  = s_suppkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE (n1.n_name = (SELECT min(n_name) FROM ns)
+         AND n2.n_name = (SELECT max(n_name) FROM ns))
+     OR (n1.n_name = (SELECT max(n_name) FROM ns)
+         AND n2.n_name = (SELECT min(n_name) FROM ns)))
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """

@@ -46,12 +46,21 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_support: int = 2,
+    min_support_per: int | None = None,
 ) -> DataFrame:
     """(item_a, item_b, support_ab, support_a, support_b, conf_ab_e6,
     conf_ba_e6, lift_e6): level-2 association rules with e6 integer
     metrics, pairs below ``min_support`` dropped before the metric
     joins. The per-item support table is item-cardinality-sized and
-    broadcast into both enrichment joins."""
+    broadcast into both enrichment joins.
+
+    ``min_support_per`` additionally requires ``support_ab *
+    min_support_per >= n_baskets`` — the textbook RELATIVE support form
+    (a 1/min_support_per basket fraction) in exact integer arithmetic.
+    An absolute-only cut is scale-dependent in both directions: too
+    high and small corpora return nothing, too low and it stops
+    bounding the pair tail as baskets grow (the round-8 sweep finding
+    on x35)."""
     # ONE deduped basket-item table feeds all three consumers (pairs,
     # per-item supports, basket count) — persisted so the upstream scan
     # and distinct run once, not three times (the pagerank edges lesson)
@@ -73,8 +82,21 @@ def association_rules(
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support_ab"))
-        .filter(F.col("support_ab") >= min_support)
     )
+    if min_support_per is not None:
+        pairs = (
+            pairs.crossJoin(F.broadcast(n_baskets))
+            .filter(
+                (F.col("support_ab") >= min_support)
+                & (
+                    F.col("support_ab") * F.lit(min_support_per)
+                    >= F.col("n_baskets")
+                )
+            )
+            .drop("n_baskets")
+        )
+    else:
+        pairs = pairs.filter(F.col("support_ab") >= min_support)
     sa = supp.select(
         F.col("item").alias("item_a"), F.col("support").alias("support_a")
     )
@@ -106,10 +128,16 @@ def association_rules(
 
 
 def duck_association_rules(
-    source_sql: str, min_support: int = 2
+    source_sql: str, min_support: int = 2, min_support_per: int | None = None
 ) -> str:
     """DuckDB CTE body mirroring :func:`association_rules`; exposes
     ``rules(...)``. ``source_sql`` must project (basket, item)."""
+    rel = (
+        f" AND count(*) * {min_support_per} >="
+        " (SELECT n_baskets FROM __mb_n)"
+        if min_support_per is not None
+        else ""
+    )
     return f"""__mb_items AS (
   SELECT DISTINCT basket, item FROM ({source_sql})
 ),
@@ -122,7 +150,7 @@ __mb_pairs AS (
   FROM __mb_items a JOIN __mb_items b
     ON a.basket = b.basket AND a.item < b.item
   GROUP BY a.item, b.item
-  HAVING count(*) >= {min_support}
+  HAVING count(*) >= {min_support}{rel}
 ),
 rules AS (
   SELECT p.item_a, p.item_b,
