@@ -1084,11 +1084,14 @@ _GATE_FIRST = [
     "td5_embedding_neardup",
 ]
 # Round-9 rotation plan: run scripts/regate_check.py first (its
-# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries),
-# then continue the longest-since-sampled refresh: the 20 remaining
-# r2-era entries (td6-td9, ts1-ts7, tx1-tx8, tx10, u1, x1, ...), then
-# the r3 cohort. Update tests/test_gate_window.py's pin in the SAME
-# commit as any _GATE_FIRST edit — the round-5 silent-displacement trap.
+# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries).
+# Known round-8 semantic edits it will flag — put these at the FRONT:
+# tx29 (covered-position rewrite), q7/q11/q20/x35/gr8/ts4 (scale-
+# parameter retunes, PORTABILITY.md round-8 section). Then continue the
+# longest-since-sampled refresh: the 20 remaining r2-era entries
+# (td6-td9, ts1-ts7, tx1-tx8, tx10, u1, x1, ...), then the r3 cohort.
+# Update tests/test_gate_window.py's pin in the SAME commit as any
+# _GATE_FIRST edit — the round-5 silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},
