@@ -161,3 +161,32 @@ def test_time_weighted_avg_weights_by_duration(spark):
     ).select("k", F.col("s").cast("timestamp").alias("ts"), "value")
     out2 = time_weighted_avg(df2, ["k"]).collect()[0]
     assert out2["twa_e4"] == 1_750_000  # plain mean would drop; TWA holds
+
+
+def test_association_rules_relative_support_scale_free(spark):
+    """The round-8 relative-support form (support*per >= n_baskets) is
+    scale-FREE: replicating every basket 3x (fresh basket ids) scales
+    support_ab and n_baskets together, so the pass set, confidences and
+    lifts are identical — exactly the invariance the absolute cut in
+    x35's original form lacked (PORTABILITY.md round-8 section)."""
+    from bioeco_portal_etl_spark.operators.basket import association_rules
+
+    base = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    rep = [(b + 10 * i, it) for i in range(3) for (b, it) in base]
+    df1 = spark.createDataFrame(base, "basket long, item string")
+    df3 = spark.createDataFrame(rep, "basket long, item string")
+
+    def key(df):
+        return {
+            (r["item_a"], r["item_b"]): (
+                r["conf_ab_e6"], r["conf_ba_e6"], r["lift_e6"],
+            )
+            for r in association_rules(
+                df, "basket", "item", min_support=1, min_support_per=2
+            ).collect()
+        }
+
+    r1, r3 = key(df1), key(df3)
+    assert r1 == r3
+    # the relative cut did cut something (support 1 of 3 baskets < 1/2)
+    assert ("a", "c") not in r1 and ("a", "b") in r1
