@@ -402,6 +402,7 @@ def compact_line(
     stable26: float,
     calib: float,
     calib_shuffle: float = -1.0,
+    calib_sustained: float = -1.0,
 ) -> str:
     """The FINAL stdout line the external driver parses (it keeps only the
     last ~2000 chars). Carries the top-10 slowest queries, not the full map —
@@ -421,6 +422,9 @@ def compact_line(
         "calibration_sec": round(calib, 3),
         # shuffle/memory-bandwidth yardstick (see _calibration_shuffle_df)
         "calibration_shuffle_sec": round(calib_shuffle, 3),
+        # sustained-throughput yardstick (see _calibration_sustained_df) —
+        # the axis the two burst rows miss (round-8 host-drift postmortem)
+        "calibration_sustained_sec": round(calib_sustained, 3),
         "n_queries": len(timings),
     }
     line = json.dumps(compact)
@@ -461,6 +465,50 @@ def _calibration_shuffle_df(spark):
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         .selectExpr("sum(s) AS s", "sum(n) AS n")
     )
+
+
+def _calibration_sustained_df(spark):
+    # Third calibration axis (round 9, VERDICT r8 item 4): a SUSTAINED
+    # (~30s nominal) all-core mixed CPU+shuffle workload. The two burst
+    # rows above (1.5G-row codegen ~ CPU frequency; 20M-row shuffle ~
+    # memory/shuffle bandwidth) both finish in ~1s, and the round-8
+    # same-day A/B proved a drift mode NEITHER catches: sustained
+    # throughput sagging (thermal/cgroup/noisy-neighbor pressure that
+    # only engages under continuous load) while burst numbers stay
+    # normal — two consecutive rounds' headline numbers were distorted
+    # by it. This row holds all cores busy long enough for that
+    # pressure to engage: per-row integer mixing (CPU) feeding a
+    # 25M-group two-phase hash aggregate (shuffle write+read+spill),
+    # then a second 1M-group reduction. Fixed literal workload — no
+    # I/O, no data dependence, byte-identical across rounds.
+    # Sizing: ~30s nominal on the round-7-era reference host (cpu calib
+    # ~0.09); measured 133s on the round-9 degraded host at cpu calib
+    # 0.438 (~4.7x) — that ratio IS the signal this row exists to expose.
+    return (
+        spark.range(400_000_000)
+        .selectExpr(
+            "id % 8000000 AS k",
+            # Knuth multiplicative mix keeps the map side CPU-bound so
+            # the row exercises both resources at once, like real queries
+            "((id * 2654435761) % 1000003) * 3 + 1 AS v",
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("k % 500000 AS k2", "s", "n")
+        .groupBy("k2")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .selectExpr("sum(s) AS s", "sum(n) AS n")
+    )
+
+
+def _calibrate_sustained(spark) -> float:
+    # ONE timed pass, no warm-up, no min-of-3: the point is average
+    # throughput over a long window (the window self-averages; JIT and
+    # footer costs are <1% of 30s), and three passes would add ~90s to
+    # every bench run for no extra signal on this axis.
+    t0 = time.perf_counter()
+    _calibration_sustained_df(spark).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def _calibrate(spark) -> float:
@@ -510,6 +558,7 @@ def isolate_main(names: list[str]) -> None:
             "sec": row["sec"],
             "calibration_sec": row["calibration_sec"],
             "calibration_shuffle_sec": row.get("calibration_shuffle_sec", -1.0),
+            "calibration_sustained_sec": row.get("calibration_sustained_sec", -1.0),
         }
     print(
         json.dumps(
@@ -529,6 +578,7 @@ def isolated_one_main(name: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
+    calib_sustained = _calibrate_sustained(spark)
     sec = _bench_one(spark, name, sf_dir)
     print(
         json.dumps(
@@ -537,6 +587,7 @@ def isolated_one_main(name: str) -> None:
                 "sec": round(sec, 3),
                 "calibration_sec": round(calib, 3),
                 "calibration_shuffle_sec": round(calib_shuffle, 3),
+                "calibration_sustained_sec": round(calib_sustained, 3),
             }
         )
     )
@@ -572,6 +623,7 @@ def main() -> None:
 
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
+    calib_sustained = _calibrate_sustained(spark)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -600,13 +652,14 @@ def main() -> None:
         "stable26_sec": stable26,
         "calibration_sec": round(calib, 3),
         "calibration_shuffle_sec": round(calib_shuffle, 3),
+        "calibration_sustained_sec": round(calib_sustained, 3),
         "n_queries": len(timings),
     }
     print(json.dumps(full))
     with open(Path(__file__).resolve().parent / "bench_full.json", "w") as f:
         json.dump(full, f, indent=1)
 
-    print(compact_line(timings, sf, stable26, calib, calib_shuffle))
+    print(compact_line(timings, sf, stable26, calib, calib_shuffle, calib_sustained))
     spark.stop()
 
 

@@ -1020,78 +1020,79 @@ _CATALOG.update(CATALOG_TPCH2)
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # ---- ROUND-8 WINDOW (slots 1-50).
-    # Slots 1-19: every entry with no driver row in rounds 1-7 — the
-    # ext30 overflow (5) then the round-7 additions (ext31-33, batch
-    # order). After this round the driver has sampled the FULL catalog.
-    "gr21_edge_support",
-    "dq16_id_gaps",
-    "ts24_norm_profile",
-    "td15_soft_dedupe_weights",
-    "mm22_crest_factor",
-    "mm23_jpeg_color_roundtrip",
-    "td16_minhash_error_sweep",
-    "tx41_rank_stability",
-    "ts25_dim_covariance",
-    "x49_poisson_bootstrap",
-    "x50_ks_test",
-    "tx42_js_divergence",
-    "gr22_assortativity",
-    "td17_truncation_dupes",
-    "rel38_time_weighted_avg",
-    "w21_stream_locf_segments",
-    "x51_exact_quantiles",
-    "gr23_degree_inequality",
-    "dq17_freshness_lag",
-    # Slots 20-21: changed-since-sampled re-gates with SPAN-LEVEL edits
-    # (scripts/regate_check.py, REGATE_r08.json): both sampled round 4,
-    # their implementing function bodies edited after — exactly the gap
-    # the gr23 floor-fix exposed (VERDICT r7 item #5).
-    "x19_group_normalize",
-    "gr5_node_similarity",
-    # Slots 22-50: the longest-since-sampled refresh — 29 of the 49
-    # round-2-era entries (oldest driver rows in the catalog, all also
-    # regate-flagged via the shared loader's round-7 edit), name order.
-    # The remaining 20 r2-era entries queue for round 9.
-    "a1_grouped_merge",
-    "a2_dedupe_keep_first",
-    "a3_duplicate_audit",
-    "a4_make_unique",
-    "f_filters",
-    "g1_point_wkt",
-    "g2_multipoint_union",
-    "g5_geom_type",
-    "g7_linestring_track",
-    "g9_union_points_geojson",
-    "j1_broadcast_left_join",
-    "j4_differing_key_names",
-    "p12_make_identifier",
-    "p18_row_number",
-    "p19_sql_script",
-    "p1_select_rename",
-    "p6_recode_passthrough",
-    "p7_str_trunc",
-    "p8_p9_year_dates",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "r2_unpivot_flags",
-    "td1_exact_dedupe",
-    "td2_minhash_lsh",
-    "td3_simhash",
-    "td4_jaccard_pairs",
-    "td5_embedding_neardup",
+    # ---- ROUND-9 WINDOW (slots 1-50).
+    # Slots 1-7: the seven round-8 semantic edits (VERDICT r8 item 1;
+    # all REGATE_r08-flagged) — the scale-parameter retunes from the
+    # off-gate SF sweeps (q7/q11/q20/x35/gr8/ts4, PORTABILITY.md
+    # round-8 section) and tx29's lag-window plan rewrite. q11/q20
+    # also carry the round-9 exact-arithmetic fixes (ADVICE r8).
+    "tx29_ngram_coverage",
+    "q7_volume_shipping",
+    "q11_value_suppliers",
+    "q20_part_stock_chain",
+    "x35_market_basket",
+    "gr8_kcore",
+    "ts4_kmeans_ivf",
+    # Slots 8-26: the 19 remaining round-2-era entries (last driver
+    # row = r2, the oldest in the catalog; ts4 is already slot 7).
+    # After this round no entry is older than r3.
+    "td6_decontamination",
+    "td7_dup_clusters",
+    "td8_segment_dedupe",
+    "ts1_cosine_topk",
+    "ts2_lsh_bucket_topk",
+    "ts3_ivf_topk",
+    "ts5_pq_topk",
+    "ts6_ivfpq_topk",
+    "tx10_tfidf_top_terms",
+    "tx1_token_counts",
+    "tx2_language_id",
+    "tx3_quality",
+    "tx4_fingerprint",
+    "tx5_normalize",
+    "tx6_pii_redact",
+    "tx7_top_bigrams",
+    "tx8_length_quantiles",
+    "u1_union_by_name",
+    "x1_salted_agg",
+    # Slots 27-50: the oldest r3-cohort refresh, name order — all
+    # REGATE_r08 changed-since-sampled (the shared loader's round-7
+    # edit touches every one). The remaining 23 r3 entries queue for
+    # round 10.
+    "g10_point_in_polygon",
+    "mm1_media_metadata",
+    "p0_canonical_entities",
+    "p3_blanks_to_null",
+    "p4_flag_columns",
+    "q10_returned_items",
+    "q12_lateness_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q8_market_share",
+    "q9_product_profit",
+    "rel10_window_suite",
+    "rel11_scd2_merge",
+    "rel1_rollup",
+    "rel2_lead_lag",
 ]
-# Round-9 rotation plan: run scripts/regate_check.py first (its
-# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries).
-# Known round-8 semantic edits it will flag — put these at the FRONT:
-# tx29 (covered-position rewrite), q7/q11/q20/x35/gr8/ts4 (scale-
-# parameter retunes, PORTABILITY.md round-8 section). Then continue the
-# longest-since-sampled refresh: the 20 remaining r2-era entries
-# (td6-td9, ts1-ts7, tx1-tx8, tx10, u1, x1, ...), then the r3 cohort.
-# Update tests/test_gate_window.py's pin in the SAME commit as any
-# _GATE_FIRST edit — the round-5 silent-displacement trap.
+# Round-10 rotation plan: run scripts/regate_check.py first (its
+# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries) —
+# any round-9 semantic edit (e.g. the q11/q20 exact-arithmetic fixes if
+# the driver misses them this round) goes at the FRONT. Then continue
+# the longest-since-sampled refresh: the remaining 23 r3-era entries
+# (rel3-rel9, w1-w5, x2-x10, ts7, tx11, ...; compute the exact set from
+# the CORRECTNESS union as tests/test_gate_window.py does), then the r4
+# cohort. Update tests/test_gate_window.py's pin in the SAME commit as
+# any _GATE_FIRST edit — the round-5 silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},

@@ -73,8 +73,8 @@ def q11_value_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     Spark-first: aggregate once, derive the one-row total from the SAME
     aggregate (reused, not rescanned), broadcast-cross-join it back, and
     filter. At 100 TB the per-supplier aggregate is the only fact shuffle;
-    the total is K rows -> 1 row. The double threshold compare is
-    deterministic because both factors come from an exact decimal sum.
+    the total is K rows -> 1 row. The threshold compare is cross-multiplied
+    exact decimal (value * nsupp > grand_total) so no engine ever divides.
 
     The cut is ABOVE-MEAN share (fraction = 1/n_suppliers), the
     data-relative form of TPC-H's 0.0001/SF spec scaling (SF is
@@ -85,15 +85,18 @@ def q11_value_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("value"))
     total = per_supp.agg(
-        F.sum(F.col("value").cast("double")).alias("grand_total"),
+        F.sum("value").alias("grand_total"),
         F.count(F.lit(1)).alias("nsupp"),
     )
+    # Cross-multiplied EXACT-decimal compare (value * nsupp > grand_total),
+    # not value > grand_total/nsupp in doubles: a supplier landing on the
+    # float boundary of an order-dependent double summation could flip
+    # between engines/runs. Same convention as q20's 2*shipped*npairs >
+    # 3*total_q form (ADVICE r8). Magnitudes fit decimal(38,6) with huge
+    # headroom: grand_total*nsupp ~ 1e13 at sf0.1, ~1e19 only at SF~1e5.
     return (
         per_supp.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("value").cast("double")
-            > F.col("grand_total") / F.col("nsupp")
-        )
+        .filter(F.col("value") * F.col("nsupp") > F.col("grand_total"))
         # surface as double on both engines (decimal stays internal); cast
         # BEFORE the sort so tie order under double rounding matches too
         .select("l_suppkey", F.col("value").cast("double").alias("value"))
@@ -109,8 +112,7 @@ WITH v AS (
 )
 SELECT l_suppkey, value::DOUBLE AS value
 FROM v
-WHERE CAST(value AS DOUBLE) >
-      (SELECT sum(CAST(value AS DOUBLE)) / count(*) FROM v)
+WHERE value * (SELECT count(*) FROM v) > (SELECT sum(value) FROM v)
 ORDER BY value::DOUBLE DESC, l_suppkey
 """
 

@@ -478,10 +478,15 @@ def q20_part_stock_chain(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("n_name").alias("n_name"))
     )
     n = nat.join(F.broadcast(target_nation), "n_name", "left_semi")
+    # floor() before the long conversion: Spark's double->long CAST
+    # truncates toward zero while DuckDB's rounds half-to-even — identical
+    # on today's integral l_quantity but silently divergent on any future
+    # fractional value. floor() is defined identically on both engines
+    # (ADVICE r8).
     pair_qty = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped"))
+        .agg(F.sum(F.floor("l_quantity")).alias("shipped"))
     )
     tot = pair_qty.agg(
         F.sum("shipped").alias("total_q"), F.count(F.lit(1)).alias("npairs")
@@ -505,7 +510,7 @@ def q20_part_stock_chain(spark: SparkSession, sf: str) -> DataFrame:
 
 Q20_SQL = """
 WITH qty AS (
-  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS shipped
+  SELECT l_suppkey, l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS shipped
   FROM lineitem
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
     AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -8,8 +8,19 @@ PIXEL-LEVEL for real via the pure-stdlib codec in :mod:`multimodal.png`
 (``decode_image``, and the ``decode_fn`` seams on the metadata/resize
 stages) and for baseline JPEG via :mod:`multimodal.jpeg`; profiles beyond
 those route through the OPTIONAL Pillow arm (``_pil_decode``) when Pillow
-is installed, and raise otherwise (ffmpeg audio/video still need a library
-wired at the same seams). The default-path
+is installed, and raise otherwise. Audio decodes for real via the
+pure-stdlib WAV codec in :mod:`multimodal.wavpcm`; compressed containers
+(MP3/FLAC/OGG) route through the OPTIONAL PyAV/ffmpeg arm
+(``_av_decode_audio`` behind ``decode_audio``) when PyAV is installed, and
+raise otherwise. Video remains frame-STUBBED by deliberate decline: every
+video stage (``sample_frames``, ``scene_cuts``, ``frame_motion``) already
+exposes the ``decode_fn``/byte-window seam where a keyframe extractor
+plugs in, the Spark-side contract (fan-out shape, ordering column, binary
+frame schema) is what the engine owns and tests, and a container-less fake
+of ffmpeg's demux+GOP machinery would be pretend coverage rather than a
+codec — a deployment with PyAV passes ``decode_fn=lambda b:
+frame_means_via_av(b)`` at those seams without touching this module. The
+default-path
 stubs (``decode_media_metadata`` with ``decode_fn=None`` etc.) derive
 deterministic fake dimensions from the byte stream so the Spark-side
 contract — schema, batch shape, partitioning — stays oracle-checkable with
@@ -183,6 +194,68 @@ def decode_image(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
         "jpeg.py); install Pillow to light up the _pil_decode arm for "
         "WebP and progressive/subsampled JPEG — same (w, h, channels, "
         "rows) contract"
+    )
+
+
+def _av_available() -> bool:
+    """True when PyAV (the ffmpeg binding) is importable. Import-probe,
+    not find_spec, so tests can plant a stand-in module — same posture
+    as :func:`_pil_available`."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _av_decode_audio(payload: bytes) -> tuple[int, list[int]]:
+    """Optional-PyAV arm of the :func:`decode_audio` seam: same
+    ``(sample_rate, mono 16-bit samples)`` contract as
+    :func:`wavpcm.decode_wav`, for every compressed container ffmpeg can
+    open (MP3/FLAC/OGG/M4A...). Multi-channel input is mixed down by
+    per-sample channel mean — the interchange shape every downstream
+    audio stage (wav_clip_stats, audio_frame_features, ...) consumes.
+    Lazy import + module-level def keep it picklable for mapInPandas
+    closures, mirroring :func:`_pil_decode`."""
+    import io
+
+    import av
+
+    rate = 0
+    chunks: list[list[int]] = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next(s for s in container.streams if s.type == "audio")
+        for frame in container.decode(stream):
+            rate = int(frame.sample_rate or rate)
+            arr = frame.to_ndarray()  # planar: (channels, n); packed: (1, n*ch)
+            if getattr(arr.dtype, "kind", "i") == "f":
+                arr = (arr * 32767.0).round()
+            if arr.ndim == 2 and arr.shape[0] > 1:
+                arr = arr.mean(axis=0).round()  # planar multi-channel mixdown
+            flat = [int(v) for v in arr.reshape(-1)]
+            chunks.append([max(-32768, min(32767, v)) for v in flat])
+    return rate, [s for c in chunks for s in c]
+
+
+def decode_audio(payload: bytes) -> tuple[int, list[int]]:
+    """Audio-decode plug-point: container bytes -> (sample_rate, mono
+    16-bit PCM samples). REAL for RIFF/WAVE via the pure-stdlib codec in
+    :mod:`multimodal.wavpcm`; every other container routes through the
+    OPTIONAL PyAV/ffmpeg arm (:func:`_av_decode_audio`, import-gated like
+    Pillow in :func:`decode_image`); without PyAV the seam's error
+    contract holds — raise on what you can't decode, never silent fake
+    samples."""
+    from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if _av_available():
+        return _av_decode_audio(payload)
+    raise NotImplementedError(
+        "only RIFF/WAVE PCM decodes without PyAV (multimodal/wavpcm.py); "
+        "install PyAV (ffmpeg binding) to light up the _av_decode_audio "
+        "arm for MP3/FLAC/OGG — same (sample_rate, mono 16-bit samples) "
+        "contract"
     )
 
 

@@ -72,10 +72,19 @@ def round_timestamps() -> dict[int, int]:
 
 
 def implementing_files(fn) -> tuple[tuple[str, int, int] | None, set[str]]:
-    """(defining file, span start, span end) + referenced package modules."""
+    """(defining file, span start, span end) + referenced package modules.
+
+    Two traces, both err toward re-sampling:
+      * __globals__ lookup of co_names — catches module-level imports;
+      * a regex over the SOURCE TEXT for `bioeco_portal_etl_spark.x.y`
+        dotted paths — catches function-LOCAL imports, which co_names
+        cannot see (round-9 fix: tx29's lazy `from ...ngram_coverage
+        import` made its round-8 rewrite invisible to this script)."""
     span = None
+    src_text = ""
     try:
         lines, start = inspect.getsourcelines(fn)
+        src_text = "".join(lines)
         f = inspect.getsourcefile(fn)
         if f:
             span = (str(Path(f).relative_to(REPO)), start, start + len(lines) - 1)
@@ -91,6 +100,27 @@ def implementing_files(fn) -> tuple[tuple[str, int, int] | None, set[str]]:
         elif callable(obj):
             mod = sys.modules.get(getattr(obj, "__module__", ""), None)
         if mod and getattr(mod, "__name__", "").startswith("bioeco") and mod.__file__:
+            p = Path(mod.__file__)
+            if p.is_relative_to(REPO):
+                mods.add(str(p.relative_to(REPO)))
+    # function-local imports: resolve every dotted package path that
+    # appears in the source text (import_module is a no-op cache hit for
+    # anything the entry actually runs)
+    import importlib
+    import re
+
+    for dotted in set(re.findall(r"bioeco_portal_etl_spark(?:\.\w+)+", src_text)):
+        mod = sys.modules.get(dotted)
+        if mod is None:
+            try:
+                mod = importlib.import_module(dotted)
+            except ImportError:
+                # `pkg.mod.attr` matches too — retry without the last part
+                try:
+                    mod = importlib.import_module(dotted.rsplit(".", 1)[0])
+                except ImportError:
+                    continue
+        if getattr(mod, "__file__", None):
             p = Path(mod.__file__)
             if p.is_relative_to(REPO):
                 mods.add(str(p.relative_to(REPO)))

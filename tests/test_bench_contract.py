@@ -25,6 +25,17 @@ def test_compact_line_bounded_at_large_catalog():
     assert len(d["queries"]) == 10  # top-10 slowest only
     assert d["value"] == round(123.456 * 400, 3)
     assert d["stable26_sec"] == 14.8 and d["calibration_sec"] == 1.9
+    # all three calibration axes present even when defaulted (the
+    # sustained row is round 9's drift-mode instrument)
+    assert d["calibration_shuffle_sec"] == -1.0
+    assert d["calibration_sustained_sec"] == -1.0
+
+
+def test_compact_line_carries_all_calibrations():
+    d = json.loads(bench.compact_line(_fake_timings(5), 0.1, 1.0, 0.9, 0.95, 31.2))
+    assert d["calibration_sec"] == 0.9
+    assert d["calibration_shuffle_sec"] == 0.95
+    assert d["calibration_sustained_sec"] == 31.2
 
 
 def test_compact_line_keeps_slowest():
