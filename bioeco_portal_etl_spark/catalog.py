@@ -1008,15 +1008,11 @@ _CATALOG.update(CATALOG_TPCH2)
 # ALL entries every round, so nothing is ever *unchecked* locally — this
 # list only decides which 50 the external driver re-confirms this round.
 #
-# Round-6 policy (VERDICT r5 "Next round" #1): 54 round-5 entries were
-# displaced past slot 50 by later round-5 batches and have NEVER had a
-# driver row (cumulative driver coverage 196/250 after r5). This round's
-# window = tx31_doc_cosine (slot 1 — its round-5 row was vacuous 0-vs-0;
-# the retuned entry must earn a REAL driver row) + the 49 longest-parked
-# never-sampled entries, oldest batch first (ext5 → ext6 → ext7 → ext8 →
-# ext9 → ext10/11 → the later-displaced remainder). The 5 overflow
-# entries (tx27, ts14, w15, tx29, ts15 — all validate-green locally)
-# plus any NEW round-6 batches queue from position 51 for round 7.
+# Standing policy (since round 6; cumulative coverage reached 314/314
+# in round 8): changed-since-sampled entries (scripts/regate_check.py)
+# fill the front slots, then the longest-since-sampled cohorts refresh,
+# name order within a cohort. REGATE_r{N}.json is the committed flag
+# artifact each round.
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
