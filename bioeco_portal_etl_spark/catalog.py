@@ -1016,79 +1016,91 @@ _CATALOG.update(CATALOG_TPCH2)
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # ---- ROUND-9 WINDOW (slots 1-50).
-    # Slots 1-7: the seven round-8 semantic edits (VERDICT r8 item 1;
-    # all REGATE_r08-flagged) — the scale-parameter retunes from the
-    # off-gate SF sweeps (q7/q11/q20/x35/gr8/ts4, PORTABILITY.md
-    # round-8 section) and tx29's lag-window plan rewrite. q11/q20
-    # also carry the round-9 exact-arithmetic fixes (ADVICE r8).
-    "tx29_ngram_coverage",
-    "q7_volume_shipping",
-    "q11_value_suppliers",
-    "q20_part_stock_chain",
-    "x35_market_basket",
-    "gr8_kcore",
-    "ts4_kmeans_ivf",
-    # Slots 8-26: the 19 remaining round-2-era entries (last driver
-    # row = r2, the oldest in the catalog; ts4 is already slot 7).
-    # After this round no entry is older than r3.
-    "td6_decontamination",
-    "td7_dup_clusters",
-    "td8_segment_dedupe",
-    "ts1_cosine_topk",
-    "ts2_lsh_bucket_topk",
-    "ts3_ivf_topk",
-    "ts5_pq_topk",
-    "ts6_ivfpq_topk",
-    "tx10_tfidf_top_terms",
-    "tx1_token_counts",
-    "tx2_language_id",
-    "tx3_quality",
-    "tx4_fingerprint",
-    "tx5_normalize",
-    "tx6_pii_redact",
-    "tx7_top_bigrams",
-    "tx8_length_quantiles",
-    "u1_union_by_name",
-    "x1_salted_agg",
-    # Slots 27-50: the oldest r3-cohort refresh, name order — all
-    # REGATE_r08 changed-since-sampled (the shared loader's round-7
-    # edit touches every one). The remaining 23 r3 entries queue for
-    # round 10.
-    "g10_point_in_polygon",
-    "mm1_media_metadata",
-    "p0_canonical_entities",
-    "p3_blanks_to_null",
-    "p4_flag_columns",
-    "q10_returned_items",
-    "q12_lateness_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q8_market_share",
-    "q9_product_profit",
-    "rel10_window_suite",
-    "rel11_scd2_merge",
-    "rel1_rollup",
-    "rel2_lead_lag",
+    # ---- ROUND-10 WINDOW (slots 1-50). All 50 are REGATE_r09
+    # changed-since-sampled leftovers (127 flagged, round 9's window
+    # covered 50, 77 remained; VERDICT r9 item 1 enumerates this plan).
+    # Slots 1-22: mm2-mm23 — the whole multimodal family minus mm1
+    # (fresh r9 row), tainted by round 9's PyAV-arm edit to the shared
+    # multimodal/media.py. Numeric order.
+    "mm2_resize_meta",
+    "mm3_frame_sample",
+    "mm4_audio_energy",
+    "mm5_scene_cuts",
+    "mm6_png_channel_stats",
+    "mm7_wav_clip_stats",
+    "mm8_phash_groups",
+    "mm9_wav_downsample",
+    "mm10_patch_grid",
+    "mm11_patch_dupes",
+    "mm12_resize_pixels",
+    "mm13_frame_zcr",
+    "mm14_jpeg_roundtrip",
+    "mm15_wav_silence_trim",
+    "mm16_pixel_gini",
+    "mm17_jpeg_blockiness",
+    "mm18_gain_normalization",
+    "mm19_channel_correlation",
+    "mm20_shot_lengths",
+    "mm21_frame_motion",
+    "mm22_crest_factor",
+    "mm23_jpeg_color_roundtrip",
+    # Slots 23-30: the streaming cohort (w-family leftovers). Numeric
+    # order.
+    "w1_tumbling",
+    "w2_sliding",
+    "w3_session",
+    "w4_sessionize",
+    "w5_streaming_sessions",
+    "w7_stream_interval_join",
+    "w9_streaming_tumbling",
+    "w18_stream_cms_topk",
+    # Slots 31-50: the 20 oldest remaining leftovers by last-sample
+    # age (18 r3-era + the first 2 of the r4 cohort), name order.
+    "rel3_semi_anti",
+    "rel4_conditional_pivot",
+    "rel5_topk_per_group",
+    "rel6_asof_join",
+    "rel7_range_join",
+    "rel8_json_props",
+    "rel9_cube",
+    "ts7_pq_refine_topk",
+    "tx11_lm_score",
+    "x10_url_dedupe",
+    "x2_stratified_split",
+    "x3_sequence_packing",
+    "x4_source_cap",
+    "x5_chunk_windows",
+    "x6_corpus_stats",
+    "x7_temperature_mix",
+    "x8_fuzzy_match",
+    "x9_snapshot_diff",
+    "gr2_triangles",
+    "gr4_degree_hist",
 ]
-# Round-10 rotation plan: run scripts/regate_check.py first (its
-# CHANGED_SINCE_SAMPLED flags rank right after never-sampled entries) —
-# any round-9 semantic edit (e.g. the q11/q20 exact-arithmetic fixes if
-# the driver misses them this round) goes at the FRONT. Then continue
-# the longest-since-sampled refresh: the remaining 23 r3-era entries
-# (rel3-rel9, w1-w5, x2-x10, ts7, tx11, ...; compute the exact set from
-# the CORRECTNESS union as tests/test_gate_window.py does), then the r4
-# cohort. Update tests/test_gate_window.py's pin in the SAME commit as
-# any _GATE_FIRST edit — the round-5 silent-displacement trap.
+# ---- ROUND-11 CONTINUATION PLAN (pinned now per VERDICT r9 item 4,
+# so the two-round regate clearance is recorded rather than re-derived).
+# Front slots: any round-10 semantic edit the regate tracer flags —
+# known already: mm1_media_metadata (round 10 fixes the packed-audio
+# mixdown in the shared multimodal/media.py per ADVICE r9, re-tainting
+# mm1, whose last row is r9; the mm2-mm23 rows above land AFTER that
+# edit, so only mm1 carries the debt forward). Then the 27 REGATE_r09
+# leftovers this window could not fit, oldest-first, name order within
+# a cohort:
+#   r4-era: gr7_label_communities, rel14_hierarchy_flatten,
+#     rel19_funnel, rel21_attribution, rel24_cdc_apply,
+#     sk3_hll_distinct, td10_containment, x12_weighted_sample,
+#     x13_rolling_zscore, x14_ewma, x15_temporal_split, x16_histogram,
+#     x17_winsorize
+#   r5-era and later (compute exact ages from the CORRECTNESS union as
+#     tests/test_gate_window.py does): dq1_profile, dq3_split_leakage,
+#     dq11_expectations, g5_geom_type, gr17_adamic_adar,
+#     gr20_modularity, td9_cluster_keep_best, ts9_recall_at_k,
+#     ts10_sq8_topk, ts20_matryoshka_recall, ts21_nprobe_sweep,
+#     x20_equidepth_bins, x21_dup_matrix, x38_ab_test
+# That is 28 entries; the remaining ~22 slots resume the oldest-row
+# rotation (r4 cohort onward). Update tests/test_gate_window.py's pin
+# in the SAME commit as any _GATE_FIRST edit — the round-5
+# silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},
     **{k: v for k, v in _CATALOG.items() if k not in set(_GATE_FIRST)},

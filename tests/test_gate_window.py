@@ -17,81 +17,79 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The round-9 window, by position.
-#   Slots 1-7  — the seven round-8 semantic edits (VERDICT r8 item 1, all
-#                flagged by scripts/regate_check.py in REGATE_r09.json):
-#                the off-gate-SF scale-parameter retunes plus tx29's
-#                lag-window plan rewrite. q11/q20 additionally carry the
-#                round-9 exact-arithmetic fixes (ADVICE r8).
-#   Slots 8-26 — the 19 remaining round-2-era entries (most recent driver
-#                row = r2; ts4 is already slot 7). After round 9 no entry
-#                has a driver row older than r3.
-#   Slots 27-50 — oldest r3-cohort refresh, name order (all also
-#                regate-flagged via the shared loader's round-7 edit);
-#                the remaining 23 r3 entries queue for round 10.
-ROUND9_WINDOW = [
-    # round-8 semantic edits (regate re-gates):
-    "tx29_ngram_coverage",
-    "q7_volume_shipping",
-    "q11_value_suppliers",
-    "q20_part_stock_chain",
-    "x35_market_basket",
-    "gr8_kcore",
-    "ts4_kmeans_ivf",
-    # r2-era refresh (oldest driver rows), name order:
-    "td6_decontamination",
-    "td7_dup_clusters",
-    "td8_segment_dedupe",
-    "ts1_cosine_topk",
-    "ts2_lsh_bucket_topk",
-    "ts3_ivf_topk",
-    "ts5_pq_topk",
-    "ts6_ivfpq_topk",
-    "tx10_tfidf_top_terms",
-    "tx1_token_counts",
-    "tx2_language_id",
-    "tx3_quality",
-    "tx4_fingerprint",
-    "tx5_normalize",
-    "tx6_pii_redact",
-    "tx7_top_bigrams",
-    "tx8_length_quantiles",
-    "u1_union_by_name",
-    "x1_salted_agg",
-    # oldest r3-cohort refresh, name order:
-    "g10_point_in_polygon",
-    "mm1_media_metadata",
-    "p0_canonical_entities",
-    "p3_blanks_to_null",
-    "p4_flag_columns",
-    "q10_returned_items",
-    "q12_lateness_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q8_market_share",
-    "q9_product_profit",
-    "rel10_window_suite",
-    "rel11_scd2_merge",
-    "rel1_rollup",
-    "rel2_lead_lag",
+# The round-10 window, by position. All 50 are REGATE_r09
+# changed-since-sampled leftovers (VERDICT r9 item 1 enumerates the
+# plan: 127 flagged, round 9 covered 50, these are 50 of the 77 left).
+#   Slots 1-22  — mm2-mm23: the multimodal family minus mm1 (fresh r9
+#                 row), tainted by the round-9 PyAV-arm edit to the
+#                 shared multimodal/media.py. Numeric order.
+#   Slots 23-30 — the streaming w-family leftovers. Numeric order.
+#   Slots 31-50 — the 20 oldest remaining leftovers by last-sample age
+#                 (18 r3-era + the first 2 of the r4 cohort: gr2, gr4),
+#                 name order within each age cohort.
+ROUND10_WINDOW = [
+    # mm family (media.py taint), numeric order:
+    "mm2_resize_meta",
+    "mm3_frame_sample",
+    "mm4_audio_energy",
+    "mm5_scene_cuts",
+    "mm6_png_channel_stats",
+    "mm7_wav_clip_stats",
+    "mm8_phash_groups",
+    "mm9_wav_downsample",
+    "mm10_patch_grid",
+    "mm11_patch_dupes",
+    "mm12_resize_pixels",
+    "mm13_frame_zcr",
+    "mm14_jpeg_roundtrip",
+    "mm15_wav_silence_trim",
+    "mm16_pixel_gini",
+    "mm17_jpeg_blockiness",
+    "mm18_gain_normalization",
+    "mm19_channel_correlation",
+    "mm20_shot_lengths",
+    "mm21_frame_motion",
+    "mm22_crest_factor",
+    "mm23_jpeg_color_roundtrip",
+    # w-family leftovers, numeric order:
+    "w1_tumbling",
+    "w2_sliding",
+    "w3_session",
+    "w4_sessionize",
+    "w5_streaming_sessions",
+    "w7_stream_interval_join",
+    "w9_streaming_tumbling",
+    "w18_stream_cms_topk",
+    # oldest remaining leftovers (r3-era then r4), name order:
+    "rel3_semi_anti",
+    "rel4_conditional_pivot",
+    "rel5_topk_per_group",
+    "rel6_asof_join",
+    "rel7_range_join",
+    "rel8_json_props",
+    "rel9_cube",
+    "ts7_pq_refine_topk",
+    "tx11_lm_score",
+    "x10_url_dedupe",
+    "x2_stratified_split",
+    "x3_sequence_packing",
+    "x4_source_cap",
+    "x5_chunk_windows",
+    "x6_corpus_stats",
+    "x7_temperature_mix",
+    "x8_fuzzy_match",
+    "x9_snapshot_diff",
+    "gr2_triangles",
+    "gr4_degree_hist",
 ]
 
-N_EDITS = 7  # slots 1-7: the round-8 semantic edits
-N_R2 = 19  # slots 8-26: the r2-era refresh
+N_MM = 22  # slots 1-22: mm2-mm23
+N_W = 8  # slots 23-30: w-family
 
 
 def _last_sampled_round() -> dict[str, int]:
     last: dict[str, int] = {}
-    for r in range(1, 9):
+    for r in range(1, 10):
         p = REPO / f"CORRECTNESS_r{r:02d}.json"
         if p.exists():
             for k in json.loads(p.read_text()):
@@ -99,83 +97,105 @@ def _last_sampled_round() -> dict[str, int]:
     return last
 
 
+def _regate_r09_leftovers() -> set[str]:
+    """The REGATE_r09 changed-since-sampled entries that did NOT get a
+    round-9 driver row — the 77-entry backlog this window draws from."""
+    regate = REPO / "REGATE_r09.json"
+    r09 = REPO / "CORRECTNESS_r09.json"
+    flagged = set(
+        json.loads(regate.read_text())["summary"]["changed_since_sampled"]
+    )
+    sampled_r9 = set(json.loads(r09.read_text()))
+    return flagged - sampled_r9
+
+
 def test_window_is_exactly_the_planned_50():
     from bioeco_portal_etl_spark.catalog import _CATALOG
 
     window = list(_CATALOG.keys())[:50]
-    assert window == ROUND9_WINDOW, (
+    assert window == ROUND10_WINDOW, (
         "driver-gate window drifted from the plan — a batch insert "
         "displaced entries past slot 50 (the round-5 silent-displacement "
         "trap). Diff: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND9_WINDOW)) if a != b]}"
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND10_WINDOW)) if a != b]}"
     )
 
 
-def test_edit_slots_are_the_regate_flags():
-    """Slots 1-7 must be the seven round-8 semantic edits, and each must
-    be flagged changed-since-sampled by the committed REGATE_r08.json —
-    the hard evidence they were edited after their last driver row."""
-    edits = ROUND9_WINDOW[:N_EDITS]
-    assert edits == [
-        "tx29_ngram_coverage",
-        "q7_volume_shipping",
-        "q11_value_suppliers",
-        "q20_part_stock_chain",
-        "x35_market_basket",
-        "gr8_kcore",
-        "ts4_kmeans_ivf",
+def test_every_slot_is_a_regate_r09_leftover():
+    """All 50 window entries must be REGATE_r09-flagged entries that
+    round 9's window did not cover — this window exists to clear that
+    backlog (VERDICT r9 item 1), nothing else belongs in it."""
+    leftovers = _regate_r09_leftovers()
+    not_backlog = [k for k in ROUND10_WINDOW if k not in leftovers]
+    assert not not_backlog, f"window entries not in the r9 backlog: {not_backlog}"
+
+
+def test_mm_slots_are_the_family_minus_mm1():
+    """Slots 1-22 must be exactly mm2-mm23 — the multimodal family
+    tainted by the shared media.py PyAV edit; mm1 has a fresh r9 row
+    (but is re-tainted by round 10's packed-audio fix and is pinned to
+    the FRONT of the round-11 window — see catalog.py's continuation
+    plan)."""
+    mm = ROUND10_WINDOW[:N_MM]
+    expected = [
+        f"mm{i}_" for i in range(2, 24)
     ]
-    # REGATE_r09 is generated by the round-9 tracer (which also sees
-    # function-LOCAL imports — the r08 file predates both the tx29
-    # rewrite's commit and that tracer fix, so it misses tx29).
-    regate = REPO / "REGATE_r09.json"
-    if regate.exists():
-        data = json.loads(regate.read_text())
-        flagged = set(data["summary"]["changed_since_sampled"])
-        missing = [k for k in edits if k not in flagged]
-        assert not missing, f"edit slots not regate-flagged: {missing}"
-
-
-def test_r2_slots_are_exactly_the_r2_era_set():
-    """Slots 8-26 must be EXACTLY the entries whose most recent driver
-    row (through round 8) is round 2, minus ts4 (already slot 7) — after
-    this round's gate no entry is older than r3."""
-    last = _last_sampled_round()
-    r2_era = {k for k, r in last.items() if r == 2} - {"ts4_kmeans_ivf"}
-    slots = ROUND9_WINDOW[N_EDITS:N_EDITS + N_R2]
-    assert set(slots) == r2_era, (
-        f"missing={sorted(r2_era - set(slots))} extra={sorted(set(slots) - r2_era)}"
+    assert [k.split("_")[0] + "_" for k in mm] == [
+        e for e in expected
+    ], f"mm slots drifted: {mm}"
+    leftovers = _regate_r09_leftovers()
+    mm_backlog = {k for k in leftovers if k.startswith("mm")}
+    assert set(mm) == mm_backlog, (
+        f"missing={sorted(mm_backlog - set(mm))} extra={sorted(set(mm) - mm_backlog)}"
     )
-    assert slots == sorted(slots), "r2-era refresh must be name-ordered"
 
 
-def test_refresh_slots_are_oldest_r3_rows():
-    """Slots 27-50 re-sample entries whose most recent driver row is
-    round 3 — the oldest cohort left after the r2 debt clears."""
+def test_w_slots_are_the_streaming_backlog():
+    """Slots 23-30 must be exactly the w-family entries in the r9
+    backlog."""
+    w = ROUND10_WINDOW[N_MM:N_MM + N_W]
+    leftovers = _regate_r09_leftovers()
+    w_backlog = {k for k in leftovers if k.startswith("w")}
+    assert set(w) == w_backlog, (
+        f"missing={sorted(w_backlog - set(w))} extra={sorted(set(w) - w_backlog)}"
+    )
+
+
+def test_refresh_slots_are_the_oldest_leftovers():
+    """Slots 31-50 must be the 20 oldest non-mm non-w backlog entries by
+    last driver row (r3-era first, then the r4 cohort), name order
+    within each age cohort."""
     last = _last_sampled_round()
-    refresh = ROUND9_WINDOW[N_EDITS + N_R2:]
-    not_r3 = [k for k in refresh if last.get(k, 0) != 3]
-    assert not not_r3, f"refresh slots should be r3-era rows: {not_r3}"
-    assert refresh == sorted(refresh), "r3-era refresh must be name-ordered"
+    leftovers = _regate_r09_leftovers()
+    rest = sorted(
+        (k for k in leftovers if not k.startswith(("mm", "w"))),
+        key=lambda k: (last.get(k, 0), k),
+    )
+    expected = rest[: 50 - N_MM - N_W]
+    refresh = ROUND10_WINDOW[N_MM + N_W:]
+    assert refresh == expected, (
+        f"refresh slots should be the oldest leftovers: "
+        f"expected={expected} got={refresh}"
+    )
 
 
 def test_window_plus_history_covers_catalog():
     """Cumulative driver coverage reached 314/314 in round 8; the window
     must never reintroduce a coverage hole: history ∪ window must still
     cover every entry that existed before this round. Entries added in
-    round 9+ batches (catalog_ext34 onward) queue for the next round and
-    are the only tolerated overflow."""
+    round 10+ batches (catalog_ext34 onward) queue for the next round
+    and are the only tolerated overflow."""
     from bioeco_portal_etl_spark.catalog import queries
 
     sampled = set(_last_sampled_round())
-    after = sampled | set(ROUND9_WINDOW)
+    after = sampled | set(ROUND10_WINDOW)
     q = queries()
     uncovered = [
         k for k in sorted(set(q) - after)
         if not _is_new_round_module(q[k].__module__)
     ]
     assert not uncovered, (
-        f"pre-round-9 entries missing from both history and window: {uncovered}"
+        f"pre-round-10 entries missing from both history and window: {uncovered}"
     )
 
 
