@@ -208,6 +208,20 @@ def _av_available() -> bool:
     return True
 
 
+def _frame_channel_count(frame: object) -> int:
+    """Channel count of a PyAV audio frame, defensively: modern PyAV
+    exposes ``frame.layout.channels`` (a tuple), some versions carry
+    ``layout.nb_channels``; stand-in frames in tests may expose
+    neither, which means "trust the ndarray shape" (mono for packed)."""
+    layout = getattr(frame, "layout", None)
+    if layout is None:
+        return 1
+    chs = getattr(layout, "channels", None)
+    if chs is not None:
+        return len(chs)
+    return int(getattr(layout, "nb_channels", 1) or 1)
+
+
 def _av_decode_audio(payload: bytes) -> tuple[int, list[int]]:
     """Optional-PyAV arm of the :func:`decode_audio` seam: same
     ``(sample_rate, mono 16-bit samples)`` contract as
@@ -215,8 +229,13 @@ def _av_decode_audio(payload: bytes) -> tuple[int, list[int]]:
     open (MP3/FLAC/OGG/M4A...). Multi-channel input is mixed down by
     per-sample channel mean — the interchange shape every downstream
     audio stage (wav_clip_stats, audio_frame_features, ...) consumes.
-    Lazy import + module-level def keep it picklable for mapInPandas
-    closures, mirroring :func:`_pil_decode`."""
+    PLANAR formats arrive from ``to_ndarray()`` as ``(channels, n)`` and
+    mix down along axis 0; PACKED formats arrive as ``(1, n*ch)``
+    interleaved (ffmpeg's FLAC decoder emits packed s16/s32), so a
+    shape-only check would silently return 2x-length interleaved L/R —
+    the frame's channel count disambiguates (ADVICE r9). Lazy import +
+    module-level def keep it picklable for mapInPandas closures,
+    mirroring :func:`_pil_decode`."""
     import io
 
     import av
@@ -232,6 +251,10 @@ def _av_decode_audio(payload: bytes) -> tuple[int, list[int]]:
                 arr = (arr * 32767.0).round()
             if arr.ndim == 2 and arr.shape[0] > 1:
                 arr = arr.mean(axis=0).round()  # planar multi-channel mixdown
+            else:
+                ch = _frame_channel_count(frame)
+                if ch > 1:  # packed interleaved multi-channel mixdown
+                    arr = arr.reshape(-1, ch).mean(axis=1).round()
             flat = [int(v) for v in arr.reshape(-1)]
             chunks.append([max(-32768, min(32767, v)) for v in flat])
     return rate, [s for c in chunks for s in c]

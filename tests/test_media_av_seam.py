@@ -45,8 +45,13 @@ def test_mp3_without_av_raises_notimplemented():
 
 
 class _FakeFrame:
-    def __init__(self, arr, rate):
+    def __init__(self, arr, rate, channels=None):
         self._arr, self.sample_rate = arr, rate
+        if channels is not None:
+            # mirror real PyAV: frame.layout.channels is a tuple
+            self.layout = types.SimpleNamespace(
+                channels=tuple(range(channels))
+            )
 
     def to_ndarray(self):
         return self._arr
@@ -98,6 +103,32 @@ def test_fake_av_planar_stereo_mixdown_and_float_scaling(monkeypatch):
     rate, samples = media.decode_audio(_MP3)
     assert rate == 44100
     assert samples == [16384, 0]  # mean(.5,.5)*32767 rounds to 16384; mean(-1,1)=0
+
+
+def test_fake_av_packed_stereo_mixdown(monkeypatch):
+    """PACKED multi-channel: to_ndarray() is (1, n*ch) interleaved
+    (ffmpeg's FLAC decoder emits packed s16/s32). A shape-only mixdown
+    check misses this and returns 2x-length interleaved L/R (ADVICE
+    r9); the frame's layout channel count must trigger the
+    reshape(-1, ch) mean."""
+    # interleaved L,R pairs: (10,20) (30,50) (-100,100)
+    arr = np.array([[10, 20, 30, 50, -100, 100]], dtype=np.int16)
+    _plant_fake_av(monkeypatch, [_FakeFrame(arr, 48000, channels=2)])
+    assert media.decode_audio(_MP3) == (48000, [15, 40, 0])
+
+
+def test_fake_av_packed_stereo_float_mixdown(monkeypatch):
+    # packed float stereo: scale to int16 THEN per-sample channel mean
+    arr = np.array([[0.5, 0.5, -1.0, 1.0]], dtype=np.float32)
+    _plant_fake_av(monkeypatch, [_FakeFrame(arr, 44100, channels=2)])
+    assert media.decode_audio(_MP3) == (44100, [16384, 0])
+
+
+def test_fake_av_packed_mono_with_layout_passthrough(monkeypatch):
+    # a (1, n) frame WITH a mono layout must not be reshaped/averaged
+    arr = np.array([[7, -8, 9]], dtype=np.int16)
+    _plant_fake_av(monkeypatch, [_FakeFrame(arr, 8000, channels=1)])
+    assert media.decode_audio(_MP3) == (8000, [7, -8, 9])
 
 
 def test_fake_av_clips_to_int16_range(monkeypatch):
