@@ -71,15 +71,115 @@ def round_timestamps() -> dict[int, int]:
     return ts
 
 
+_DOTTED = None  # compiled lazily; module may be imported without re
+
+
+def _dotted_candidates(src_text: str) -> set[str]:
+    """Dotted `bioeco_portal_etl_spark.*` paths the function may import
+    at call time — extracted from the AST, not raw text.
+
+    Round-10 precision fix (ADVICE r9): the previous raw-text regex
+    matched dotted paths inside docstrings and comments, tainting
+    entries that merely MENTION a module (and round 9's 127-entry flag
+    wave showed how coarse that is). Comments never reach the AST;
+    docstring constants are excluded explicitly. Captured:
+      * `import pkg.mod` / `from pkg.mod import name` nodes,
+      * dotted ATTRIBUTE chains (`pkg.mod.helper(...)` usage),
+      * non-docstring string constants (dynamic
+        `importlib.import_module("pkg.mod")` imports).
+    Falls back to the raw-text regex when the source does not parse
+    standalone — erring toward re-sampling, never toward skipping."""
+    import ast
+    import re
+    import textwrap
+
+    global _DOTTED
+    if _DOTTED is None:
+        _DOTTED = re.compile(r"bioeco_portal_etl_spark(?:\.\w+)+")
+    try:
+        tree = ast.parse(textwrap.dedent(src_text))
+    except SyntaxError:
+        return set(_DOTTED.findall(src_text))
+    doc_nodes: set[int] = set()
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(node, (ast.Module, ast.FunctionDef,
+                              ast.AsyncFunctionDef, ast.ClassDef))
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            doc_nodes.add(id(body[0].value))
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                found.update(_DOTTED.findall(a.name))
+        elif isinstance(node, ast.ImportFrom):
+            if node.module:
+                found.update(_DOTTED.findall(node.module))
+                for a in node.names:
+                    found.update(_DOTTED.findall(f"{node.module}.{a.name}"))
+        elif (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in doc_nodes
+        ):
+            found.update(_DOTTED.findall(node.value))
+        elif isinstance(node, ast.Attribute):
+            parts = [node.attr]
+            cur = node.value
+            while isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            if isinstance(cur, ast.Name):
+                parts.append(cur.id)
+                found.update(_DOTTED.findall(".".join(reversed(parts))))
+    return found
+
+
+def _dotted_to_repo_file(dotted: str) -> str | None:
+    """Map a dotted path to its repo file WITHOUT importing it.
+
+    Round-10 hardening (ADVICE r9): importlib.import_module executes
+    module code at check time, so a module raising anything other than
+    ImportError on import (optional dep surfacing as AttributeError /
+    OSError...) crashed the whole regate check. Pure path resolution has
+    no execution at all: try the longest prefix that is a file under the
+    repo (`pkg.mod.attr` matches too — shorter prefixes handle the
+    trailing-attribute case)."""
+    parts = dotted.split(".")
+    for k in range(len(parts), 0, -1):
+        base = REPO.joinpath(*parts[:k])
+        py = base.with_suffix(".py")
+        if py.is_file():
+            return str(py.relative_to(REPO))
+        init = base / "__init__.py"
+        if init.is_file():
+            return str(init.relative_to(REPO))
+    return None
+
+
 def implementing_files(fn) -> tuple[tuple[str, int, int] | None, set[str]]:
     """(defining file, span start, span end) + referenced package modules.
 
-    Two traces, both err toward re-sampling:
-      * __globals__ lookup of co_names — catches module-level imports;
-      * a regex over the SOURCE TEXT for `bioeco_portal_etl_spark.x.y`
-        dotted paths — catches function-LOCAL imports, which co_names
-        cannot see (round-9 fix: tx29's lazy `from ...ngram_coverage
-        import` made its round-8 rewrite invisible to this script)."""
+    TAINT-EDGE CLASSES (VERDICT r9 item 6 — the artifact's per-entry
+    `taint` field records which class fired, so window planning can
+    prioritize truly-edited entries over transitively-tainted ones):
+      * SPAN-level — the fn's own source span, traced through history
+        with `git log -L start,end:file`; an edit here means the entry's
+        OWN logic changed. High-priority regate signal.
+      * MODULE-level (file granularity, deliberately conservative) —
+        every bioeco_* module the fn references, via two traces:
+        __globals__ lookup of co_names (module-level imports) and the
+        AST dotted-path scan above (function-LOCAL imports, which
+        co_names cannot see — round-9 fix: tx29's lazy import). Any
+        commit anywhere in a referenced file taints the entry, even if
+        the edited lines are a code path the entry never runs (e.g. the
+        PyAV arm of media.py tainting all of mm1-mm23). Lower-priority:
+        re-sample when slots allow."""
     span = None
     src_text = ""
     try:
@@ -103,27 +203,10 @@ def implementing_files(fn) -> tuple[tuple[str, int, int] | None, set[str]]:
             p = Path(mod.__file__)
             if p.is_relative_to(REPO):
                 mods.add(str(p.relative_to(REPO)))
-    # function-local imports: resolve every dotted package path that
-    # appears in the source text (import_module is a no-op cache hit for
-    # anything the entry actually runs)
-    import importlib
-    import re
-
-    for dotted in set(re.findall(r"bioeco_portal_etl_spark(?:\.\w+)+", src_text)):
-        mod = sys.modules.get(dotted)
-        if mod is None:
-            try:
-                mod = importlib.import_module(dotted)
-            except ImportError:
-                # `pkg.mod.attr` matches too — retry without the last part
-                try:
-                    mod = importlib.import_module(dotted.rsplit(".", 1)[0])
-                except ImportError:
-                    continue
-        if getattr(mod, "__file__", None):
-            p = Path(mod.__file__)
-            if p.is_relative_to(REPO):
-                mods.add(str(p.relative_to(REPO)))
+    for dotted in _dotted_candidates(src_text):
+        rel = _dotted_to_repo_file(dotted)
+        if rel is not None:
+            mods.add(rel)
     return span, mods
 
 
@@ -162,21 +245,28 @@ def main() -> int:
         span, mods = implementing_files(fn)
         changed_at = 0
         changed_by = None
+        taint = None  # 'span' = own logic edited; 'module' = referenced
+        # file edited anywhere (conservative). VERDICT r9 item 6: a span
+        # taint that postdates the sample outranks a module taint even
+        # when the module file's commit is newer — "truly edited"
+        # entries go to the front of the window.
+        sampled_at = ts.get(rnd, 0) if rnd else 0
         if span:
             t = span_last_change(*span)
             if t > changed_at:
-                changed_at, changed_by = t, f"{span[0]}:{span[1]}-{span[2]}"
+                changed_at, changed_by, taint = t, f"{span[0]}:{span[1]}-{span[2]}", "span"
+        span_taints = changed_at > sampled_at and rnd is not None
         for m in sorted(mods):
             t = file_last_change(m)
-            if t > changed_at:
-                changed_at, changed_by = t, m
-        sampled_at = ts.get(rnd, 0) if rnd else 0
+            if t > changed_at and not span_taints:
+                changed_at, changed_by, taint = t, m, "module"
         flagged = rnd is not None and changed_at > sampled_at
         report[name] = {
             "sampled_round": rnd,
             "sampled_at": sampled_at,
             "changed_at": changed_at,
             "changed_by": changed_by,
+            "taint": taint if flagged else None,
             "flag": "CHANGED_SINCE_SAMPLED" if flagged
                     else ("NEVER_SAMPLED" if rnd is None else None),
         }
@@ -184,7 +274,11 @@ def main() -> int:
     never = [k for k, v in report.items() if v["flag"] == "NEVER_SAMPLED"]
     changed = [k for k, v in report.items() if v["flag"] == "CHANGED_SINCE_SAMPLED"]
     summary = {"n": len(report), "never_sampled": never,
-               "changed_since_sampled": changed}
+               "changed_since_sampled": changed,
+               "changed_span_level": [
+                   k for k in changed if report[k]["taint"] == "span"],
+               "changed_module_level": [
+                   k for k in changed if report[k]["taint"] == "module"]}
     out = {"summary": summary, "entries": report}
     text = json.dumps(out, indent=1)
     if args.out:

@@ -54,3 +54,69 @@ def test_dotted_path_in_source_resolves_through_attr_suffix():
 
     _, mods = implementing_files(probe)
     assert any(m.endswith("multimodal/media.py") for m in mods), mods
+
+
+def test_docstring_mention_does_not_taint():
+    """Round-10 precision fix (ADVICE r9): a dotted path that appears
+    only in the DOCSTRING is a mention, not a dependency — the raw-text
+    regex used to taint such entries."""
+    def probe(spark, sf):
+        """Same banding idea as bioeco_portal_etl_spark.text.dedupe,
+        but over a different keyspace."""
+        return None
+
+    _, mods = implementing_files(probe)
+    assert not any(m.endswith("text/dedupe.py") for m in mods), mods
+
+
+def test_comment_mention_does_not_taint():
+    def probe(spark, sf):
+        # see bioeco_portal_etl_spark.graph.hyperball for the HLL trick
+        return None
+
+    _, mods = implementing_files(probe)
+    assert not any(m.endswith("graph/hyperball.py") for m in mods), mods
+
+
+def test_string_constant_dynamic_import_still_taints():
+    # importlib.import_module("pkg.mod") style — the dotted path lives
+    # in a NON-docstring string constant and must still be traced.
+    def probe(spark, sf):
+        import importlib
+
+        return importlib.import_module(
+            "bioeco_portal_etl_spark.text.ngram_coverage"
+        )
+
+    _, mods = implementing_files(probe)
+    assert any(m.endswith("text/ngram_coverage.py") for m in mods), mods
+
+
+def test_unresolvable_dotted_path_does_not_crash_or_execute():
+    """The tracer must never import (= execute) modules at check time
+    (ADVICE r9: a referenced module raising non-ImportError on import
+    crashed the whole check). Path resolution is static; an unknown
+    dotted path is simply skipped."""
+    def probe(spark, sf):
+        from bioeco_portal_etl_spark.does_not_exist import nothing
+
+        return nothing
+
+    _, mods = implementing_files(probe)  # must not raise
+    assert not any("does_not_exist" in m for m in mods), mods
+    assert "bioeco_portal_etl_spark.does_not_exist" not in sys.modules
+
+
+def test_package_init_resolves():
+    # `from bioeco_portal_etl_spark.streaming import x` where streaming
+    # is a package → taint its __init__.py (file-level, conservative).
+    def probe(spark, sf):
+        import bioeco_portal_etl_spark.streaming
+
+        return bioeco_portal_etl_spark.streaming
+
+    _, mods = implementing_files(probe)
+    assert any(
+        m.endswith("streaming/__init__.py") or m.endswith("streaming.py")
+        for m in mods
+    ), mods
