@@ -396,6 +396,24 @@ STABLE_26 = [
 ]
 
 
+# Nominal cost of the sustained-calibration row on the round-7-era
+# reference host (see _calibration_sustained_df's sizing note). The
+# normalized headline divides measured sustained time by this, making
+# BENCH_r{N} comparisons self-adjudicating — rounds 7-9 each had to
+# manually re-litigate "is this a regression or a slow host?" and the
+# answer was "slow host" every time (VERDICT r9 item 3).
+SUSTAINED_NOMINAL_SEC = 30.0
+
+
+def _normalize_by_sustained(sec: float, calib_sustained: float) -> float:
+    """sec × (nominal / measured) for the sustained row: what this
+    measurement WOULD read on the reference-speed host. -1 when the
+    sustained row was skipped/invalid (reader falls back to raw)."""
+    if calib_sustained is None or calib_sustained <= 0:
+        return -1.0
+    return round(sec * SUSTAINED_NOMINAL_SEC / calib_sustained, 3)
+
+
 def compact_line(
     timings: dict[str, float],
     sf: float,
@@ -425,6 +443,14 @@ def compact_line(
         # sustained-throughput yardstick (see _calibration_sustained_df) —
         # the axis the two burst rows miss (round-8 host-drift postmortem)
         "calibration_sustained_sec": round(calib_sustained, 3),
+        # SELF-ADJUDICATING cross-round number (VERDICT r9 item 3):
+        # stable26 normalized to the reference-speed host via the
+        # sustained row — compare THIS field across BENCH_r{N}.json, not
+        # the raw stable26_sec (reading rule in SCALING.md "Bench
+        # methodology")
+        "stable26_per_sustained": _normalize_by_sustained(
+            stable26, calib_sustained
+        ),
         "n_queries": len(timings),
     }
     line = json.dumps(compact)
@@ -533,7 +559,7 @@ def _calibrate_shuffle(spark) -> float:
     return calib
 
 
-def isolate_main(names: list[str]) -> None:
+def isolate_main(names: list[str], sustained: bool = True) -> None:
     """Fresh-JVM-per-query mode (VERDICT r6 #4): each query is measured in
     its own subprocess with its own SparkSession, so a suspected mover can
     be separated from suite-position/GC effects by inspection. The td2
@@ -547,8 +573,17 @@ def isolate_main(names: list[str]) -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     out: dict[str, dict[str, float]] = {}
     for name in names:
+        # --no-sustained (ADVICE r9): the sustained row is ~30s nominal
+        # (57-174s measured on degraded hosts) PER child JVM — isolating
+        # many queries pays that once per query. Keep it by default
+        # (SCALING.md uses per-isolate sustained data as the drift
+        # signal) but let a many-query isolate opt out.
+        cmd = [sys.executable, str(Path(__file__).resolve()),
+               "--isolated-one", name]
+        if not sustained:
+            cmd.append("--no-sustained")
         proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--isolated-one", name],
+            cmd,
             capture_output=True,
             text=True,
             check=True,
@@ -572,13 +607,13 @@ def isolate_main(names: list[str]) -> None:
     )
 
 
-def isolated_one_main(name: str) -> None:
+def isolated_one_main(name: str, sustained: bool = True) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name=f"bench-isolate-{name}")
     spark.sparkContext.setLogLevel("ERROR")
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
-    calib_sustained = _calibrate_sustained(spark)
+    calib_sustained = _calibrate_sustained(spark) if sustained else -1.0
     sec = _bench_one(spark, name, sf_dir)
     print(
         json.dumps(
@@ -653,6 +688,10 @@ def main() -> None:
         "calibration_sec": round(calib, 3),
         "calibration_shuffle_sec": round(calib_shuffle, 3),
         "calibration_sustained_sec": round(calib_sustained, 3),
+        "stable26_per_sustained": _normalize_by_sustained(
+            stable26, calib_sustained
+        ),
+        "total_per_sustained": _normalize_by_sustained(total, calib_sustained),
         "n_queries": len(timings),
     }
     print(json.dumps(full))
@@ -664,9 +703,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    _sustained = "--no-sustained" not in sys.argv[3:]
     if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
-        isolate_main([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+        isolate_main(
+            [n.strip() for n in sys.argv[2].split(",") if n.strip()],
+            sustained=_sustained,
+        )
     elif len(sys.argv) >= 3 and sys.argv[1] == "--isolated-one":
-        isolated_one_main(sys.argv[2])
+        isolated_one_main(sys.argv[2], sustained=_sustained)
     else:
         main()

@@ -38,6 +38,25 @@ def test_compact_line_carries_all_calibrations():
     assert d["calibration_sustained_sec"] == 31.2
 
 
+def test_sustained_normalized_headline():
+    """VERDICT r9 item 3: the self-adjudicating cross-round field.
+    stable26 × nominal/measured — a 2×-degraded host (sustained 60s vs
+    30 nominal) halves the raw number back to reference-host terms."""
+    d = json.loads(bench.compact_line(_fake_timings(5), 0.1, 20.0, 0.9, 0.95, 60.0))
+    assert d["stable26_per_sustained"] == 10.0
+    # nominal-speed host: normalized == raw
+    d = json.loads(bench.compact_line(_fake_timings(5), 0.1, 20.0, 0.9, 0.95, 30.0))
+    assert d["stable26_per_sustained"] == 20.0
+
+
+def test_sustained_normalized_falls_back_when_skipped():
+    # sustained row skipped/invalid → -1 sentinel, reader uses raw
+    d = json.loads(bench.compact_line(_fake_timings(5), 0.1, 20.0, 0.9))
+    assert d["stable26_per_sustained"] == -1.0
+    assert bench._normalize_by_sustained(20.0, 0.0) == -1.0
+    assert bench._normalize_by_sustained(20.0, -1.0) == -1.0
+
+
 def test_compact_line_keeps_slowest():
     t = _fake_timings(50)
     t["the_slow_one"] = 999.0
