@@ -594,6 +594,11 @@ def isolate_main(names: list[str], sustained: bool = True) -> None:
             "calibration_sec": row["calibration_sec"],
             "calibration_shuffle_sec": row.get("calibration_shuffle_sec", -1.0),
             "calibration_sustained_sec": row.get("calibration_sustained_sec", -1.0),
+            # same normalization as the suite headline; -1 with
+            # --no-sustained (reader falls back to raw sec)
+            "sec_per_sustained": _normalize_by_sustained(
+                row["sec"], row.get("calibration_sustained_sec", -1.0)
+            ),
         }
     print(
         json.dumps(
