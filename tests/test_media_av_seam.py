@@ -137,6 +137,40 @@ def test_fake_av_clips_to_int16_range(monkeypatch):
     assert media.decode_audio(_MP3) == (16000, [32767, -32768])
 
 
+def test_planar_and_packed_layouts_decode_identically(monkeypatch):
+    """Property (hypothesis-driven): the SAME logical multi-channel
+    audio delivered planar ((ch, n)) and packed ((1, n*ch) interleaved)
+    must produce byte-identical mono output — the invariant the ADVICE
+    r9 packed-mixdown bug violated (packed returned 2x-length
+    interleaved L/R)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(2, 4),  # channels
+        st.lists(st.integers(-32768, 32767), min_size=2, max_size=40),
+    )
+    def run(ch, flat):
+        n = len(flat) // ch
+        if n == 0:
+            return
+        flat = flat[: n * ch]
+        planar = np.array(
+            [[flat[i * ch + c] for i in range(n)] for c in range(ch)],
+            dtype=np.int16,
+        )
+        packed = np.array([flat], dtype=np.int16)
+        _plant_fake_av(monkeypatch, [_FakeFrame(planar, 16000)])
+        via_planar = media.decode_audio(_MP3)
+        _plant_fake_av(monkeypatch, [_FakeFrame(packed, 16000, channels=ch)])
+        via_packed = media.decode_audio(_MP3)
+        assert via_planar == via_packed
+        assert len(via_planar[1]) == n  # mono, per-sample mean
+
+    run()
+
+
 def test_real_av_agrees_with_stdlib_wav_codec():
     pytest.importorskip("av")
     samples = [(i * 13) % 2048 - 1024 for i in range(800)]
