@@ -209,16 +209,21 @@ def _av_available() -> bool:
 
 
 def _frame_channel_count(frame: object) -> int:
-    """Channel count of a PyAV audio frame, defensively: modern PyAV
-    exposes ``frame.layout.channels`` (a tuple), some versions carry
-    ``layout.nb_channels``; stand-in frames in tests may expose
-    neither, which means "trust the ndarray shape" (mono for packed)."""
+    """Channel count of a PyAV audio frame, defensively: legacy PyAV
+    (<12) exposes ``frame.layout.channels`` as a tuple of channel
+    descriptors, modern PyAV (>=12) carries ``layout.nb_channels`` (and
+    some builds expose ``channels`` as a plain int, so the tuple path
+    only fires when the value is actually sized — ADVICE r10);
+    stand-in frames in tests may expose neither, which means "trust the
+    ndarray shape" (mono for packed)."""
     layout = getattr(frame, "layout", None)
     if layout is None:
         return 1
     chs = getattr(layout, "channels", None)
-    if chs is not None:
+    if chs is not None and hasattr(chs, "__len__"):
         return len(chs)
+    if isinstance(chs, int) and chs > 0:
+        return chs
     return int(getattr(layout, "nb_channels", 1) or 1)
 
 

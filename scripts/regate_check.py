@@ -21,9 +21,30 @@ and flags the entry CHANGED_SINCE_SAMPLED when changed_at > sampled_at.
 The rotation policy consumes this output: flagged entries rank right
 after never-sampled ones when filling the 50 gate slots.
 
+MODULE-TAINT PRECISION (round 11, VERDICT r10 item 5): a module-level
+taint is no longer "any commit anywhere in the referenced file". The
+file's blob at the sampled commit is AST-diffed against HEAD:
+  * docstring/comment-only edits (identical docstring-stripped AST)
+    are classified 'module-doc' and do NOT flag;
+  * edits confined to top-level defs that the entry's transitive call
+    closure never names (and that unchanged module-level residue never
+    references — the dispatch-table guard) are classified
+    'module-unreached' and do NOT flag;
+  * anything else — residue changes (constants, dispatch tables,
+    import-time code), changes to reached defs, unparseable blobs,
+    files absent at the sampled commit — flags as before.
+Skipped taints are still recorded per entry (`skipped_module_taints`)
+and the RAW file-level recency is always recorded as
+`module_changed_at`/`module_changed_by` (ADVICE r10: span-outranking
+must not erase module recency from the artifact).
+
 Limitations (documented, acceptable for a rotation heuristic): indirect
-calls through data structures aren't traced; a flagged entry may be a
-comment-only edit. Both err toward re-sampling, never toward skipping.
+calls through data structures aren't traced, so a changed def invoked
+ONLY via a dispatch table defined in a DIFFERENT module can be
+mis-skipped (same-module tables are caught by the residue-reference
+guard; the closure's full co_names set — including unresolved names —
+is matched against changed def names as a second guard). Everything
+else errs toward re-sampling, never toward skipping.
 
 Usage: python scripts/regate_check.py [--out FILE]
 Exit 0 always (informational); the window test consumes the JSON.
@@ -52,8 +73,11 @@ def _git(*args: str) -> str:
 
 def sampled_rounds() -> dict[str, int]:
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
-        rnd = int(Path(f).stem.split("_r0")[1])
+    # CORRECTNESS_r*.json, not r0* — the old pattern silently dropped
+    # round 10+ (two-digit rounds start "r1"), so every round-10 sample
+    # would have stayed "stale" forever (round-11 find).
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))):
+        rnd = int(Path(f).stem.split("_r")[1])
         for name, row in json.load(open(f)).items():
             # only a GREEN row counts as driver verification
             if row.get("rows_match") and row.get("hash_match", True):
@@ -61,13 +85,19 @@ def sampled_rounds() -> dict[str, int]:
     return last
 
 
-def round_timestamps() -> dict[int, int]:
-    ts: dict[int, int] = {}
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
-        rnd = int(Path(f).stem.split("_r0")[1])
-        out = _git("log", "--diff-filter=A", "-1", "--format=%ct", "--", Path(f).name)
+def round_timestamps() -> dict[int, tuple[int, str]]:
+    """round -> (commit timestamp, commit sha) of the commit that ADDED
+    that round's CORRECTNESS file. The sha anchors the blob-diff module
+    classification: "what did this module look like when the driver
+    sampled the entry?"."""
+    ts: dict[int, tuple[int, str]] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))):
+        rnd = int(Path(f).stem.split("_r")[1])
+        out = _git("log", "--diff-filter=A", "-1", "--format=%ct %H",
+                   "--", Path(f).name)
         if out:
-            ts[rnd] = int(out)
+            t, rev = out.split()
+            ts[rnd] = (int(t), rev)
     return ts
 
 
@@ -210,6 +240,157 @@ def implementing_files(fn) -> tuple[tuple[str, int, int] | None, set[str]]:
     return span, mods
 
 
+def closure_names(fn) -> set[str]:
+    """Every name the entry's transitive bioeco call closure mentions —
+    co_names of the fn itself, of every nested code object
+    (comprehensions, lambdas, local defs), and of every bioeco-package
+    callable reachable through __globals__ / module-attribute access,
+    followed transitively (class reachability includes the methods in
+    the class __dict__). UNRESOLVED names are included on purpose: a
+    changed module def whose name appears anywhere in the closure's
+    co_names must still taint (second guard for getattr-style call
+    sites the resolver cannot follow)."""
+    import inspect as _inspect
+
+    names: set[str] = set()
+    seen: set[int] = set()
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        code = getattr(f, "__code__", None)
+        if code is None or id(code) in seen:
+            continue
+        seen.add(id(code))
+        local: set[str] = set(code.co_names)
+        consts = list(code.co_consts)
+        while consts:
+            c = consts.pop()
+            if isinstance(c, types.CodeType):
+                local.update(c.co_names)
+                consts.extend(c.co_consts)
+        names.update(local)
+        g = getattr(f, "__globals__", {})
+        for name in local:
+            obj = g.get(name)
+            if obj is None:
+                continue
+            targets = []
+            if isinstance(obj, types.ModuleType):
+                if getattr(obj, "__name__", "").startswith("bioeco"):
+                    # module-attribute calls: any co_name may be the attr
+                    targets.extend(
+                        getattr(obj, a) for a in local if hasattr(obj, a)
+                    )
+            else:
+                targets.append(obj)
+            for t in targets:
+                if not getattr(t, "__module__", "") or not str(
+                    t.__module__
+                ).startswith("bioeco"):
+                    continue
+                if _inspect.isclass(t):
+                    names.add(getattr(t, "__name__", ""))
+                    stack.extend(
+                        v for v in vars(t).values()
+                        if callable(v) or isinstance(v, (staticmethod, classmethod))
+                    )
+                elif callable(t):
+                    names.add(getattr(t, "__name__", ""))
+                    inner = getattr(t, "__func__", t)  # unwrap bound/static
+                    stack.append(getattr(inner, "__wrapped__", inner))
+    names.discard("")
+    return names
+
+
+def _strip_docstrings(tree):
+    """Drop every docstring Expr in-place so ast.dump compares code, not
+    prose (comments never reach the AST at all)."""
+    import ast
+
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(node, (ast.Module, ast.FunctionDef,
+                              ast.AsyncFunctionDef, ast.ClassDef))
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
+def _split_module(src: str):
+    """(top-level def name -> docstring-stripped dump, residue dumps).
+    Residue = every module-level statement that is not a def/class —
+    imports, constants, dispatch tables, import-time code. Returns None
+    when the source does not parse (caller taints conservatively)."""
+    import ast
+
+    try:
+        tree = _strip_docstrings(ast.parse(src))
+    except SyntaxError:
+        return None
+    defs: dict[str, str] = {}
+    residue: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            defs[node.name] = ast.dump(node)
+        else:
+            residue.append(ast.dump(node))
+    return defs, residue
+
+
+_BLOB_CACHE: dict[tuple[str, str], tuple | None] = {}
+
+
+def classify_module_change(path: str, sampled_rev: str):
+    """Classify the net change of `path` between the sampled commit and
+    HEAD. Returns one of
+      ("module", None)            — real taint (residue changed, blob
+                                    missing/unparseable, or caller must
+                                    check diff_names)
+      ("module-doc", frozenset()) — docstring/comment-only, never taints
+      ("defs", diff_names)        — only top-level defs changed, residue
+                                    identical and none of the changed
+                                    names referenced from residue; the
+                                    caller taints iff diff_names
+                                    intersects the entry's closure.
+    Cached per (path, rev) — the per-entry part is just the closure
+    intersection."""
+    key = (path, sampled_rev)
+    if key in _BLOB_CACHE:
+        return _BLOB_CACHE[key]
+    old = _git("show", f"{sampled_rev}:{path}")
+    new = _git("show", f"HEAD:{path}")
+    result = ("module", None)
+    if old and new:
+        so, sn = _split_module(old), _split_module(new)
+        if so is not None and sn is not None:
+            old_defs, old_res = so
+            new_defs, new_res = sn
+            if old_defs == new_defs and old_res == new_res:
+                result = ("module-doc", frozenset())
+            elif old_res == new_res:
+                diff = frozenset(
+                    n for n in set(old_defs) | set(new_defs)
+                    if old_defs.get(n) != new_defs.get(n)
+                )
+                # dispatch-table guard: a changed def referenced from the
+                # (unchanged) residue — e.g. CODECS = {"png": _decode_png}
+                # — can be called by ANY entry without naming it; taint.
+                res_text = "\n".join(new_res)
+                referenced = any(
+                    f"id='{n}'" in res_text or f"attr='{n}'" in res_text
+                    for n in diff
+                )
+                result = ("module", None) if referenced else ("defs", diff)
+    _BLOB_CACHE[key] = result
+    return result
+
+
 _SPAN_CACHE: dict[tuple[str, int, int], int] = {}
 _FILE_CACHE: dict[str, int] = {}
 
@@ -246,18 +427,39 @@ def main() -> int:
         changed_at = 0
         changed_by = None
         taint = None  # 'span' = own logic edited; 'module' = referenced
-        # file edited anywhere (conservative). VERDICT r9 item 6: a span
-        # taint that postdates the sample outranks a module taint even
-        # when the module file's commit is newer — "truly edited"
+        # file edited in a way the entry can observe (see the precision
+        # classification in the module docstring). VERDICT r9 item 6: a
+        # span taint that postdates the sample outranks a module taint
+        # even when the module file's commit is newer — "truly edited"
         # entries go to the front of the window.
-        sampled_at = ts.get(rnd, 0) if rnd else 0
+        sampled_at, sampled_rev = ts.get(rnd, (0, None)) if rnd else (0, None)
         if span:
             t = span_last_change(*span)
             if t > changed_at:
                 changed_at, changed_by, taint = t, f"{span[0]}:{span[1]}-{span[2]}", "span"
         span_taints = changed_at > sampled_at and rnd is not None
+        # ADVICE r10: raw file-level module recency, recorded regardless
+        # of classification or span-outranking, so artifact consumers
+        # never lose "when did ANY referenced file last change".
+        module_changed_at = 0
+        module_changed_by = None
+        skipped: dict[str, str] = {}
+        closure: set[str] | None = None  # built lazily, once per entry
         for m in sorted(mods):
             t = file_last_change(m)
+            if t > module_changed_at:
+                module_changed_at, module_changed_by = t, m
+            if t > sampled_at and sampled_rev is not None:
+                # changed since the driver sample: classify before
+                # tainting (round-11 precision, VERDICT r10 item 5)
+                kind, diff = classify_module_change(m, sampled_rev)
+                if kind == "defs":
+                    if closure is None:
+                        closure = closure_names(fn)
+                    kind = "module" if diff & closure else "module-unreached"
+                if kind != "module":
+                    skipped[m] = kind
+                    continue
             if t > changed_at and not span_taints:
                 changed_at, changed_by, taint = t, m, "module"
         flagged = rnd is not None and changed_at > sampled_at
@@ -266,6 +468,9 @@ def main() -> int:
             "sampled_at": sampled_at,
             "changed_at": changed_at,
             "changed_by": changed_by,
+            "module_changed_at": module_changed_at,
+            "module_changed_by": module_changed_by,
+            "skipped_module_taints": skipped or None,
             "taint": taint if flagged else None,
             "flag": "CHANGED_SINCE_SAMPLED" if flagged
                     else ("NEVER_SAMPLED" if rnd is None else None),
@@ -278,7 +483,12 @@ def main() -> int:
                "changed_span_level": [
                    k for k in changed if report[k]["taint"] == "span"],
                "changed_module_level": [
-                   k for k in changed if report[k]["taint"] == "module"]}
+                   k for k in changed if report[k]["taint"] == "module"],
+               # entries with module edits since their sample that the
+               # classifier proved unobservable (doc-only or unreached
+               # defs) — informational, deliberately NOT flagged
+               "skipped_taint_entries": sorted(
+                   k for k, v in report.items() if v["skipped_module_taints"])}
     out = {"summary": summary, "entries": report}
     text = json.dumps(out, indent=1)
     if args.out:
