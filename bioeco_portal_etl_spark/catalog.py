@@ -1016,90 +1016,90 @@ _CATALOG.update(CATALOG_TPCH2)
 # TRAP (batch-15 postmortem): after ANY edit to this list, re-verify
 # window membership by position — tests/test_gate_window.py pins it.
 _GATE_FIRST = [
-    # ---- ROUND-10 WINDOW (slots 1-50). All 50 are REGATE_r09
-    # changed-since-sampled leftovers (127 flagged, round 9's window
-    # covered 50, 77 remained; VERDICT r9 item 1 enumerates this plan).
-    # Slots 1-22: mm2-mm23 — the whole multimodal family minus mm1
-    # (fresh r9 row), tainted by round 9's PyAV-arm edit to the shared
-    # multimodal/media.py. Numeric order.
-    "mm2_resize_meta",
-    "mm3_frame_sample",
-    "mm4_audio_energy",
-    "mm5_scene_cuts",
-    "mm6_png_channel_stats",
-    "mm7_wav_clip_stats",
-    "mm8_phash_groups",
-    "mm9_wav_downsample",
-    "mm10_patch_grid",
-    "mm11_patch_dupes",
-    "mm12_resize_pixels",
-    "mm13_frame_zcr",
-    "mm14_jpeg_roundtrip",
-    "mm15_wav_silence_trim",
-    "mm16_pixel_gini",
-    "mm17_jpeg_blockiness",
-    "mm18_gain_normalization",
-    "mm19_channel_correlation",
-    "mm20_shot_lengths",
-    "mm21_frame_motion",
-    "mm22_crest_factor",
-    "mm23_jpeg_color_roundtrip",
-    # Slots 23-30: the streaming cohort (w-family leftovers). Numeric
-    # order.
-    "w1_tumbling",
-    "w2_sliding",
-    "w3_session",
-    "w4_sessionize",
+    # ---- ROUND-11 WINDOW (slots 1-50), executing the plan pinned at
+    # the end of round 10 (VERDICT r10 item 1). Composition:
+    #   Slots 1-2  — the two entries VERDICT r10 names span-level
+    #                ("truly edited", front-load first):
+    #                w5_streaming_sessions, x10_url_dedupe. (Both also
+    #                got green r10 rows; re-confirming them is 2 cheap
+    #                slots that close the judge's explicit ask.)
+    #   Slot  3    — mm1_media_metadata: re-tainted by round 10's
+    #                packed-audio mixdown fix to the shared
+    #                multimodal/media.py (its own last row is r9; the
+    #                other 22 mm rows were sampled AFTER that edit).
+    #   Slots 4-16 — the 13 r4-era REGATE_r10 leftovers, name order.
+    #   Slots 17-30 — the 14 r5-era-and-later leftovers, name order.
+    #   Slots 31-50 — oldest-rotation resume: the 20 longest-since-
+    #                sampled remaining entries (all r4 rows), name order.
+    # w5/x10 span-level first:
     "w5_streaming_sessions",
-    "w7_stream_interval_join",
-    "w9_streaming_tumbling",
-    "w18_stream_cms_topk",
-    # Slots 31-50: the 20 oldest remaining leftovers by last-sample
-    # age (18 r3-era + the first 2 of the r4 cohort), name order.
-    "rel3_semi_anti",
-    "rel4_conditional_pivot",
-    "rel5_topk_per_group",
-    "rel6_asof_join",
-    "rel7_range_join",
-    "rel8_json_props",
-    "rel9_cube",
-    "ts7_pq_refine_topk",
-    "tx11_lm_score",
     "x10_url_dedupe",
-    "x2_stratified_split",
-    "x3_sequence_packing",
-    "x4_source_cap",
-    "x5_chunk_windows",
-    "x6_corpus_stats",
-    "x7_temperature_mix",
-    "x8_fuzzy_match",
-    "x9_snapshot_diff",
-    "gr2_triangles",
-    "gr4_degree_hist",
+    # mm1 (shared-module taint from the round-10 media.py fix):
+    "mm1_media_metadata",
+    # r4-era REGATE_r10 leftovers, name order:
+    "gr7_label_communities",
+    "rel14_hierarchy_flatten",
+    "rel19_funnel",
+    "rel21_attribution",
+    "rel24_cdc_apply",
+    "sk3_hll_distinct",
+    "td10_containment",
+    "x12_weighted_sample",
+    "x13_rolling_zscore",
+    "x14_ewma",
+    "x15_temporal_split",
+    "x16_histogram",
+    "x17_winsorize",
+    # r5-era-and-later leftovers, name order:
+    "dq1_profile",
+    "dq3_split_leakage",
+    "dq11_expectations",
+    "g5_geom_type",
+    "gr17_adamic_adar",
+    "gr20_modularity",
+    "td9_cluster_keep_best",
+    "ts9_recall_at_k",
+    "ts10_sq8_topk",
+    "ts20_matryoshka_recall",
+    "ts21_nprobe_sweep",
+    "x20_equidepth_bins",
+    "x21_dup_matrix",
+    "x38_ab_test",
+    # oldest-rotation resume (r4 rows), name order:
+    "g11_pip_grid",
+    "g12_poly_measure",
+    "gr3_khop_reach",
+    "rel12_setops",
+    "rel13_range_frame",
+    "rel16_median_mad",
+    "rel17_islands",
+    "rel18_interval_merge",
+    "sk1_kmv_distinct",
+    "sk2_cms_heavy_hitters",
+    "sk4_bloom_gate",
+    "sk5_kmv_setops",
+    "sk6_sampled_quantiles",
+    "ts8_mmr_rerank",
+    "tx13_bigram_lm",
+    "tx14_readability",
+    "tx15_token_entropy",
+    "tx16_pmi_bigrams",
+    "tx18_script_detect",
+    "tx19_boilerplate",
 ]
-# ---- ROUND-11 CONTINUATION PLAN (pinned now per VERDICT r9 item 4,
-# so the two-round regate clearance is recorded rather than re-derived).
-# Front slots: any round-10 semantic edit the regate tracer flags —
-# known already: mm1_media_metadata (round 10 fixes the packed-audio
-# mixdown in the shared multimodal/media.py per ADVICE r9, re-tainting
-# mm1, whose last row is r9; the mm2-mm23 rows above land AFTER that
-# edit, so only mm1 carries the debt forward). Then the 27 REGATE_r09
-# leftovers this window could not fit, oldest-first, name order within
-# a cohort:
-#   r4-era: gr7_label_communities, rel14_hierarchy_flatten,
-#     rel19_funnel, rel21_attribution, rel24_cdc_apply,
-#     sk3_hll_distinct, td10_containment, x12_weighted_sample,
-#     x13_rolling_zscore, x14_ewma, x15_temporal_split, x16_histogram,
-#     x17_winsorize
-#   r5-era and later (compute exact ages from the CORRECTNESS union as
-#     tests/test_gate_window.py does): dq1_profile, dq3_split_leakage,
-#     dq11_expectations, g5_geom_type, gr17_adamic_adar,
-#     gr20_modularity, td9_cluster_keep_best, ts9_recall_at_k,
-#     ts10_sq8_topk, ts20_matryoshka_recall, ts21_nprobe_sweep,
-#     x20_equidepth_bins, x21_dup_matrix, x38_ab_test
-# That is 28 entries; the remaining ~22 slots resume the oldest-row
-# rotation (r4 cohort onward). Update tests/test_gate_window.py's pin
-# in the SAME commit as any _GATE_FIRST edit — the round-5
+# ---- ROUND-12 CONTINUATION PLAN (pinned now, same practice as the
+# round-11 pin this block replaces — VERDICT r9 item 4). After this
+# round the REGATE backlog is EMPTY absent new edits: the round-11
+# precision tracer (scripts/regate_check.py) classifies doc-only and
+# unreached-def module edits instead of flagging whole families, and
+# the r0*-glob fix makes round-10+ samples visible to the tracer. So
+# round 12's window is: (a) any REGATE_r11 changed-since-sampled flags
+# from round-11 edits, span-level first (known already: the mm family
+# if the media.py _frame_channel_count guard fix classifies as reached;
+# check REGATE_r11.json rather than assuming), then (b) oldest-rotation
+# resume — the remaining r4 cohort (tx20_stopword_profile onward, name
+# order), then the r5 cohort. Update tests/test_gate_window.py's pin in
+# the SAME commit as any _GATE_FIRST edit — the round-5
 # silent-displacement trap.
 _CATALOG = {
     **{k: _CATALOG[k] for k in _GATE_FIRST},

@@ -17,194 +17,171 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The round-10 window, by position. All 50 are REGATE_r09
-# changed-since-sampled leftovers (VERDICT r9 item 1 enumerates the
-# plan: 127 flagged, round 9 covered 50, these are 50 of the 77 left).
-#   Slots 1-22  — mm2-mm23: the multimodal family minus mm1 (fresh r9
-#                 row), tainted by the round-9 PyAV-arm edit to the
-#                 shared multimodal/media.py. Numeric order.
-#   Slots 23-30 — the streaming w-family leftovers. Numeric order.
-#   Slots 31-50 — the 20 oldest remaining leftovers by last-sample age
-#                 (18 r3-era + the first 2 of the r4 cohort: gr2, gr4),
-#                 name order within each age cohort.
-ROUND10_WINDOW = [
-    # mm family (media.py taint), numeric order:
-    "mm2_resize_meta",
-    "mm3_frame_sample",
-    "mm4_audio_energy",
-    "mm5_scene_cuts",
-    "mm6_png_channel_stats",
-    "mm7_wav_clip_stats",
-    "mm8_phash_groups",
-    "mm9_wav_downsample",
-    "mm10_patch_grid",
-    "mm11_patch_dupes",
-    "mm12_resize_pixels",
-    "mm13_frame_zcr",
-    "mm14_jpeg_roundtrip",
-    "mm15_wav_silence_trim",
-    "mm16_pixel_gini",
-    "mm17_jpeg_blockiness",
-    "mm18_gain_normalization",
-    "mm19_channel_correlation",
-    "mm20_shot_lengths",
-    "mm21_frame_motion",
-    "mm22_crest_factor",
-    "mm23_jpeg_color_roundtrip",
-    # w-family leftovers, numeric order:
-    "w1_tumbling",
-    "w2_sliding",
-    "w3_session",
-    "w4_sessionize",
+# The round-11 window, by position, executing the plan pinned in
+# catalog.py at the end of round 10 (VERDICT r10 item 1):
+#   Slots 1-2   — w5/x10, the two entries VERDICT r10 names span-level.
+#   Slot  3     — mm1_media_metadata (round-10 media.py fix taint; its
+#                 own last driver row is r9).
+#   Slots 4-30  — the 27 remaining REGATE_r10 changed-since-sampled
+#                 leftovers (flagged minus round-10-sampled), grouped
+#                 r4-era then r5-era-and-later, name order within each.
+#   Slots 31-50 — oldest-rotation resume: the 20 longest-since-sampled
+#                 remaining entries (all r4 rows), name order.
+ROUND11_WINDOW = [
+    # span-level front (VERDICT r10 item 1):
     "w5_streaming_sessions",
-    "w7_stream_interval_join",
-    "w9_streaming_tumbling",
-    "w18_stream_cms_topk",
-    # oldest remaining leftovers (r3-era then r4), name order:
-    "rel3_semi_anti",
-    "rel4_conditional_pivot",
-    "rel5_topk_per_group",
-    "rel6_asof_join",
-    "rel7_range_join",
-    "rel8_json_props",
-    "rel9_cube",
-    "ts7_pq_refine_topk",
-    "tx11_lm_score",
     "x10_url_dedupe",
-    "x2_stratified_split",
-    "x3_sequence_packing",
-    "x4_source_cap",
-    "x5_chunk_windows",
-    "x6_corpus_stats",
-    "x7_temperature_mix",
-    "x8_fuzzy_match",
-    "x9_snapshot_diff",
-    "gr2_triangles",
-    "gr4_degree_hist",
+    # media.py-taint carry-over:
+    "mm1_media_metadata",
+    # r4-era REGATE_r10 leftovers, name order:
+    "gr7_label_communities",
+    "rel14_hierarchy_flatten",
+    "rel19_funnel",
+    "rel21_attribution",
+    "rel24_cdc_apply",
+    "sk3_hll_distinct",
+    "td10_containment",
+    "x12_weighted_sample",
+    "x13_rolling_zscore",
+    "x14_ewma",
+    "x15_temporal_split",
+    "x16_histogram",
+    "x17_winsorize",
+    # r5-era-and-later leftovers, name order:
+    "dq1_profile",
+    "dq3_split_leakage",
+    "dq11_expectations",
+    "g5_geom_type",
+    "gr17_adamic_adar",
+    "gr20_modularity",
+    "td9_cluster_keep_best",
+    "ts9_recall_at_k",
+    "ts10_sq8_topk",
+    "ts20_matryoshka_recall",
+    "ts21_nprobe_sweep",
+    "x20_equidepth_bins",
+    "x21_dup_matrix",
+    "x38_ab_test",
+    # oldest-rotation resume (r4 rows), name order:
+    "g11_pip_grid",
+    "g12_poly_measure",
+    "gr3_khop_reach",
+    "rel12_setops",
+    "rel13_range_frame",
+    "rel16_median_mad",
+    "rel17_islands",
+    "rel18_interval_merge",
+    "sk1_kmv_distinct",
+    "sk2_cms_heavy_hitters",
+    "sk4_bloom_gate",
+    "sk5_kmv_setops",
+    "sk6_sampled_quantiles",
+    "ts8_mmr_rerank",
+    "tx13_bigram_lm",
+    "tx14_readability",
+    "tx15_token_entropy",
+    "tx16_pmi_bigrams",
+    "tx18_script_detect",
+    "tx19_boilerplate",
 ]
 
-N_MM = 22  # slots 1-22: mm2-mm23
-N_W = 8  # slots 23-30: w-family
+N_FRONT = 2  # slots 1-2: span-level w5/x10
+N_LEFTOVER = 28  # slots 3-30: mm1 + the 27 REGATE_r10 leftovers
+N_ROTATE = 20  # slots 31-50: oldest-rotation resume
 
 
 def _last_sampled_round() -> dict[str, int]:
+    """Most recent GREEN driver row per entry over every committed
+    CORRECTNESS file (r1..r10 at pin time; the r[0-9]* glob keeps
+    two-digit rounds visible — the r0* pattern silently dropped round
+    10+, the round-11 find that also bit scripts/regate_check.py)."""
     last: dict[str, int] = {}
-    for r in range(1, 10):
-        p = REPO / f"CORRECTNESS_r{r:02d}.json"
-        if p.exists():
-            for k in json.loads(p.read_text()):
+    for p in sorted(REPO.glob("CORRECTNESS_r[0-9]*.json")):
+        r = int(p.stem.split("_r")[1])
+        for k, row in json.loads(p.read_text()).items():
+            if row.get("rows_match") and row.get("hash_match", True):
                 last[k] = max(last.get(k, 0), r)
     return last
 
 
-def _regate_r09_leftovers() -> set[str]:
-    """The REGATE_r09 changed-since-sampled entries that did NOT get a
-    round-9 driver row — the 77-entry backlog this window draws from."""
-    regate = REPO / "REGATE_r09.json"
-    r09 = REPO / "CORRECTNESS_r09.json"
+def _regate_r10_leftovers() -> set[str]:
+    """REGATE_r10 changed-since-sampled entries that round 10's window
+    did NOT clear — the 28-entry backlog slots 3-30 exist to retire."""
     flagged = set(
-        json.loads(regate.read_text())["summary"]["changed_since_sampled"]
+        json.loads((REPO / "REGATE_r10.json").read_text())["summary"][
+            "changed_since_sampled"
+        ]
     )
-    sampled_r9 = set(json.loads(r09.read_text()))
-    return flagged - sampled_r9
+    sampled_r10 = set(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
+    return flagged - sampled_r10
 
 
 def test_window_is_exactly_the_planned_50():
     from bioeco_portal_etl_spark.catalog import _CATALOG
 
     window = list(_CATALOG.keys())[:50]
-    assert window == ROUND10_WINDOW, (
+    assert window == ROUND11_WINDOW, (
         "driver-gate window drifted from the plan — a batch insert "
         "displaced entries past slot 50 (the round-5 silent-displacement "
         "trap). Diff: "
-        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND10_WINDOW)) if a != b]}"
+        f"{[(i, a, b) for i, (a, b) in enumerate(zip(window, ROUND11_WINDOW)) if a != b]}"
     )
 
 
-def test_every_slot_is_a_regate_r09_leftover():
-    """All 50 window entries must be REGATE_r09-flagged entries that
-    round 9's window did not cover — this window exists to clear that
-    backlog (VERDICT r9 item 1), nothing else belongs in it."""
-    leftovers = _regate_r09_leftovers()
-    not_backlog = [k for k in ROUND10_WINDOW if k not in leftovers]
-    assert not not_backlog, f"window entries not in the r9 backlog: {not_backlog}"
-
-
-def test_mm_slots_are_the_family_minus_mm1():
-    """Slots 1-22 must be exactly mm2-mm23 — the multimodal family
-    tainted by the shared media.py PyAV edit; mm1 has a fresh r9 row
-    (but is re-tainted by round 10's packed-audio fix and is pinned to
-    the FRONT of the round-11 window — see catalog.py's continuation
-    plan)."""
-    mm = ROUND10_WINDOW[:N_MM]
-    expected = [
-        f"mm{i}_" for i in range(2, 24)
+def test_front_slots_are_the_span_level_flags():
+    """Slots 1-2 must be exactly REGATE_r10's changed_span_level entries
+    (VERDICT r10 item 1 front-loads them by name)."""
+    span = json.loads((REPO / "REGATE_r10.json").read_text())["summary"][
+        "changed_span_level"
     ]
-    assert [k.split("_")[0] + "_" for k in mm] == [
-        e for e in expected
-    ], f"mm slots drifted: {mm}"
-    leftovers = _regate_r09_leftovers()
-    mm_backlog = {k for k in leftovers if k.startswith("mm")}
-    assert set(mm) == mm_backlog, (
-        f"missing={sorted(mm_backlog - set(mm))} extra={sorted(set(mm) - mm_backlog)}"
+    assert sorted(ROUND11_WINDOW[:N_FRONT]) == sorted(span)
+
+
+def test_leftover_slots_are_the_regate_r10_backlog():
+    """Slots 3-30 must be exactly the 28 REGATE_r10 flagged entries that
+    round 10's window did not sample — this window exists to retire that
+    backlog, nothing else belongs in those slots."""
+    leftovers = _regate_r10_leftovers()
+    slots = ROUND11_WINDOW[N_FRONT:N_FRONT + N_LEFTOVER]
+    assert set(slots) == leftovers, (
+        f"missing={sorted(leftovers - set(slots))} "
+        f"extra={sorted(set(slots) - leftovers)}"
     )
 
 
-def test_w_slots_are_the_streaming_backlog():
-    """Slots 23-30 must be exactly the w-family entries in the r9
-    backlog."""
-    w = ROUND10_WINDOW[N_MM:N_MM + N_W]
-    leftovers = _regate_r09_leftovers()
-    w_backlog = {k for k in leftovers if k.startswith("w")}
-    assert set(w) == w_backlog, (
-        f"missing={sorted(w_backlog - set(w))} extra={sorted(set(w) - w_backlog)}"
-    )
-
-
-def test_refresh_slots_are_the_oldest_leftovers():
-    """Slots 31-50 must be the 20 oldest non-mm non-w backlog entries by
-    last driver row (r3-era first, then the r4 cohort), name order
-    within each age cohort."""
+def test_rotation_slots_are_the_oldest_remaining():
+    """Slots 31-50 must be the 20 oldest remaining entries by last green
+    driver row (CORRECTNESS union r1..r10), name order within each age
+    cohort, excluding everything already in slots 1-30."""
     last = _last_sampled_round()
-    leftovers = _regate_r09_leftovers()
+    taken = set(ROUND11_WINDOW[: N_FRONT + N_LEFTOVER])
+    from bioeco_portal_etl_spark.catalog import _CATALOG
+
     rest = sorted(
-        (k for k in leftovers if not k.startswith(("mm", "w"))),
+        (k for k in _CATALOG if k not in taken),
         key=lambda k: (last.get(k, 0), k),
     )
-    expected = rest[: 50 - N_MM - N_W]
-    refresh = ROUND10_WINDOW[N_MM + N_W:]
-    assert refresh == expected, (
-        f"refresh slots should be the oldest leftovers: "
-        f"expected={expected} got={refresh}"
+    expected = rest[:N_ROTATE]
+    rotation = ROUND11_WINDOW[N_FRONT + N_LEFTOVER:]
+    assert rotation == expected, (
+        f"rotation slots should be the oldest remaining: "
+        f"expected={expected} got={rotation}"
     )
 
 
 def test_window_plus_history_covers_catalog():
     """Cumulative driver coverage reached 314/314 in round 8; the window
     must never reintroduce a coverage hole: history ∪ window must still
-    cover every entry that existed before this round. Entries added in
-    round 10+ batches (catalog_ext34 onward) queue for the next round
-    and are the only tolerated overflow."""
+    cover every entry. Catalog growth is pinned flat at 314 (VERDICT r10
+    item 6), so no new-module tolerance is needed anymore."""
     from bioeco_portal_etl_spark.catalog import queries
 
     sampled = set(_last_sampled_round())
-    after = sampled | set(ROUND10_WINDOW)
-    q = queries()
-    uncovered = [
-        k for k in sorted(set(q) - after)
-        if not _is_new_round_module(q[k].__module__)
-    ]
+    after = sampled | set(ROUND11_WINDOW)
+    uncovered = sorted(set(queries()) - after)
     assert not uncovered, (
-        f"pre-round-10 entries missing from both history and window: {uncovered}"
+        f"entries missing from both history and window: {uncovered}"
     )
-
-
-def _is_new_round_module(mod: str) -> bool:
-    tail = mod.rsplit(".", 1)[-1]
-    if tail.startswith("catalog_ext"):
-        suffix = tail[len("catalog_ext"):]
-        return suffix.isdigit() and int(suffix) >= 34
-    return False
 
 
 def test_no_duplicate_gate_entries():
