@@ -766,6 +766,15 @@ def test_sk7_hll_merge_combinable_no_raw_rescan(spark):
     plan = _physical(spark, "sk7_hll_merge")
     assert "partial_max" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+    # exchange-count pin (VERDICT r10 item 6): exactly the merge-law
+    # ladder — per branch a (day,bucket) register build, then weekly
+    # branch (wk,bucket)->(wk) and global branch (bucket)->SinglePartition
+    # — 5 hash exchanges + 1 single-partition fold + the report sort.
+    # All of them move REGISTER rows (<=64/grain), never raw events;
+    # a 6th hash exchange means a grain started re-scanning raw data.
+    assert plan.count("FileScan") == 2  # one events read per branch
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert plan.count("Exchange SinglePartition") == 1
 
 
 def test_tx29_coverage_candidate_cut_before_blowup(spark):
@@ -917,6 +926,16 @@ def test_sk8_hist_quantiles_bounded_window_broadcast_certificate(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+    # exchange-count pin (VERDICT r10 item 6): estimate branch is the
+    # merge ladder (day,bin)->(bin)->SinglePartition fold; exact branch
+    # is one value shuffle + its single-partition quantile read — 3 hash
+    # + 2 single-partition exchanges and the 1-row certificate broadcast.
+    # Only the (day,bin) and value exchanges see event-scale rows; the
+    # rest move <=bins rows (the constant-state merge law).
+    assert plan.count("FileScan") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange SinglePartition") == 2
+    assert plan.count("BroadcastExchange") == 1
 
 
 def test_x34_selectivity_grid_partial_aggs(spark):
