@@ -634,7 +634,7 @@ def isolated_one_main(name: str, sustained: bool = True) -> None:
     spark.stop()
 
 
-def main() -> None:
+def main(sustained: bool = True) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
@@ -663,7 +663,12 @@ def main() -> None:
 
     calib = _calibrate(spark)
     calib_shuffle = _calibrate_shuffle(spark)
-    calib_sustained = _calibrate_sustained(spark)
+    # --no-sustained skips the ~30s (nominal) sustained row; the -1
+    # sentinel flows through _normalize_by_sustained so readers fall back
+    # to the raw numbers (ADVICE r10: the flag previously reached only
+    # the isolate modes — a full-suite `--no-sustained` was silently
+    # ignored).
+    calib_sustained = _calibrate_sustained(spark) if sustained else -1.0
 
     timings: dict[str, float] = {}
     for name in names:
@@ -708,13 +713,40 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    _sustained = "--no-sustained" not in sys.argv[3:]
-    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+    # argparse (ADVICE r10): the old hand-rolled scan only saw
+    # --no-sustained at argv[3:] and only in the isolate modes, and any
+    # unrecognized flag anywhere was silently ignored. Now every mode
+    # honors --no-sustained and unknown flags are a hard error.
+    import argparse
+
+    _ap = argparse.ArgumentParser(
+        description="Time the headline catalog queries at "
+        "$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; final stdout "
+        "line is the compact JSON headline the external driver parses."
+    )
+    _mode = _ap.add_mutually_exclusive_group()
+    _mode.add_argument(
+        "--isolate", metavar="NAMES", default=None,
+        help="comma-separated query names, each timed in its own fresh "
+        "JVM subprocess (suite-position/GC adjudication mode)",
+    )
+    _mode.add_argument(
+        "--isolated-one", metavar="NAME", default=None,
+        help="internal: single-query child of --isolate",
+    )
+    _ap.add_argument(
+        "--no-sustained", action="store_true",
+        help="skip the ~30s-nominal sustained calibration row; the "
+        "normalized fields carry the -1 sentinel and readers fall back "
+        "to raw seconds",
+    )
+    _args = _ap.parse_args()
+    if _args.isolate:
         isolate_main(
-            [n.strip() for n in sys.argv[2].split(",") if n.strip()],
-            sustained=_sustained,
+            [n.strip() for n in _args.isolate.split(",") if n.strip()],
+            sustained=not _args.no_sustained,
         )
-    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolated-one":
-        isolated_one_main(sys.argv[2], sustained=_sustained)
+    elif _args.isolated_one:
+        isolated_one_main(_args.isolated_one, sustained=not _args.no_sustained)
     else:
-        main()
+        main(sustained=not _args.no_sustained)

@@ -81,3 +81,27 @@ def test_bench_covers_entire_catalog():
     """No operator ships without wall-time tracking: the bench list and
     the catalog must stay in bijection (VERDICT r4 item 7)."""
     assert set(bench.BENCH_QUERIES) == set(catalog.queries())
+
+
+def test_cli_rejects_unknown_flags_and_knows_no_sustained():
+    """ADVICE r10: flags are argparse-parsed in every mode — an unknown
+    flag is a hard error (old hand-rolled scan silently ignored it), and
+    --no-sustained is a documented option of the FULL suite, not just
+    the isolate modes."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    bench_py = str(Path(__file__).resolve().parent.parent / "bench.py")
+    bad = subprocess.run(
+        [sys.executable, bench_py, "--bogus-flag"],
+        capture_output=True, text=True,
+    )
+    assert bad.returncode == 2
+    assert "unrecognized arguments" in bad.stderr
+    helpout = subprocess.run(
+        [sys.executable, bench_py, "--help"], capture_output=True, text=True
+    )
+    assert helpout.returncode == 0
+    assert "--no-sustained" in helpout.stdout
+    assert "--isolate" in helpout.stdout
