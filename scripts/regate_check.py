@@ -27,9 +27,12 @@ file's blob at the sampled commit is AST-diffed against HEAD:
   * docstring/comment-only edits (identical docstring-stripped AST)
     are classified 'module-doc' and do NOT flag;
   * edits confined to top-level defs that the entry's transitive call
-    closure never names (and that unchanged module-level residue never
-    references — the dispatch-table guard) are classified
-    'module-unreached' and do NOT flag;
+    closure cannot reach — where "reach" expands the closure's names
+    through the module's own static def-reference graph, so lazy
+    function-local imports still descend (round-11 fix) — and that the
+    unchanged module-level residue never references (the
+    dispatch-table guard) are classified 'module-unreached' and do
+    NOT flag;
   * anything else — residue changes (constants, dispatch tables,
     import-time code), changes to reached defs, unparseable blobs,
     files absent at the sampled commit — flags as before.
@@ -42,9 +45,10 @@ Limitations (documented, acceptable for a rotation heuristic): indirect
 calls through data structures aren't traced, so a changed def invoked
 ONLY via a dispatch table defined in a DIFFERENT module can be
 mis-skipped (same-module tables are caught by the residue-reference
-guard; the closure's full co_names set — including unresolved names —
-is matched against changed def names as a second guard). Everything
-else errs toward re-sampling, never toward skipping.
+guard; within a module, reach is the closure's co_names — unresolved
+names included — expanded transitively through the module's static
+def-reference graph, which over-expands rather than under-expands).
+Everything else errs toward re-sampling, never toward skipping.
 
 Usage: python scripts/regate_check.py [--out FILE]
 Exit 0 always (informational); the window test consumes the JSON.
@@ -343,6 +347,62 @@ def _split_module(src: str):
     return defs, residue
 
 
+_DEF_GRAPH_CACHE: dict[str, dict[str, set[str]]] = {}
+
+
+def module_def_graph(path: str) -> dict[str, set[str]]:
+    """Top-level def/class name -> every identifier its body mentions
+    (Name ids + Attribute attrs), from the HEAD blob. The static
+    reference graph that lets the closure descend through LAZY imports:
+    a catalog fn doing `from ...media import audio_frame_features`
+    inside its body leaves the function object unresolvable in
+    __globals__, so the dynamic BFS stops at the NAME — this graph
+    carries the name onward to everything that def can call in its own
+    module (round-11 fix: without it, an edit to a helper two hops
+    below a lazy import was mis-classified 'module-unreached')."""
+    if path in _DEF_GRAPH_CACHE:
+        return _DEF_GRAPH_CACHE[path]
+    import ast
+
+    src = _git("show", f"HEAD:{path}")
+    graph: dict[str, set[str]] = {}
+    try:
+        tree = ast.parse(src) if src else None
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                refs: set[str] = set()
+                for sub in ast.walk(node):
+                    if isinstance(sub, ast.Name):
+                        refs.add(sub.id)
+                    elif isinstance(sub, ast.Attribute):
+                        refs.add(sub.attr)
+                graph[node.name] = refs
+    _DEF_GRAPH_CACHE[path] = graph
+    return graph
+
+
+def static_reach(seeds: set[str], graph: dict[str, set[str]]) -> set[str]:
+    """Transitive closure of `seeds` through the module def graph —
+    the set of top-level defs the entry could reach in that module.
+    Spurious seeds (co_names carry every attribute name used anywhere
+    in the closure) can only over-expand the reach, i.e. over-taint —
+    the safe direction."""
+    reached = set(seeds)
+    frontier = [s for s in seeds if s in graph]
+    while frontier:
+        cur = frontier.pop()
+        for ref in graph.get(cur, ()):
+            if ref not in reached:
+                reached.add(ref)
+                if ref in graph:
+                    frontier.append(ref)
+    return reached
+
+
 _BLOB_CACHE: dict[tuple[str, str], tuple | None] = {}
 
 
@@ -456,7 +516,8 @@ def main() -> int:
                 if kind == "defs":
                     if closure is None:
                         closure = closure_names(fn)
-                    kind = "module" if diff & closure else "module-unreached"
+                    reach = static_reach(closure, module_def_graph(m))
+                    kind = "module" if diff & reach else "module-unreached"
                 if kind != "module":
                     skipped[m] = kind
                     continue

@@ -255,3 +255,72 @@ def test_classify_missing_or_unparseable_blob_taints(monkeypatch):
     )
     assert classify_module_change("m.py", "r1") == ("module", None)
     regate_check._BLOB_CACHE.clear()
+
+
+def test_static_reach_descends_through_lazy_imports():
+    """Round-11 fix: a lazily-imported entry point leaves the function
+    object unresolvable in __globals__, so the dynamic closure stops at
+    the NAME; the module def graph must carry it onward to helpers any
+    number of hops below."""
+    from regate_check import static_reach
+
+    graph = {
+        "entrypoint": {"helper_a", "np", "select"},
+        "helper_a": {"helper_b"},
+        "helper_b": {"deep_helper"},
+        "deep_helper": {"math"},
+        "unrelated": {"other"},
+    }
+    reach = static_reach({"entrypoint", "col"}, graph)
+    assert {"helper_a", "helper_b", "deep_helper"} <= reach
+    assert "unrelated" not in reach
+
+
+def test_module_def_graph_reads_head_blob(monkeypatch):
+    src = (
+        "import os\n"
+        "def top(x):\n"
+        "    return helper(x) + os.sep\n"
+        "def helper(x):\n"
+        "    return obj.attr_ref\n"
+        "class K:\n"
+        "    def m(self):\n"
+        "        return deep()\n"
+    )
+    monkeypatch.setattr(
+        regate_check, "_git", _fake_git({("HEAD", "g.py"): src})
+    )
+    regate_check._DEF_GRAPH_CACHE.clear()
+    g = regate_check.module_def_graph("g.py")
+    assert "helper" in g["top"]
+    assert "attr_ref" in g["helper"]  # Attribute attrs count as refs
+    assert "deep" in g["K"]  # class bodies are one unit
+    regate_check._DEF_GRAPH_CACHE.clear()
+
+
+def test_media_py_graph_descends_lazy_import_to_pyav_helper():
+    """End-to-end on the real repo's media.py: a consumer that lazily
+    imports decode_audio must reach _frame_channel_count (the round-11
+    edited helper) two hops down — decode_audio -> _av_decode_audio ->
+    _frame_channel_count — so an edit there taints that consumer. And
+    the mm4 catalog entry, which uses audio_frame_features' injectable
+    decode SEAM instead of decode_audio, must NOT reach it: the
+    round-11 'module-unreached' skip for the mm family is exact, not
+    lucky."""
+    from regate_check import module_def_graph, static_reach
+
+    regate_check._DEF_GRAPH_CACHE.clear()
+    media = "bioeco_portal_etl_spark/multimodal/media.py"
+    g = module_def_graph(media)
+
+    def probe(spark, sf):
+        from bioeco_portal_etl_spark.multimodal.media import decode_audio
+
+        return decode_audio(b"")
+
+    reach = static_reach(closure_names(probe), g)
+    assert "_frame_channel_count" in reach
+
+    mm4_reach = static_reach(closure_names(_fn("mm4_audio_energy")), g)
+    assert "_frame_channel_count" not in mm4_reach
+    regate_check._DEF_GRAPH_CACHE.clear()
