@@ -191,3 +191,16 @@ def test_no_duplicate_gate_entries():
     assert len(set(_CATALOG.keys())) == len(_CATALOG.keys())
     missing = [k for k in _GATE_FIRST if k not in _CATALOG]
     assert not missing, f"_GATE_FIRST names not in catalog: {missing}"
+
+
+def test_window_covers_all_regate_r11_flags():
+    """VERDICT r10 item 1's done-criterion, encoded: every entry the
+    round-11 regate artifact flags as changed-since-sampled must be IN
+    this round's driver window, so a green CORRECTNESS_r11 retires the
+    entire backlog (the precision tracer classifies the rest as
+    unobservable-by-the-entry and records them unflagged)."""
+    flagged = json.loads((REPO / "REGATE_r11.json").read_text())["summary"][
+        "changed_since_sampled"
+    ]
+    missing = [k for k in flagged if k not in ROUND11_WINDOW]
+    assert not missing, f"flagged but not in window: {missing}"
