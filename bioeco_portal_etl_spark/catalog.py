@@ -1094,11 +1094,18 @@ _GATE_FIRST = [
 # unreached-def module edits instead of flagging whole families, and
 # the r0*-glob fix makes round-10+ samples visible to the tracer. So
 # round 12's window is: (a) any REGATE_r11 changed-since-sampled flags
-# from round-11 edits, span-level first (known already: the mm family
-# if the media.py _frame_channel_count guard fix classifies as reached;
-# check REGATE_r11.json rather than assuming), then (b) oldest-rotation
-# resume — the remaining r4 cohort (tx20_stopword_profile onward, name
-# order), then the r5 cohort. Update tests/test_gate_window.py's pin in
+# from round-12 edits, span-level first (checked this round: the
+# media.py _frame_channel_count guard is UNREACHED by every mm entry —
+# it sits on the PyAV arm behind the injectable decode seam — so the
+# round-11 edit contributes no carry-over flags; re-run the tracer
+# rather than assuming after any new edits), then (b) oldest-rotation
+# resume — the 5 remaining r4-row entries (tx9_repetition,
+# w10_streaming_update_counts, w6_streaming_dedupe,
+# w8_streaming_anomaly, x11_resample_interpolate), then the r5 cohort
+# (dq2, dq10, gr1, gr11-gr16, rel15, rel20, rel22, rel23, rel25,
+# rel30-rel32, sk8, sk10, ts16, ...; name order within each cohort —
+# recompute exact ages from the CORRECTNESS union as
+# tests/test_gate_window.py does). Update tests/test_gate_window.py's pin in
 # the SAME commit as any _GATE_FIRST edit — the round-5
 # silent-displacement trap.
 _CATALOG = {
