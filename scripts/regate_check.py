@@ -45,10 +45,12 @@ Limitations (documented, acceptable for a rotation heuristic): indirect
 calls through data structures aren't traced, so a changed def invoked
 ONLY via a dispatch table defined in a DIFFERENT module can be
 mis-skipped (same-module tables are caught by the residue-reference
-guard; within a module, reach is the closure's co_names — unresolved
-names included — expanded transitively through the module's static
-def-reference graph, which over-expands rather than under-expands).
-Everything else errs toward re-sampling, never toward skipping.
+guard; name-level reach is the closure's co_names — unresolved names
+included — expanded to a FIXPOINT across every referenced module's
+static def-reference graph, so lazily-imported chains that hop modules
+still descend; bare-name matching over-expands rather than
+under-expands). Everything else errs toward re-sampling, never toward
+skipping.
 
 Usage: python scripts/regate_check.py [--out FILE]
 Exit 0 always (informational); the window test consumes the JSON.
@@ -403,6 +405,31 @@ def static_reach(seeds: set[str], graph: dict[str, set[str]]) -> set[str]:
     return reached
 
 
+def joint_static_reach(
+    seeds: set[str], graphs: dict[str, dict[str, set[str]]]
+) -> set[str]:
+    """Fixpoint of static_reach across EVERY referenced module's graph
+    at once. Per-module expansion alone under-taints chains that hop
+    modules below a lazy import: entry -> a.f (lazy, so the dynamic
+    closure stops at the name 'f') -> b.g -> b.deep. Module b's
+    expansion of the raw seeds misses 'g' because only a's graph knows
+    f mentions g. Iterating a's and b's graphs to a shared fixpoint
+    carries the name across. Bare-name matching across modules can
+    only OVER-expand (two modules sharing a def name both taint) —
+    the safe direction."""
+    reached = set(seeds)
+    changed = True
+    while changed:
+        changed = False
+        for graph in graphs.values():
+            for name in list(reached & set(graph)):
+                new = graph[name] - reached
+                if new:
+                    reached |= new
+                    changed = True
+    return reached
+
+
 _BLOB_CACHE: dict[tuple[str, str], tuple | None] = {}
 
 
@@ -504,7 +531,7 @@ def main() -> int:
         module_changed_at = 0
         module_changed_by = None
         skipped: dict[str, str] = {}
-        closure: set[str] | None = None  # built lazily, once per entry
+        reach: set[str] | None = None  # built lazily, once per entry
         for m in sorted(mods):
             t = file_last_change(m)
             if t > module_changed_at:
@@ -514,9 +541,11 @@ def main() -> int:
                 # tainting (round-11 precision, VERDICT r10 item 5)
                 kind, diff = classify_module_change(m, sampled_rev)
                 if kind == "defs":
-                    if closure is None:
-                        closure = closure_names(fn)
-                    reach = static_reach(closure, module_def_graph(m))
+                    if reach is None:
+                        reach = joint_static_reach(
+                            closure_names(fn),
+                            {x: module_def_graph(x) for x in mods},
+                        )
                     kind = "module" if diff & reach else "module-unreached"
                 if kind != "module":
                     skipped[m] = kind

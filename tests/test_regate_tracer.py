@@ -324,3 +324,19 @@ def test_media_py_graph_descends_lazy_import_to_pyav_helper():
     mm4_reach = static_reach(closure_names(_fn("mm4_audio_energy")), g)
     assert "_frame_channel_count" not in mm4_reach
     regate_check._DEF_GRAPH_CACHE.clear()
+
+
+def test_joint_reach_crosses_module_boundaries_below_lazy_imports():
+    """Round-11 follow-up: entry -> a.f (lazy import: dynamic closure
+    stops at the name 'f') -> b.g -> b.deep. Module b's graph alone
+    never sees 'g' in the seeds; the joint fixpoint across a's and b's
+    graphs must carry it over so an edit to b.deep taints."""
+    from regate_check import joint_static_reach
+
+    graphs = {
+        "a.py": {"f": {"g", "pd"}},
+        "b.py": {"g": {"deep"}, "deep": {"math"}, "island": {"x"}},
+    }
+    reach = joint_static_reach({"f"}, graphs)
+    assert {"g", "deep"} <= reach
+    assert "island" not in reach
