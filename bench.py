@@ -741,12 +741,17 @@ if __name__ == "__main__":
         "to raw seconds",
     )
     _args = _ap.parse_args()
-    if _args.isolate:
-        isolate_main(
-            [n.strip() for n in _args.isolate.split(",") if n.strip()],
-            sustained=not _args.no_sustained,
-        )
-    elif _args.isolated_one:
+    # `is not None`, not truthiness: `--isolate ""` must error, not
+    # silently fall through to the full multi-minute suite (review
+    # round-11)
+    if _args.isolate is not None:
+        _names = [n.strip() for n in _args.isolate.split(",") if n.strip()]
+        if not _names:
+            _ap.error("--isolate requires at least one query name")
+        isolate_main(_names, sustained=not _args.no_sustained)
+    elif _args.isolated_one is not None:
+        if not _args.isolated_one.strip():
+            _ap.error("--isolated-one requires a query name")
         isolated_one_main(_args.isolated_one, sustained=not _args.no_sustained)
     else:
         main(sustained=not _args.no_sustained)

@@ -296,8 +296,11 @@ def closure_names(fn) -> set[str]:
                     continue
                 if _inspect.isclass(t):
                     names.add(getattr(t, "__name__", ""))
+                    # unwrap staticmethod/classmethod: the raw descriptor
+                    # has no __code__, so pushing it unwrapped silently
+                    # contributed no co_names (review round-11)
                     stack.extend(
-                        v for v in vars(t).values()
+                        getattr(v, "__func__", v) for v in vars(t).values()
                         if callable(v) or isinstance(v, (staticmethod, classmethod))
                     )
                 elif callable(t):
@@ -350,6 +353,15 @@ def _split_module(src: str):
 
 
 _DEF_GRAPH_CACHE: dict[str, dict[str, set[str]]] = {}
+_RESIDUE_REFS_CACHE: dict[str, set[str]] = {}
+
+
+def module_residue_refs(path: str) -> set[str]:
+    """Names referenced from the module's top-level residue (populated
+    as a side effect of module_def_graph)."""
+    if path not in _RESIDUE_REFS_CACHE:
+        module_def_graph(path)
+    return _RESIDUE_REFS_CACHE.get(path, set())
 
 
 def module_def_graph(path: str) -> dict[str, set[str]]:
@@ -368,22 +380,34 @@ def module_def_graph(path: str) -> dict[str, set[str]]:
 
     src = _git("show", f"HEAD:{path}")
     graph: dict[str, set[str]] = {}
+    residue_refs: set[str] = set()
     try:
         tree = ast.parse(src) if src else None
     except SyntaxError:
         tree = None
     if tree is not None:
         for node in tree.body:
+            refs: set[str] = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Name):
+                    refs.add(sub.id)
+                elif isinstance(sub, ast.Attribute):
+                    refs.add(sub.attr)
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                                  ast.ClassDef)):
-                refs: set[str] = set()
-                for sub in ast.walk(node):
-                    if isinstance(sub, ast.Name):
-                        refs.add(sub.id)
-                    elif isinstance(sub, ast.Attribute):
-                        refs.add(sub.attr)
                 graph[node.name] = refs
+            else:
+                # module-level residue (constants, dispatch tables,
+                # import-time code): every name it mentions is callable
+                # by ANY entry without appearing in that entry's
+                # closure — e.g. TABLE = {'k': handler} where handler
+                # transitively calls an edited helper. These names seed
+                # the reach for every consumer of the module (review
+                # round-11: without this, an edit to a helper below a
+                # residue-referenced def was mis-skipped).
+                residue_refs |= refs
     _DEF_GRAPH_CACHE[path] = graph
+    _RESIDUE_REFS_CACHE[path] = residue_refs
     return graph
 
 
@@ -542,10 +566,14 @@ def main() -> int:
                 kind, diff = classify_module_change(m, sampled_rev)
                 if kind == "defs":
                     if reach is None:
-                        reach = joint_static_reach(
-                            closure_names(fn),
-                            {x: module_def_graph(x) for x in mods},
-                        )
+                        graphs = {x: module_def_graph(x) for x in mods}
+                        seeds = closure_names(fn)
+                        # residue-referenced names are callable by any
+                        # consumer without appearing in its closure
+                        # (dispatch tables) — seed them too
+                        for x in mods:
+                            seeds |= module_residue_refs(x)
+                        reach = joint_static_reach(seeds, graphs)
                     kind = "module" if diff & reach else "module-unreached"
                 if kind != "module":
                     skipped[m] = kind

@@ -91,29 +91,37 @@ N_ROTATE = 20  # slots 31-50: oldest-rotation resume
 
 
 def _last_sampled_round() -> dict[str, int]:
-    """Most recent GREEN driver row per entry over every committed
-    CORRECTNESS file (r1..r10 at pin time; the r[0-9]* glob keeps
-    two-digit rounds visible — the r0* pattern silently dropped round
-    10+, the round-11 find that also bit scripts/regate_check.py)."""
-    last: dict[str, int] = {}
-    for p in sorted(REPO.glob("CORRECTNESS_r[0-9]*.json")):
-        r = int(p.stem.split("_r")[1])
-        for k, row in json.loads(p.read_text()).items():
-            if row.get("rows_match") and row.get("hash_match", True):
-                last[k] = max(last.get(k, 0), r)
-    return last
+    """Most recent GREEN driver row per entry — delegated to the policy
+    owner (scripts/regate_check.py sampled_rounds) so the green filter
+    and the r[0-9]* glob live in ONE place; the round-11 glob fix (r0*
+    silently dropped two-digit rounds) had to land in both copies, and
+    the copies had already drifted on the green filter."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts"))
+    from regate_check import sampled_rounds
+
+    return sampled_rounds()
 
 
 def _regate_r10_leftovers() -> set[str]:
     """REGATE_r10 changed-since-sampled entries that round 10's window
-    did NOT clear — the 28-entry backlog slots 3-30 exist to retire."""
+    did NOT clear with a GREEN row — the 28-entry backlog slots 3-30
+    exist to retire. Green-filtered like every other 'sampled' read
+    (a red r10 row must NOT count as cleared backlog)."""
     flagged = set(
         json.loads((REPO / "REGATE_r10.json").read_text())["summary"][
             "changed_since_sampled"
         ]
     )
-    sampled_r10 = set(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
-    return flagged - sampled_r10
+    green_r10 = {
+        k
+        for k, row in json.loads(
+            (REPO / "CORRECTNESS_r10.json").read_text()
+        ).items()
+        if row.get("rows_match") and row.get("hash_match", True)
+    }
+    return flagged - green_r10
 
 
 def test_window_is_exactly_the_planned_50():

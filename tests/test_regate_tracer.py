@@ -143,16 +143,10 @@ def test_closure_names_sees_transitive_bioeco_calls():
     fn = _fn("td1_exact_dedupe")
     names = closure_names(fn)
     assert "exact_dedupe" in names, sorted(names)[:40]
-    # names from INSIDE the reached implementation, not just the wrapper:
-    import inspect
-
-    from bioeco_portal_etl_spark.text import dedupe
-
-    inner = set(inspect.getsource(dedupe.exact_dedupe).split())
+    # the BFS descended INTO the implementation, not just the wrapper:
     assert len(names) > len(set(fn.__code__.co_names)), (
         "closure should be strictly larger than the wrapper's own co_names"
     )
-    del inner
 
 
 def test_closure_names_includes_unresolved_attribute_names():
@@ -340,3 +334,60 @@ def test_joint_reach_crosses_module_boundaries_below_lazy_imports():
     reach = joint_static_reach({"f"}, graphs)
     assert {"g", "deep"} <= reach
     assert "island" not in reach
+
+
+class _FakeBioecoClass:
+    """Stand-in for a package class (module name faked below): its
+    staticmethod body references a helper the closure must see."""
+
+    @staticmethod
+    def sm(x):
+        return _xyz_static_helper(x)  # noqa: F821 — name capture is the point
+
+    @classmethod
+    def cm(cls, x):
+        return _xyz_class_helper(x)  # noqa: F821
+
+
+_FakeBioecoClass.__module__ = "bioeco_fake_for_test"
+
+
+def test_staticmethod_and_classmethod_bodies_contribute_names():
+    """Review round-11: raw staticmethod/classmethod descriptors have no
+    __code__, so pushing them unwrapped silently dropped their bodies
+    from the closure — an edit to a helper they call was then
+    mis-skipped."""
+    def probe(spark, sf):
+        return _FakeBioecoClass.sm(sf) + _FakeBioecoClass.cm(sf)
+
+    names = closure_names(probe)
+    assert "_xyz_static_helper" in names
+    assert "_xyz_class_helper" in names
+
+
+def test_residue_referenced_defs_seed_the_reach(monkeypatch):
+    """Review round-11: unchanged residue TABLE = {'k': handler} where
+    unchanged handler() calls an EDITED helper(). The entry's closure
+    never names handler or helper (it calls TABLE['k'](...)), so reach
+    must be seeded by the residue's references and expanded through the
+    def graph — otherwise the observable edit is mis-skipped."""
+    from regate_check import joint_static_reach, module_residue_refs
+
+    src = (
+        "TABLE = {'k': handler}\n"
+        "def handler(x):\n"
+        "    return helper(x)\n"
+        "def helper(x):\n"
+        "    return x + 1\n"
+    )
+    monkeypatch.setattr(
+        regate_check, "_git", _fake_git({("HEAD", "m.py"): src})
+    )
+    regate_check._DEF_GRAPH_CACHE.clear()
+    regate_check._RESIDUE_REFS_CACHE.clear()
+    graph = regate_check.module_def_graph("m.py")
+    seeds = {"TABLE"} | module_residue_refs("m.py")  # entry closure + residue
+    reach = joint_static_reach(seeds, {"m.py": graph})
+    assert "handler" in reach and "helper" in reach
+    regate_check._DEF_GRAPH_CACHE.clear()
+    regate_check._RESIDUE_REFS_CACHE.clear()
