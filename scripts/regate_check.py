@@ -77,13 +77,23 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def sampled_rounds() -> dict[str, int]:
+def sampled_rounds(
+    max_round: int | None = None, repo: Path | None = None
+) -> dict[str, int]:
     last: dict[str, int] = {}
     # CORRECTNESS_r*.json, not r0* — the old pattern silently dropped
     # round 10+ (two-digit rounds start "r1"), so every round-10 sample
     # would have stayed "stale" forever (round-11 find).
-    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))):
+    #
+    # max_round freezes the age basis for window-pin tests: a round-N
+    # window is derived from rounds <= N-1, so its pin must ignore any
+    # CORRECTNESS file a LATER round (or the current round's driver)
+    # drops into the tree — otherwise committing the very artifact the
+    # window produces invalidates the membership test (round-11 ADVICE).
+    for f in sorted(glob.glob(str((repo or REPO) / "CORRECTNESS_r[0-9]*.json"))):
         rnd = int(Path(f).stem.split("_r")[1])
+        if max_round is not None and rnd > max_round:
+            continue
         for name, row in json.load(open(f)).items():
             # only a GREEN row counts as driver verification
             if row.get("rows_match") and row.get("hash_match", True):

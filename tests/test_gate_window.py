@@ -90,18 +90,24 @@ N_LEFTOVER = 28  # slots 3-30: mm1 + the 27 REGATE_r10 leftovers
 N_ROTATE = 20  # slots 31-50: oldest-rotation resume
 
 
-def _last_sampled_round() -> dict[str, int]:
+def _last_sampled_round(max_round: int | None = None) -> dict[str, int]:
     """Most recent GREEN driver row per entry — delegated to the policy
     owner (scripts/regate_check.py sampled_rounds) so the green filter
     and the r[0-9]* glob live in ONE place; the round-11 glob fix (r0*
     silently dropped two-digit rounds) had to land in both copies, and
-    the copies had already drifted on the green filter."""
+    the copies had already drifted on the green filter.
+
+    max_round caps the age basis: window pins pass the round the window
+    was DERIVED from, so later driver artifacts landing in the tree
+    cannot retroactively change the pinned expectation (round-12 fix for
+    the round-11 time-bomb — the pin went red the moment
+    CORRECTNESS_r11.json was committed)."""
     import sys as _sys
 
     _sys.path.insert(0, str(REPO / "scripts"))
     from regate_check import sampled_rounds
 
-    return sampled_rounds()
+    return sampled_rounds(max_round=max_round)
 
 
 def _regate_r10_leftovers() -> set[str]:
@@ -159,9 +165,11 @@ def test_leftover_slots_are_the_regate_r10_backlog():
 
 def test_rotation_slots_are_the_oldest_remaining():
     """Slots 31-50 must be the 20 oldest remaining entries by last green
-    driver row (CORRECTNESS union r1..r10), name order within each age
-    cohort, excluding everything already in slots 1-30."""
-    last = _last_sampled_round()
+    driver row (CORRECTNESS union r1..r10 — the pre-window state the
+    ROUND11_WINDOW was derived from; later rounds' artifacts must not
+    shift this pin), name order within each age cohort, excluding
+    everything already in slots 1-30."""
+    last = _last_sampled_round(max_round=10)
     taken = set(ROUND11_WINDOW[: N_FRONT + N_LEFTOVER])
     from bioeco_portal_etl_spark.catalog import _CATALOG
 
@@ -199,6 +207,30 @@ def test_no_duplicate_gate_entries():
     assert len(set(_CATALOG.keys())) == len(_CATALOG.keys())
     missing = [k for k in _GATE_FIRST if k not in _CATALOG]
     assert not missing, f"_GATE_FIRST names not in catalog: {missing}"
+
+
+def test_sampled_rounds_cap_ignores_future_artifacts(tmp_path):
+    """Regression for the round-11 time-bomb: a CORRECTNESS file from a
+    round AFTER a pin's max_round must not change the age table, so a
+    round-N window pin stays green forever regardless of later driver
+    artifacts landing in the tree."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "scripts"))
+    from regate_check import sampled_rounds
+
+    row = {"rows_match": True, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({"a_q": row}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"b_q": row}))
+    # the "future" artifact a later round (or the current round's driver)
+    # drops into the tree after the pin was derived:
+    (tmp_path / "CORRECTNESS_r12.json").write_text(
+        json.dumps({"a_q": row, "c_q": row})
+    )
+    capped = sampled_rounds(max_round=10, repo=tmp_path)
+    assert capped == {"a_q": 9, "b_q": 10}
+    uncapped = sampled_rounds(repo=tmp_path)
+    assert uncapped == {"a_q": 12, "b_q": 10, "c_q": 12}
 
 
 def test_window_covers_all_regate_r11_flags():
