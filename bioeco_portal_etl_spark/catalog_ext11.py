@@ -50,14 +50,23 @@ def gr10_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     )
     from bioeco_portal_etl_spark.graph.walks import random_walks
 
+    # Round-12 (guide §2.4): the co-activity join already emits both
+    # orderings, so dedupe it ONCE — repartition("src") + dropDuplicates
+    # is one exchange whose hash(src) layout the adjacency collect_set,
+    # the seed distinct, AND every per-hop groupBy alignment then reuse
+    # exchange-free — and persist it so adjacency and seeds don't each
+    # replay the orders⋈orders join.
+    sym = (
+        edges.repartition("src").dropDuplicates(["src", "dst"]).persist()
+    )
     seeds = (
-        edges.select(F.col("src").alias("walk_id"))
+        sym.select(F.col("src").alias("walk_id"))
         .distinct()
         .filter(F.col("walk_id") % 10 == 0)
     )
-    return random_walks(edges, seeds, length=_GR10_LEN).orderBy(
-        "walk_id", "pos"
-    )
+    return random_walks(
+        sym, seeds, length=_GR10_LEN, pre_symmetrized=True
+    ).orderBy("walk_id", "pos")
 
 
 gr10_random_walks.__doc__ = gr10_random_walks.__doc__.format(l=_GR10_LEN)

@@ -173,7 +173,15 @@ def gr17_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     from bioeco_portal_etl_spark.graph.linkpred import adamic_adar
 
     return (
-        adamic_adar(_coactivity_edges(spark, sf), max_degree=200, min_common=2)
+        # co-activity emits both orderings by construction, so the
+        # symmetrizing union inside adamic_adar is pure duplication —
+        # skip it (round-12; the dedupe still runs, keyed by src)
+        adamic_adar(
+            _coactivity_edges(spark, sf),
+            max_degree=200,
+            min_common=2,
+            pre_symmetrized=True,
+        )
         .orderBy(F.desc("aa_e6"), "u", "v")
         .limit(500)
     )

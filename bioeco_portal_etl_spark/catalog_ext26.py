@@ -42,8 +42,15 @@ def ts21_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
 
     e = T(spark, sf, "embeddings")
     q = _query_vectors(spark, sf)
-    exact = cosine_topk(e, q, "embedding", "vec_id", k=5).select(
-        "query_id", "match_id"
+    # persist the brute-force ground truth: all three sweep arms join
+    # against it, and without the pin each arm replays the full
+    # corpus × queries exact scan (round-12, guide §1.2 — don't compute
+    # things three times); the table is queries × k rows, trivially
+    # cached
+    exact = (
+        cosine_topk(e, q, "embedding", "vec_id", k=5)
+        .select("query_id", "match_id")
+        .persist()
     )
     out = None
     for nprobe in (1, 2, 4):

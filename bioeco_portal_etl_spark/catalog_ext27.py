@@ -42,11 +42,23 @@ def gr20_modularity(spark: SparkSession, sf: str) -> DataFrame:
     # the co-activity self-join is symmetric by construction (the <>
     # join emits both orderings); materialize it ONCE and share the
     # frame between the detector and the scorer — without this the
-    # orders⋈orders join replays per consumer (10.0s -> 8.2s at sf0.1;
-    # the remainder is the detector's two label shuffles + the scorer's
-    # joins over the 9.4M-edge cached frame, i.e. inherent work)
-    sym = _coactivity_edges(spark, sf).distinct().persist()
-    labels = label_propagation(sym, rounds=2, pre_symmetrized=True)
+    # orders⋈orders join replays per consumer (10.0s -> 8.2s at sf0.1).
+    # Round-12 layout (guide §2.4): dedupe via repartition("src") +
+    # dropDuplicates instead of .distinct() — ONE exchange, and hash(src)
+    # co-locates every (src, dst) group (subset-of-keys rule), so the
+    # persisted frame is ALREADY the partitioning every downstream
+    # aggregate keys on: LPA's per-round (node=src, label) counts, the
+    # scorer's degree count, and the initial-label distinct all run
+    # exchange-free, with the label table broadcast into the joins.
+    sym = (
+        _coactivity_edges(spark, sf)
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = label_propagation(
+        sym, rounds=2, pre_symmetrized=True, persist_edges=False
+    )
     return community_modularity(
         sym, labels, top_k=20, pre_symmetrized=True
     ).orderBy(

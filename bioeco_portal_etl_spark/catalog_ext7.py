@@ -166,8 +166,23 @@ def gr7_label_communities(spark: SparkSession, sf: str) -> DataFrame:
         label_propagation,
     )
 
+    # The co-activity join already emits BOTH orderings of every pair
+    # (the <> condition), so distinct(e) == distinct(e UNION swap(e)) —
+    # pre_symmetrized skips the 2x union the generic path would pay, and
+    # the repartition("src") + dropDuplicates layout (one exchange,
+    # subset-of-keys rule) leaves every LPA round exchange-free
+    # (round-12, guide §2.4; same shared-frame shape as gr20).
+    sym = (
+        _coactivity_edges(spark, sf)
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     return community_sizes(
-        label_propagation(_coactivity_edges(spark, sf), rounds=2), top_k=20
+        label_propagation(
+            sym, rounds=2, pre_symmetrized=True, persist_edges=False
+        ),
+        top_k=20,
     )
 
 
@@ -197,7 +212,11 @@ def gr8_kcore(spark: SparkSession, sf: str) -> DataFrame:
     Spark loop converges within that budget on the gate data."""
     from bioeco_portal_etl_spark.graph.kcore import kcore
 
-    return kcore(_coactivity_edges(spark, sf), k=_KCORE_K).orderBy("node")
+    # co-activity emits both orderings by construction — skip the
+    # symmetrizing union inside kcore (round-12; dedupe still runs)
+    return kcore(
+        _coactivity_edges(spark, sf), k=_KCORE_K, pre_symmetrized=True
+    ).orderBy("node")
 
 
 gr8_kcore.__doc__ = gr8_kcore.__doc__.format(k=_KCORE_K)

@@ -136,25 +136,29 @@ def td12_lsh_quality(spark: SparkSession, sf: str) -> DataFrame:
     sh = shingled(d, "doc_id", "text", 3).persist()
     try:
         cand = minhash_lsh_pairs(d, "doc_id", "text", shingles=sh)
-        exg = sh.select("doc_id", F.explode("sh").alias("s"))
+        # Round-12 (guide §2.3): the shingle arrays are SETS
+        # (text/tokenize.shingles is array_distinct), so |A∩B| is exactly
+        # the count of shared shingles in the blocked self-join and
+        # |A∪B| = |A| + |B| - |A∩B| — one combinable pair count replaces
+        # the previous distinct-pairs exchange plus two array-attaching
+        # joins plus per-pair array_intersect/array_union scans. The
+        # threshold test is the identical int/int double division.
+        exg = sh.select(
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+        )
         a, b = exg.alias("a"), exg.alias("b")
-        gt_cand = (
+        gt = (
             a.join(b, "s")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
+            .groupBy(
                 F.col("a.doc_id").alias("id_a"),
+                F.col("a.n").alias("n_a"),
                 F.col("b.doc_id").alias("id_b"),
+                F.col("b.n").alias("n_b"),
             )
-            .distinct()
-        )
-        sha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        shb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-        gt = (
-            gt_cand.join(sha, "id_a")
-            .join(shb, "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
             .filter(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
                 >= float(_TD12_THRESH)
             )
             .select("id_a", "id_b")

@@ -32,8 +32,12 @@ def khop_reach(
     dist = minimum hop count (0 for the seeds themselves)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src")
+    # single-exchange dedupe + src layout (round-12, guide §2.4)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
     if persist_edges:
         e = e.persist()
     dist = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
@@ -41,7 +45,9 @@ def khop_reach(
     )
     for i in range(1, k + 1):
         frontier = (
-            e.join(dist.withColumnRenamed("node", "src"), "src")
+            # O(reached) frontier broadcast: the persisted edges never
+            # move (round-12, guide §3.1)
+            e.join(F.broadcast(dist.withColumnRenamed("node", "src")), "src")
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (

@@ -43,7 +43,9 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     auths = None
     for _ in range(iterations):
         a_raw = (
-            e.join(hubs, "src")
+            # scores are O(V) — broadcast them so the edge list never
+            # shuffles (round-12, guide §3.1)
+            e.join(F.broadcast(hubs), "src")
             .groupBy("dst")
             .agg(F.sum("h_e6").alias("__a"))
         )
@@ -58,7 +60,7 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             )
         )
         h_raw = (
-            e.join(auths, "dst")
+            e.join(F.broadcast(auths), "dst")
             .groupBy("src")
             .agg(F.sum("a_e6").alias("__h"))
         )

@@ -107,7 +107,10 @@ def _estimate_wide(col_prefix: list[str]) -> F.Column:
 
 
 def hyperball_neighborhood(
-    edges: DataFrame, nodes: DataFrame, radius: int
+    edges: DataFrame,
+    nodes: DataFrame,
+    radius: int,
+    broadcast_registers: bool = True,
 ) -> DataFrame:
     """(node, r, ball_est) for r in 0..radius: estimated |B(node, r)|
     over the directed ``edges (src, dst)`` (pass both directions for an
@@ -115,29 +118,47 @@ def hyperball_neighborhood(
     singleton sketch, so isolated nodes report ball_est(0) = 1 instead
     of vanishing.
 
-    Per round: one |E|-row equi-join keyed by src and one grouped merge
-    of m max aggregates (map-side partial); estimates are a projection
-    of the wide register row, so no extra shuffle per radius. Register
-    state is |V| rows total, never ball-sized. The first (10x) probe of
-    the row-form (m rows per node, m * |E| join output) ran 6.0x at 10x
-    data — this wide form is what brought it back to ~linear."""
-    # Materialize the (deduped) edge list ONCE: every radius joins the
-    # same |E| rows, and upstream edge constructions are often joins /
-    # distincts themselves — recomputing them per round is the pagerank
-    # lesson (edges persisted once) plus a variance source: re-derived
-    # edge stats can flip the per-round join strategy between runs.
-    e = edges.select(F.col("src"), F.col("dst")).distinct()
-    if radius > 1:
-        e = e.localCheckpoint(eager=True)
+    Round-12 shape (guide §2.4/§3.1): the edge list is materialized ONCE
+    with a SELF-LOOP per node appended, deduplicated via ONE exchange
+    keyed by dst (hash(dst) co-locates every (src, dst) group — the
+    subset-of-keys rule), and checkpointed. The self-loops fold the
+    "keep your own ball" union INTO the propagation join, so each round
+    is exactly: broadcast the |V|-row register table, hash-join it onto
+    the cached edges (which never move), and max-merge — and because the
+    join preserves the edge frame's hash(dst) partitioning and the merge
+    groups by dst, the per-round aggregate needs NO exchange at all.
+    The previous form paid, per round, a sort-merge join (both sides
+    shuffled+sorted) plus a union that broke partitioning before the
+    merge. Register state is |V| rows total, never ball-sized; at
+    register-table sizes past broadcast limits pass
+    ``broadcast_registers=False`` (edges then keyed by src so the
+    shuffle-join leaves them in place and only registers move)."""
+    # A self-loop for EVERY possible register holder (seeded nodes plus
+    # any edge destination — prop can only ever create rows for dsts), so
+    # monotone keep-your-own-ball holds for all of them; the dedupe below
+    # collapses the overlap.
+    holders = nodes.select("node").unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    loops = holders.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    part_key = "dst" if broadcast_registers else "src"
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .unionByName(loops)
+        .repartition(part_key)
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
     regs = _widen(hll_registers(nodes.select("node"), ["node"], "node"))
     est = _estimate_wide(_RCOLS).alias("ball_est")
     out = regs.select("node", F.lit(0).cast("long").alias("r"), est)
     for r in range(1, radius + 1):
-        prop = e.join(regs, e["src"] == regs["node"]).select(
-            F.col("dst").alias("node"), *_RCOLS
-        )
+        rhs = F.broadcast(regs) if broadcast_registers else regs
         regs = (
-            regs.unionByName(prop)
+            e.join(rhs, e["src"] == rhs["node"])
+            .select(F.col("dst").alias("node"), *_RCOLS)
             .groupBy("node")
             .agg(*[F.max(c).alias(c) for c in _RCOLS])
             .localCheckpoint(eager=True)

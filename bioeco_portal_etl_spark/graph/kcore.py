@@ -29,19 +29,35 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 12,
+    pre_symmetrized: bool = False,
+    broadcast_keep: bool = True,
+) -> DataFrame:
     """(node, deg) for every node of the k-core, with ``deg`` its degree
     INSIDE the core. ``edges`` is undirected (src, dst); symmetrized and
     self-loop-stripped here. Raises if peeling hasn't converged within
     ``max_rounds`` (each round deletes >= 1 node, so rounds <= |V|; real
     graphs peel in a handful — raise max_rounds for adversarial chains).
-    """
+
+    Round-12 knobs (guide §2.4/§3.1): ``pre_symmetrized`` skips the
+    swap-union when the caller's list already carries both directions as
+    a set (e.g. the co-activity join); the dedupe then runs keyed by src
+    so per-round degree counts need no exchange. ``broadcast_keep``
+    broadcasts the surviving-node set into both endpoint semi-joins (the
+    set is <= |V| ids and SHRINKS every round) so the edge frame never
+    shuffles during peeling; disable past broadcast limits to fall back
+    to shuffled semi-joins."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = (
-        e.unionByName(
+    if not pre_symmetrized:
+        e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
+    sym = (
+        e.repartition("src")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
     n_edges = sym.count()
@@ -50,9 +66,13 @@ def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
             F.count(F.lit(1)).alias("deg")
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
+        keep_src = keep.withColumnRenamed("node", "src")
+        keep_dst = keep.withColumnRenamed("node", "dst")
+        if broadcast_keep:
+            keep_src, keep_dst = F.broadcast(keep_src), F.broadcast(keep_dst)
         sym = (
-            sym.join(keep.withColumnRenamed("node", "src"), "src", "semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            sym.join(keep_src, "src", "semi")
+            .join(keep_dst, "dst", "semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )

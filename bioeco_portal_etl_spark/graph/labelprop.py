@@ -14,20 +14,46 @@ function of the input on both engines whether or not a fixpoint was
 reached (deterministic-LPA fixpoints can 2-cycle on bipartite-ish
 structures, so bounded rounds are the only portable contract).
 
-Plan shape per round (the CC/PageRank recipe):
-  edges JOIN labels ON dst   -- shuffles the O(V) label table; the O(E)
-                             -- edge list is persisted and reused
-  groupBy (node, label)      -- map-side combinable count
-  row_number window          -- argmax per node: (count DESC, label ASC)
-At 100 TB: per-round cost is one label-table shuffle + one combinable
-aggregate — edges never re-shuffle after the initial partition-by-dst,
-the same iteration structure PageRank uses (graph/pagerank.py).
+Plan shape per round (round-12 optimization — guide §2.4/§3.1):
+  edges JOIN broadcast(labels) ON dst  -- the O(V) label table is BUILT
+                                       -- and broadcast; the O(E) edge
+                                       -- list is persisted, partitioned
+                                       -- by src once, and NEVER moves
+  groupBy (node, label) count          -- map-side combinable, and with
+                                       -- the edge frame hash(src)-
+                                       -- partitioned it needs NO
+                                       -- exchange (hash(src) satisfies
+                                       -- ClusteredDistribution(node,
+                                       -- label) since node == src)
+  groupBy node max(struct(c, -label))  -- the argmax as a combinable
+                                       -- aggregate instead of a
+                                       -- row_number window: no sort, no
+                                       -- exchange, map-side partials
+The previous form (SortMergeJoin on dst + row_number window) paid, PER
+ROUND, a full sort of the edge frame plus two exchanges of up to |E|
+(node, label) rows; the broadcast+aggregate form's per-round plan is one
+BroadcastExchange of |V| label rows and two in-place hash aggregates.
+At billion-node scale where |V| rows no longer broadcast, pass
+``broadcast_labels=False`` to recover the shuffle-join form (edges
+stay partitioned; labels shuffle to them) — same results either way.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
+
+
+def _argmax_label(nbr: DataFrame) -> DataFrame:
+    """Per-node most-frequent label, ties to the SMALLEST label — as one
+    combinable aggregate: max over (count, -label) structs is
+    lexicographic, so it picks max count then min label, exactly the
+    (count DESC, label ASC) row_number()=1 row the window form kept."""
+    return (
+        nbr.groupBy("node")
+        .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
+        .select("node", (-F.col("__m.__nl")).alias("label"))
+    )
 
 
 def label_propagation(
@@ -35,6 +61,7 @@ def label_propagation(
     rounds: int = 2,
     persist_edges: bool = True,
     pre_symmetrized: bool = False,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """(node, label) after ``rounds`` synchronous updates; initial label =
     own node id. ``edges`` is an undirected edge list given as (src, dst)
@@ -44,22 +71,33 @@ def label_propagation(
     ``persist_edges`` pins the symmetrized O(E) list (and with it the
     upstream edge derivation — often an expensive self-join, e.g. gr7's
     orders⋈orders co-activity graph) so each round pays ONE label
-    shuffle, not a lineage replay; the pagerank.py pattern. Turn off for
-    one-shot tiny graphs."""
+    broadcast, not a lineage replay; the pagerank.py pattern. Turn off
+    when the caller persists (and lays out) the frame itself.
+
+    ``pre_symmetrized``: caller certifies the list already contains both
+    directions of every edge, deduplicated. Ideally the caller also
+    hash-partitions it by ``src`` (e.g. ``repartition("src")`` before
+    ``persist()``): every per-round aggregate then runs exchange-free.
+
+    ``broadcast_labels`` (default True) broadcasts the O(V) label table
+    into the per-round join so the edge frame never shuffles or sorts.
+    Set False past broadcast limits (~hundreds of millions of nodes);
+    the join then shuffles labels to the edge partitioning instead."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if pre_symmetrized:
-        # caller certifies the list already contains both directions of
-        # every edge, deduplicated (e.g. a persisted co-activity join a
-        # downstream scorer also consumes — gr20 shares ONE materialized
-        # frame instead of replaying the self-join per consumer)
-        sym = e.repartition("dst")
+        sym = e
     else:
+        # ONE exchange, keyed by src: hash(src) co-locates every
+        # (src, dst) group, so the dedupe aggregate runs in place and the
+        # output layout is exactly what the per-round aggregates want —
+        # a .distinct() would exchange on (src, dst) and leave the rounds
+        # misaligned (each groupBy(node=src, ...) re-shuffling |E| rows).
         sym = (
             e.unionByName(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .distinct()
-            .repartition("dst")
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
         )
     if persist_edges:
         sym = sym.persist()
@@ -68,19 +106,15 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
     for _ in range(rounds):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
         nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
+            sym.join(lbl, sym["dst"] == lbl["node"])
             .select(F.col("src").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = (
-            nbr.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
-        )
+        labels = _argmax_label(nbr)
     return labels
 
 

@@ -38,6 +38,7 @@ def adamic_adar(
     max_degree: int = 200,
     min_common: int = 2,
     persist_edges: bool = True,
+    pre_symmetrized: bool = False,
 ) -> DataFrame:
     """(u, v, n_common, aa_e6) for non-adjacent pairs (u < v) sharing
     >= ``min_common`` middles of degree <= ``max_degree``. ``edges`` is
@@ -47,11 +48,19 @@ def adamic_adar(
     references THREE times (degrees, wedge middles, the known-edge
     anti-join) — without it the upstream edge derivation replays per
     reference (the labelprop/pagerank recompute-once lesson; measured
-    22.9s -> 8s-class on the sf0.1 co-activity graph)."""
+    22.9s -> 8s-class on the sf0.1 co-activity graph).
+
+    ``pre_symmetrized``: the caller certifies both directions are
+    already present AS A SET; the symmetrizing union is skipped and the
+    dedupe runs keyed by src (one exchange whose hash(src) layout the
+    degree count and the wedge middles then reuse exchange-free —
+    round-12, guide §2.4)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    if not pre_symmetrized:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    sym = e.repartition("src").dropDuplicates(["src", "dst"])
     if persist_edges:
         sym = sym.persist()
     deg = sym.groupBy(F.col("src").alias("w")).agg(

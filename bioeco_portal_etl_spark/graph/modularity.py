@@ -36,13 +36,35 @@ def community_modularity(
     ``labels`` is (node, label) — the detector's output.
 
     ``pre_symmetrized``: the input already carries BOTH directions of
-    every edge, deduplicated (a persisted frame shared with the
-    detector) — canonicalization is then a src<dst filter instead of a
-    least/greatest + distinct shuffle."""
+    every edge, deduplicated and self-loop-free (a persisted frame
+    shared with the detector) — the scorer then reads the symmetric
+    frame directly: internal/m are the symmetric counts halved
+    (integer-exact) and degree is the per-src out-count, with the label
+    table broadcast onto both endpoints."""
     if pre_symmetrized:
-        e = edges.filter(F.col("src") < F.col("dst")).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
+        # Round-12 optimization (guide §2.3/§3.1): score straight off the
+        # FULL symmetric frame instead of filtering to the src<dst half
+        # and unioning two projections for degrees. With sym symmetric,
+        # deduplicated and self-loop-free: every undirected edge appears
+        # exactly twice, so internal/m are the symmetric counts halved
+        # (integer-exact) and degree(v) is simply v's out-count in sym —
+        # ONE aggregate over a frame the caller typically has
+        # hash(src)-partitioned (then it needs no exchange at all),
+        # instead of a 2x union re-shuffled from scratch. The tiny label
+        # table is broadcast into both endpoint joins so the O(E) side
+        # never moves (it previously sort-merge-joined twice).
+        lu = labels.select(F.col("node").alias("src"), F.col("label").alias("cu"))
+        lv = labels.select(F.col("node").alias("dst"), F.col("label").alias("cv"))
+        ann = edges.join(F.broadcast(lu), "src").join(F.broadcast(lv), "dst")
+        internal = (
+            ann.filter(F.col("cu") == F.col("cv"))
+            .groupBy(F.col("cu").alias("community"))
+            .agg(F.expr("count(1) div 2").alias("internal_edges"))
         )
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        m = edges.agg(F.expr("count(1) div 2").alias("m"))
     else:
         e = (
             edges.filter(F.col("src") != F.col("dst"))
@@ -53,20 +75,21 @@ def community_modularity(
             .distinct()
             .persist()
         )
-    lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
-    lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
-    ann = e.join(lu, "u").join(lv, "v")
-    internal = (
-        ann.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).alias("internal_edges"))
-    )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+        lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+        ann = e.join(F.broadcast(lu), "u").join(F.broadcast(lv), "v")
+        internal = (
+            ann.filter(F.col("cu") == F.col("cv"))
+            .groupBy(F.col("cu").alias("community"))
+            .agg(F.count(F.lit(1)).alias("internal_edges"))
+        )
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        m = e.agg(F.count(F.lit(1)).alias("m"))
     comm = (
         labels.join(deg, "node", "left")
         .groupBy(F.col("label").alias("community"))
@@ -75,7 +98,6 @@ def community_modularity(
             F.sum(F.coalesce("deg", F.lit(0))).alias("degree_sum"),
         )
     )
-    m = e.agg(F.count(F.lit(1)).alias("m"))
     out = (
         comm.join(internal, "community", "left")
         .crossJoin(F.broadcast(m))

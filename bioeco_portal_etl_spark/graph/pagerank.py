@@ -44,6 +44,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     persist_edges: bool = True,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """e9 fixed-point PageRank; returns (node, pr_e9).
 
@@ -51,8 +52,17 @@ def pagerank(
     deduplicated here). ``persist_edges`` pins the partitioned edge list
     in memory across iterations (turn off for one-shot tiny graphs).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src")
+    # ONE exchange for dedupe + layout (round-12, guide §2.4): hash(src)
+    # co-locates every (src, dst) group — the subset-of-keys rule — so
+    # dropDuplicates runs in place of the repartition and the persisted
+    # frame lands already keyed the way every iteration's contrib join
+    # and the outdeg aggregate want it. distinct().repartition("src")
+    # paid a second full |E| exchange for the same layout.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
     if persist_edges:
         e = e.persist()
 
@@ -79,8 +89,16 @@ def pagerank(
         "node", "outdeg", "n", F.expr(f"{E9} div n").alias("pr_e9")
     )
     for _ in range(iterations):
+        # broadcast the O(V) rank table into the O(E) join so the
+        # persisted edge frame never moves or sorts (round-12, guide
+        # §3.1 — post-aggregate size estimates kept picking sort-merge);
+        # disable past broadcast limits to fall back to the shuffle join
+        # against the src-partitioned edges.
+        rhs = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rhs = F.broadcast(rhs)
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(rhs, "src")
             .filter(F.col("outdeg") > 0)
             .select(
                 F.col("dst").alias("node"),
@@ -158,8 +176,13 @@ def personalized_pagerank(
     seeds, 0 elsewhere) and the teleport term (seed-only). Same
     two-shuffle superstep; the seed membership flag rides the persisted
     node table so no extra join appears in the loop."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").persist()
+    # same single-exchange dedupe+layout as pagerank() (round-12)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     s = seeds.select(F.col("node")).distinct()
@@ -187,8 +210,9 @@ def personalized_pagerank(
     )
     teleport = (DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN
     for _ in range(iterations):
+        # broadcast the O(V) rank table (see pagerank() — round-12)
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .filter((F.col("outdeg") > 0) & (F.col("ppr_e9") > 0))
             .select(
                 F.col("dst").alias("node"),

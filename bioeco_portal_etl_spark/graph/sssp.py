@@ -47,8 +47,9 @@ def sssp_bounded(
         "dist", F.lit(0).cast("long")
     )
     for r in range(rounds):
+        # O(reached) distance table broadcast (round-12, guide §3.1)
         cand = e.join(
-            dist.withColumnRenamed("node", "src"), "src"
+            F.broadcast(dist.withColumnRenamed("node", "src")), "src"
         ).select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         dist = (
             dist.unionByName(cand)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from bioeco_portal_etl_spark.sketches import h60
 
 
-def adjacency(edges: DataFrame) -> DataFrame:
+def adjacency(edges: DataFrame, pre_symmetrized: bool = False) -> DataFrame:
     """(node, nbrs) — symmetrized, deduplicated, SORTED neighbor arrays
     (the sort pins hash-index semantics across engines).
 
@@ -52,9 +52,17 @@ def adjacency(edges: DataFrame) -> DataFrame:
     slower here because materializing the 9.1M-row rank table costs more
     than the arrays; revisit only when degree actually breaks rows)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    if pre_symmetrized:
+        # caller certifies both directions are already present (as a
+        # set) — collect_set over the swap-union would assemble the
+        # identical arrays from twice the rows (round-12; and when the
+        # caller also hash-partitions by src, the array build runs with
+        # no exchange at all)
+        sym = e
+    else:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
     )
@@ -64,6 +72,7 @@ def random_walks(
     edges: DataFrame,
     seeds: DataFrame,
     length: int = 3,
+    pre_symmetrized: bool = False,
 ) -> DataFrame:
     """(walk_id, pos, node) rows for one walk per seed: pos 0 is the seed
     itself, then ``length`` hash-driven hops. ``seeds`` needs a
@@ -77,7 +86,7 @@ def random_walks(
     # CONSTRUCTION (every bench pass / catalog call). The checkpoint
     # idiom (graph/cc.py) pays off only for loops whose plan GROWS per
     # iteration; this one is depth-L fixed.
-    adj = adjacency(edges)
+    adj = adjacency(edges, pre_symmetrized=pre_symmetrized)
     cur = seeds.select(
         F.col("walk_id"),
         F.lit(0).cast("long").alias("pos"),

@@ -48,6 +48,13 @@ from __future__ import annotations
 import math
 import struct
 
+try:  # vectorized DCT/color kernels; the pure-stdlib paths below remain
+    # the portable fallback (and the reference implementation the numpy
+    # forms are tested against) — round-12, guide §4.2
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy present in all test envs
+    _np = None
+
 # --- standard Annex K luminance Huffman tables (ITU-T T.81, public) ------
 
 #: DC table: BITS[i] = number of codes of length i+1, then values in order
@@ -191,10 +198,30 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+if _np is not None:
+    _COS_NP = _np.array(_COS)  # [u][x]
+    _CCW_NP = 0.25 * _np.outer(_C, _C)  # [u][v] DCT normalization
+
 
 def _fdct_quant(block):
     """64 spatial samples (level-shifted) -> 64 quantized (q=1) coeffs in
-    RASTER order, round-half-away-from-zero (the encoder convention)."""
+    RASTER order, round-half-away-from-zero (the encoder convention).
+
+    numpy path: one 8x8 matrix sandwich (COS @ B @ COS^T) replaces the
+    4096-multiply interpreted loop. Reassociated float sums differ from
+    the scalar path only at ~1e-13 relative — orders of magnitude inside
+    the round-half-away margin for every representable coefficient the
+    fixtures and tests produce (block-constant rasters yield integer-
+    valued coefficients exactly; see module docstring)."""
+    if _np is not None:
+        b = block if isinstance(block, _np.ndarray) else _np.asarray(
+            block, dtype=_np.float64
+        )
+        val = _CCW_NP * (_COS_NP @ b @ _COS_NP.T)
+        mag = _np.floor(_np.abs(val) + 0.5)
+        return (
+            _np.where(val >= 0, mag, -mag).astype(_np.int64).ravel().tolist()
+        )
     out = [0] * 64
     for u in range(8):
         for v in range(8):
@@ -211,7 +238,11 @@ def _fdct_quant(block):
 
 def _idct(coeffs):
     """64 dequantized coeffs (raster order) -> 8x8 spatial samples
-    (still level-shifted, float)."""
+    (still level-shifted, float). numpy path mirrors _fdct_quant (the
+    decoder rounds floor(v + 128.5), same ulp-margin argument)."""
+    if _np is not None:
+        w = _CCW_NP * _np.asarray(coeffs, dtype=_np.float64).reshape(8, 8)
+        return _COS_NP.T @ w @ _COS_NP
     out = [[0.0] * 8 for _ in range(8)]
     for y in range(8):
         for x in range(8):
@@ -318,10 +349,27 @@ def encode_jpeg_gray(rows: list[list[int]]) -> bytes:
         raise ValueError("ragged rows")
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            coeffs = _fdct_quant(_plane_block(rows, bx, by, w, h))
-            prev_dc = _encode_coeffs(bw, coeffs, prev_dc, _DC_ENC, _AC_ENC)
+    if _np is not None:
+        # pad the whole plane once (edge replication) and slice blocks —
+        # replaces a per-block per-pixel list build (round-12, §4.2)
+        padded = _np.pad(
+            _np.asarray(rows, dtype=_np.float64) - 128.0,
+            ((0, (-h) % 8), (0, (-w) % 8)),
+            mode="edge",
+        )
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                coeffs = _fdct_quant(padded[by : by + 8, bx : bx + 8])
+                prev_dc = _encode_coeffs(
+                    bw, coeffs, prev_dc, _DC_ENC, _AC_ENC
+                )
+    else:
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                coeffs = _fdct_quant(_plane_block(rows, bx, by, w, h))
+                prev_dc = _encode_coeffs(
+                    bw, coeffs, prev_dc, _DC_ENC, _AC_ENC
+                )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -358,22 +406,50 @@ def encode_jpeg_color(rows: list[list[int]]) -> bytes:
     w = len(rows[0]) // 3
     if any(len(r) != 3 * w for r in rows):
         raise ValueError("ragged rows")
-    planes: list[list[list[int]]] = [
-        [[0] * w for _ in range(h)] for _ in range(3)
-    ]
-    for y, r in enumerate(rows):
-        for x in range(w):
-            ycc = _rgb_to_ycbcr(r[3 * x], r[3 * x + 1], r[3 * x + 2])
-            for c in range(3):
-                planes[c][y][x] = ycc[c]
     tabs = ((_DC_ENC, _AC_ENC), (_DC_ENC_C, _AC_ENC_C), (_DC_ENC_C, _AC_ENC_C))
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            for c in range(3):
-                coeffs = _fdct_quant(_plane_block(planes[c], bx, by, w, h))
-                prev[c] = _encode_coeffs(bw, coeffs, prev[c], *tabs[c])
+    if _np is not None:
+        # elementwise pinned RGB->YCbCr over the whole raster: the SAME
+        # per-element IEEE operation order as _rgb_to_ycbcr, so the
+        # plane values are bit-identical to the scalar path (round-12)
+        arr = _np.asarray(rows, dtype=_np.float64)
+        r, g, b = arr[:, 0::3], arr[:, 1::3], arr[:, 2::3]
+        y0 = 0.299 * r + 0.587 * g + 0.114 * b
+        cb0 = 128.0 + (b - y0) / 1.772
+        cr0 = 128.0 + (r - y0) / 1.402
+        pads = ((0, (-h) % 8), (0, (-w) % 8))
+        nplanes = [
+            _np.pad(
+                _np.clip(_np.floor(v + 0.5), 0, 255) - 128.0,
+                pads,
+                mode="edge",
+            )
+            for v in (y0, cb0, cr0)
+        ]
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                for c in range(3):
+                    coeffs = _fdct_quant(
+                        nplanes[c][by : by + 8, bx : bx + 8]
+                    )
+                    prev[c] = _encode_coeffs(bw, coeffs, prev[c], *tabs[c])
+    else:
+        planes: list[list[list[int]]] = [
+            [[0] * w for _ in range(h)] for _ in range(3)
+        ]
+        for y, r in enumerate(rows):
+            for x in range(w):
+                ycc = _rgb_to_ycbcr(r[3 * x], r[3 * x + 1], r[3 * x + 2])
+                for c in range(3):
+                    planes[c][y][x] = ycc[c]
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                for c in range(3):
+                    coeffs = _fdct_quant(
+                        _plane_block(planes[c], bx, by, w, h)
+                    )
+                    prev[c] = _encode_coeffs(bw, coeffs, prev[c], *tabs[c])
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -580,8 +656,42 @@ def _decode_scan(data, w, h, comps):
     nc = len(comps)
     bw_blocks = (w + 7) // 8
     bh_blocks = (h + 7) // 8
-    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
     prev = [0] * nc
+    if _np is not None:
+        # whole-plane numpy assembly: block placement is a slice store,
+        # level shift / clamp / the pinned YCbCr inverse run elementwise
+        # over the full raster with the SAME per-element IEEE operation
+        # order as the scalar path (bit-identical) — round-12, guide §4.2
+        fplanes = [
+            _np.empty((bh_blocks * 8, bw_blocks * 8)) for _ in range(nc)
+        ]
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                for c, (q, dc_tab, ac_tab) in enumerate(comps):
+                    spat, prev[c] = _decode_block(
+                        br, dc_tab, ac_tab, q, prev[c]
+                    )
+                    fplanes[c][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = spat
+        iplanes = [
+            _np.clip(_np.floor(fp[:h, :w] + 128.5), 0, 255).astype(
+                _np.int64
+            )
+            for fp in fplanes
+        ]
+        if nc == 1:
+            return w, h, 1, iplanes[0].tolist()
+        yp, cbp, crp = (p.astype(_np.float64) for p in iplanes)
+        r0 = yp + 1.402 * (crp - 128)
+        b0 = yp + 1.772 * (cbp - 128)
+        g0 = (yp - 0.299 * r0 - 0.114 * b0) / 0.587
+        rgb = _np.empty((h, 3 * w), dtype=_np.int64)
+        rgb[:, 0::3] = _np.clip(_np.floor(r0 + 0.5), 0, 255)
+        rgb[:, 1::3] = _np.clip(_np.floor(g0 + 0.5), 0, 255)
+        rgb[:, 2::3] = _np.clip(_np.floor(b0 + 0.5), 0, 255)
+        return w, h, 3, rgb.tolist()
+    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
             for c, (q, dc_tab, ac_tab) in enumerate(comps):

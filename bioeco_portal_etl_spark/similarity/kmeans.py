@@ -65,8 +65,19 @@ def fit_kmeans(
     centroids = [list(r.v) for r in init]
     objective = []
     for _ in range(max_iter):
-        assigned = assign_clusters(df, centroids, vec_col, id_col)
-        joined = assigned.join(df.select(id_col, vec_col), id_col)
+        # round-12 (guide §2.4): keep the vector on the assignment row
+        # instead of re-attaching it with an id self-join — the argmin is
+        # a projection, so the per-iteration plan is scan + one grouped
+        # aggregate (the join added two exchanges and a second scan per
+        # iteration for a column the scan already had)
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        dists = F.array(*[_sq_dist(v, c) for c in centroids])
+        best = F.array_min(dists)
+        joined = df.select(
+            F.col(vec_col),
+            (F.array_position(dists, best) - 1).cast("int").alias("cluster"),
+            best.alias("sq_dist"),
+        )
         stats = (
             joined.groupBy("cluster")
             .agg(

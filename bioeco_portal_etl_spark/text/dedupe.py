@@ -297,12 +297,19 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
+            # node-sized tables broadcast into every per-round join so
+            # the persisted pair list never re-shuffles (round-12, guide
+            # §3.1; dup-cluster label tables are duplicate-evidence-sized,
+            # orders of magnitude under broadcast limits at any corpus
+            # scale — swap to plain joins if that ever changes)
             neigh = (
-                edges.join(labels, edges.dst == labels.node)
+                edges.join(F.broadcast(labels), edges.dst == labels.node)
                 .groupBy("src")
                 .agg(F.min("label").alias("nlabel"))
             )
-            l2 = labels.join(neigh, labels.node == neigh.src, "left").select(
+            l2 = labels.join(
+                F.broadcast(neigh), labels.node == neigh.src, "left"
+            ).select(
                 labels.node.alias("node"),
                 F.col("label").alias("old"),
                 F.least(
@@ -312,7 +319,7 @@ def connected_components(
             ptr = l2.select(
                 F.col("node").alias("pnode"), F.col("mid").alias("plabel")
             )
-            l3 = l2.join(ptr, l2.mid == ptr.pnode, "left").select(
+            l3 = l2.join(F.broadcast(ptr), l2.mid == ptr.pnode, "left").select(
                 "node",
                 "old",
                 F.least(
@@ -438,18 +445,25 @@ def containment_pairs(
     sh = shingled(df, id_col, text_col, k).persist()
     if stage_handles is not None:
         stage_handles.append(sh)
-    ex = sh.select(F.col(id_col).alias("__id"), F.explode("sh").alias("__s"))
+    # |A| counts ALL shingles — the arrays are sets, so size(sh) IS that
+    # count, carried through the explode (round-12: replaces a second
+    # count() window over the exploded posting stream; the row_number
+    # rarity rank below is the only remaining window)
+    ex = sh.select(
+        F.col(id_col).alias("__id"),
+        F.size("sh").alias("__n"),
+        F.explode("sh").alias("__s"),
+    )
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     exf = ex.join(dfreq, "__s")
-    # canonical rarity order per doc; |A| counts ALL shingles
+    # canonical rarity order per doc
     w = Window.partitionBy("__id").orderBy("__df", "__s")
-    nw = Window.partitionBy("__id")
     ranked = exf.select(
         "__id",
         "__s",
         "__df",
+        "__n",
         F.row_number().over(w).alias("__rk"),
-        F.count(F.lit(1)).over(nw).alias("__n"),
     )
     # EXACT integer budget: floor(n·(1-t)) computed as
     # (n · (10000 - t_e4)) div 10000 — the float form

@@ -42,7 +42,16 @@ def ngram_coverage(
     min_df: int = 2,
 ) -> DataFrame:
     """(id, n_tokens, covered, coverage_e6) per document; a k-gram is
-    "common" when it appears in >= ``min_df`` DISTINCT documents."""
+    "common" when it appears in >= ``min_df`` DISTINCT documents.
+
+    Round-12 (guide §1.2/§2.3): the (id, n_tokens, gram-array) projection
+    is persisted, so the tokenize + per-position array_join gram build —
+    the dominant per-row cost — runs ONCE. The previous lazy form
+    evaluated it three times: once per consumer branch (df aggregate,
+    coverage join-back) and a third time inside the size()>0 filter
+    Catalyst infers below the explode (InferFiltersFromGenerate +
+    PushDownPredicate inline the whole gram expression into the
+    predicate; a cached array makes that filter a size() probe)."""
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
@@ -61,7 +70,7 @@ def ngram_coverage(
             ),
         ).otherwise(F.array().cast("array<struct<s:long,g:string>>"))
         .alias("__grams"),
-    )
+    ).persist()
     grams = toked.select(
         id_col, F.explode("__grams").alias("__sg")
     ).select(id_col, F.col("__sg.s").alias("__s"), F.col("__sg.g").alias("__g"))
