@@ -166,21 +166,11 @@ def gr12_sssp(spark: SparkSession, sf: str) -> DataFrame:
     one MIN aggregate per round (graph/sssp.py)."""
     from bioeco_portal_etl_spark.graph.sssp import sssp_bounded
 
-    li = T(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
+    from bioeco_portal_etl_spark.catalog_ext2 import _chain_supplier_edges
+
+    edges = _chain_supplier_edges(spark, sf).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 9 + 1
     )
-    a, b = li.alias("a"), li.alias("b")
-    fwd = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).withColumn("w", (F.col("src") + F.col("dst")) % 9 + 1)
     seeds = (
         T(spark, sf, "supplier")
         .filter(F.col("s_suppkey") % 17 == 0)

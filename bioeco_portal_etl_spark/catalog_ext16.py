@@ -48,21 +48,9 @@ def gr13_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     damped steps', not rank-0 peers)."""
     from bioeco_portal_etl_spark.graph.pagerank import personalized_pagerank
 
-    li = T(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    fwd = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    from bioeco_portal_etl_spark.catalog_ext2 import _chain_supplier_edges
+
+    edges = _chain_supplier_edges(spark, sf)
     seeds = (
         T(spark, sf, "supplier")
         .filter(F.col("s_suppkey") % 17 == 0)

@@ -47,21 +47,9 @@ def gr14_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
         hyperball_neighborhood,
     )
 
-    li = T(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    fwd = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    from bioeco_portal_etl_spark.catalog_ext2 import _chain_supplier_edges
+
+    edges = _chain_supplier_edges(spark, sf)
     nodes = T(spark, sf, "supplier").select(F.col("s_suppkey").alias("node"))
     hb = hyperball_neighborhood(edges, nodes, radius=2)
     return harmonic_centrality(hb, radius=2).orderBy("node")

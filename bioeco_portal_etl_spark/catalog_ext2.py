@@ -837,6 +837,57 @@ FROM lineitem a JOIN lineitem b
 """
 
 
+def _chain_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-line supplier pairs of every order, BOTH directions —
+    the exact multiset the lineitem⋈lineitem self-join on
+    (l_orderkey, l_linenumber + 1, differing suppliers) produces, built
+    WITHOUT the join (round-12, guide §2.4): ONE groupBy(l_orderkey)
+    collects the ~4-row (linenumber, suppkey) arrays (map-side partials,
+    a single exchange of the skinny projection) and the pairs fold out
+    in codegen as a per-row cross match over ln+1 — NOT adjacent-position
+    pairing, so the multiset is exact even where (l_orderkey,
+    l_linenumber) repeats or gaps (the synthetic testdata does both),
+    and orders are a handful of lines so the in-row O(n²) is constant
+    work. The self-join form paid two scans plus a sort-merge join (two
+    exchanges + two sorts of the fact table) for the same rows. The
+    DuckDB oracles still run the join form, so tri-SF validation
+    re-proves the equivalence on the actual data. Shared by
+    gr3/gr11/gr12/gr13/gr14/gr15/gr16."""
+    li = T(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_suppkey").alias("sk"),
+            )
+        ).alias("ls")
+    )
+    fwd = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ls"),
+                    lambda x: F.transform(
+                        F.filter(
+                            F.col("ls"),
+                            lambda y: (y["ln"] == x["ln"] + 1)
+                            & (y["sk"] != x["sk"]),
+                        ),
+                        lambda y: F.struct(
+                            x["sk"].alias("src"), y["sk"].alias("dst")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def gr3_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     """3-hop minimum-distance reach from flagged suppliers (s_suppkey %
     17 == 0) over the ADJACENT-line supplier chain graph (sparser than
@@ -844,24 +895,7 @@ def gr3_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
     graph/bfs.py khop_reach, bounded min-label propagation."""
     from bioeco_portal_etl_spark.graph.bfs import khop_reach
 
-    li = T(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    fwd = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _chain_supplier_edges(spark, sf)
     seeds = (
         T(spark, sf, "supplier")
         .filter(F.col("s_suppkey") % 17 == 0)

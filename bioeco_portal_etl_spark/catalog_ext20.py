@@ -41,21 +41,9 @@ def gr16_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     one row (graph/degrees.py degree_assortativity)."""
     from bioeco_portal_etl_spark.graph.degrees import degree_assortativity
 
-    li = T(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    fwd = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-    ).select(
-        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    from bioeco_portal_etl_spark.catalog_ext2 import _chain_supplier_edges
+
+    edges = _chain_supplier_edges(spark, sf)
     return degree_assortativity(edges).orderBy("m_edges")
 
 

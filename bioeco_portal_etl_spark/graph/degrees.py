@@ -57,7 +57,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
     dx = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
     dy = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
-    pairs = e.join(dx, "src").join(dy, "dst")
+    pairs = e.join(F.broadcast(dx), "src").join(F.broadcast(dy), "dst")
     agg = pairs.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("dx").alias("sx"),

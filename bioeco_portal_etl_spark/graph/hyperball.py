@@ -136,21 +136,26 @@ def hyperball_neighborhood(
     # A self-loop for EVERY possible register holder (seeded nodes plus
     # any edge destination — prop can only ever create rows for dsts), so
     # monotone keep-your-own-ball holds for all of them; the dedupe below
-    # collapses the overlap.
+    # collapses the overlap. The raw edge derivation is often an
+    # expensive join — pin it so the loop construction and the edge
+    # union read ONE evaluation, not two (everything below is
+    # materialized eagerly into the checkpoint, so the pin can be
+    # released immediately).
+    e0 = edges.select(F.col("src"), F.col("dst")).persist()
     holders = nodes.select("node").unionByName(
-        edges.select(F.col("dst").alias("node"))
+        e0.select(F.col("dst").alias("node"))
     )
     loops = holders.select(
         F.col("node").alias("src"), F.col("node").alias("dst")
     )
     part_key = "dst" if broadcast_registers else "src"
     e = (
-        edges.select(F.col("src"), F.col("dst"))
-        .unionByName(loops)
+        e0.unionByName(loops)
         .repartition(part_key)
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    e0.unpersist()
     regs = _widen(hll_registers(nodes.select("node"), ["node"], "node"))
     est = _estimate_wide(_RCOLS).alias("ball_est")
     out = regs.select("node", F.lit(0).cast("long").alias("r"), est)

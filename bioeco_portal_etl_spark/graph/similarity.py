@@ -84,8 +84,10 @@ def node_jaccard(
     da = deg.select(F.col("src").alias("src_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("src").alias("src_b"), F.col("deg").alias("deg_b"))
     return (
-        pairs.join(da, "src_a")
-        .join(db, "src_b")
+        # entity-degree tables are node-sized — broadcast them onto the
+        # pair stream (round-12, guide §3.1)
+        pairs.join(F.broadcast(da), "src_a")
+        .join(F.broadcast(db), "src_b")
         .select(
             "src_a",
             "src_b",

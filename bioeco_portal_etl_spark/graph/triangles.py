@@ -54,8 +54,11 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     o = (
-        und.join(du, "u")
-        .join(dv, "v")
+        # degree table is node-sized — broadcast both endpoint lookups
+        # so the edge frame never shuffles for orientation (round-12,
+        # guide §3.1)
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -117,8 +120,11 @@ def local_clustering(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFr
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     o = (
-        und.join(du, "u")
-        .join(dv, "v")
+        # degree table is node-sized — broadcast both endpoint lookups
+        # so the edge frame never shuffles for orientation (round-12,
+        # guide §3.1)
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -267,8 +273,11 @@ def edge_support(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     o = (
-        und.join(du, "u")
-        .join(dv, "v")
+        # degree table is node-sized — broadcast both endpoint lookups
+        # so the edge frame never shuffles for orientation (round-12,
+        # guide §3.1)
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

@@ -103,7 +103,10 @@ def random_walks(
             )
         )
         cur = (
-            cur.join(adj, "node")
+            # the frontier never exceeds the seed count — broadcast it so
+            # the adjacency table is only probed, never sorted/shuffled
+            # per hop (round-12, guide §3.1)
+            F.broadcast(cur).join(adj, "node")
             .select(
                 "walk_id",
                 F.lit(i).cast("long").alias("pos"),
