@@ -74,10 +74,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         for it in range(max_iter):
             # 1. relaxation: min over self + neighbor labels
             nbr = (
-                # O(V) label table broadcast: the persisted edge frame
-                # never moves or sorts (round-12, guide §3.1; disable by
-                # inlining a plain join past broadcast limits)
-                sym.join(F.broadcast(labels), sym["dst"] == labels["node"])
+                sym.join(labels, sym["dst"] == labels["node"])
                 .select(F.col("src").alias("node"), "label")
                 .unionByName(labels)
                 .groupBy("node")
@@ -88,11 +85,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             jumped = (
                 nbr.alias("x")
                 .join(
-                    F.broadcast(
-                        nbr.select(
-                            F.col("node").alias("label"),
-                            F.col("label").alias("root"),
-                        )
+                    nbr.select(
+                        F.col("node").alias("label"),
+                        F.col("label").alias("root"),
                     ).alias("y"),
                     "label",
                     "left",

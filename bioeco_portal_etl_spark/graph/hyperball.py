@@ -118,52 +118,36 @@ def hyperball_neighborhood(
     singleton sketch, so isolated nodes report ball_est(0) = 1 instead
     of vanishing.
 
-    Round-12 shape (guide §2.4/§3.1): the edge list is materialized ONCE
-    with a SELF-LOOP per node appended, deduplicated via ONE exchange
-    keyed by dst (hash(dst) co-locates every (src, dst) group — the
-    subset-of-keys rule), and checkpointed. The self-loops fold the
-    "keep your own ball" union INTO the propagation join, so each round
-    is exactly: broadcast the |V|-row register table, hash-join it onto
-    the cached edges (which never move), and max-merge — and because the
-    join preserves the edge frame's hash(dst) partitioning and the merge
-    groups by dst, the per-round aggregate needs NO exchange at all.
-    The previous form paid, per round, a sort-merge join (both sides
-    shuffled+sorted) plus a union that broke partitioning before the
-    merge. Register state is |V| rows total, never ball-sized; at
-    register-table sizes past broadcast limits pass
-    ``broadcast_registers=False`` (edges then keyed by src so the
-    shuffle-join leaves them in place and only registers move)."""
-    # A self-loop for EVERY possible register holder (seeded nodes plus
-    # any edge destination — prop can only ever create rows for dsts), so
-    # monotone keep-your-own-ball holds for all of them; the dedupe below
-    # collapses the overlap. The raw edge derivation is often an
-    # expensive join — pin it so the loop construction and the edge
-    # union read ONE evaluation, not two (everything below is
-    # materialized eagerly into the checkpoint, so the pin can be
-    # released immediately).
-    e0 = edges.select(F.col("src"), F.col("dst")).persist()
-    holders = nodes.select("node").unionByName(
-        e0.select(F.col("dst").alias("node"))
-    )
-    loops = holders.select(
-        F.col("node").alias("src"), F.col("node").alias("dst")
-    )
-    part_key = "dst" if broadcast_registers else "src"
-    e = (
-        e0.unionByName(loops)
-        .repartition(part_key)
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
-    e0.unpersist()
+    Per round: the |V|-row register table is BROADCAST into the edge
+    join (round-12, guide §3.1 — post-checkpoint size estimates kept
+    picking sort-merge, re-sorting the edge frame every round), then one
+    grouped merge of m max aggregates (map-side partial); estimates are
+    a projection of the wide register row, so no extra shuffle per
+    radius. Register state is |V| rows total, never ball-sized. Past
+    broadcast limits (~hundreds of millions of nodes) pass
+    ``broadcast_registers=False`` for the shuffle-join fallback.
+    (A self-loop formulation that folds the keep-your-own-ball union
+    into the join was prototyped and measured SLOWER at bench scale —
+    the loop-edge construction cost more than the per-round union it
+    removed; paired A/B in OPTIMIZATION_r12.md.)"""
+    # Materialize the (deduped) edge list ONCE: every radius joins the
+    # same |E| rows, and upstream edge constructions are often joins /
+    # distincts themselves — recomputing them per round is the pagerank
+    # lesson (edges persisted once) plus a variance source: re-derived
+    # edge stats can flip the per-round join strategy between runs.
+    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    if radius > 1:
+        e = e.localCheckpoint(eager=True)
     regs = _widen(hll_registers(nodes.select("node"), ["node"], "node"))
     est = _estimate_wide(_RCOLS).alias("ball_est")
     out = regs.select("node", F.lit(0).cast("long").alias("r"), est)
     for r in range(1, radius + 1):
         rhs = F.broadcast(regs) if broadcast_registers else regs
+        prop = e.join(rhs, e["src"] == rhs["node"]).select(
+            F.col("dst").alias("node"), *_RCOLS
+        )
         regs = (
-            e.join(rhs, e["src"] == rhs["node"])
-            .select(F.col("dst").alias("node"), *_RCOLS)
+            regs.unionByName(prop)
             .groupBy("node")
             .agg(*[F.max(c).alias(c) for c in _RCOLS])
             .localCheckpoint(eager=True)
@@ -221,6 +205,7 @@ FROM __hb_r{r} GROUP BY node"""
 
 # exhaustively checkable guard used by tests: the linear-counting floor
 # boundaries all 63 possible V values can produce
+
 def _lin_boundary_min_distance() -> float:
     return min(
         min(x - math.floor(x), math.ceil(x) - x)

@@ -297,19 +297,12 @@ def connected_components(
     )
     try:
         for _ in range(max_iter):
-            # node-sized tables broadcast into every per-round join so
-            # the persisted pair list never re-shuffles (round-12, guide
-            # §3.1; dup-cluster label tables are duplicate-evidence-sized,
-            # orders of magnitude under broadcast limits at any corpus
-            # scale — swap to plain joins if that ever changes)
             neigh = (
-                edges.join(F.broadcast(labels), edges.dst == labels.node)
+                edges.join(labels, edges.dst == labels.node)
                 .groupBy("src")
                 .agg(F.min("label").alias("nlabel"))
             )
-            l2 = labels.join(
-                F.broadcast(neigh), labels.node == neigh.src, "left"
-            ).select(
+            l2 = labels.join(neigh, labels.node == neigh.src, "left").select(
                 labels.node.alias("node"),
                 F.col("label").alias("old"),
                 F.least(
@@ -319,7 +312,7 @@ def connected_components(
             ptr = l2.select(
                 F.col("node").alias("pnode"), F.col("mid").alias("plabel")
             )
-            l3 = l2.join(F.broadcast(ptr), l2.mid == ptr.pnode, "left").select(
+            l3 = l2.join(ptr, l2.mid == ptr.pnode, "left").select(
                 "node",
                 "old",
                 F.least(
@@ -455,7 +448,12 @@ def containment_pairs(
         F.explode("sh").alias("__s"),
     )
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    exf = ex.join(dfreq, "__s")
+    # pin the BUILD side: carrying __n through the explode shrank ex's
+    # size ESTIMATE enough that the planner started broadcasting the
+    # full exploded posting stream instead of the aggregated df table
+    # (measured 1.7x slower — a driver-side collect of |postings| rows
+    # per run); the df table is the side that must broadcast (round-12)
+    exf = ex.join(F.broadcast(dfreq), "__s")
     # canonical rarity order per doc
     w = Window.partitionBy("__id").orderBy("__df", "__s")
     ranked = exf.select(
