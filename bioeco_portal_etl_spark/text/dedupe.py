@@ -438,30 +438,25 @@ def containment_pairs(
     sh = shingled(df, id_col, text_col, k).persist()
     if stage_handles is not None:
         stage_handles.append(sh)
-    # |A| counts ALL shingles — the arrays are sets, so size(sh) IS that
-    # count, carried through the explode (round-12: replaces a second
-    # count() window over the exploded posting stream; the row_number
-    # rarity rank below is the only remaining window)
-    ex = sh.select(
-        F.col(id_col).alias("__id"),
-        F.size("sh").alias("__n"),
-        F.explode("sh").alias("__s"),
-    )
+    # NOTE (round-12): a variant that carried |A| as size(sh) through the
+    # explode instead of the count() window below was built, oracle-
+    # verified, and then REVERTED on measurement: paired same-session
+    # A/Bs put it at 10.7-12.6s vs 6.6-7.1s for this form at sf0.1 (the
+    # extra projected column perturbed the planner's size estimates and
+    # runtime behavior around the cached shingle frame; the second
+    # window rides the row_number window's exchange+sort for free).
+    ex = sh.select(F.col(id_col).alias("__id"), F.explode("sh").alias("__s"))
     dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    # pin the BUILD side: carrying __n through the explode shrank ex's
-    # size ESTIMATE enough that the planner started broadcasting the
-    # full exploded posting stream instead of the aggregated df table
-    # (measured 1.7x slower — a driver-side collect of |postings| rows
-    # per run); the df table is the side that must broadcast (round-12)
-    exf = ex.join(F.broadcast(dfreq), "__s")
-    # canonical rarity order per doc
+    exf = ex.join(dfreq, "__s")
+    # canonical rarity order per doc; |A| counts ALL shingles
     w = Window.partitionBy("__id").orderBy("__df", "__s")
+    nw = Window.partitionBy("__id")
     ranked = exf.select(
         "__id",
         "__s",
         "__df",
-        "__n",
         F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(nw).alias("__n"),
     )
     # EXACT integer budget: floor(n·(1-t)) computed as
     # (n · (10000 - t_e4)) div 10000 — the float form
