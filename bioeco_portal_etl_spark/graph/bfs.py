@@ -27,9 +27,17 @@ def khop_reach(
     dst: str = "dst",
     seed_col: str = "node",
     persist_edges: bool = True,
+    broadcast_dist: bool = True,
 ) -> DataFrame:
     """(node, dist) for every node within ``k`` hops of any seed;
-    dist = minimum hop count (0 for the seeds themselves)."""
+    dist = minimum hop count (0 for the seeds themselves).
+
+    ``broadcast_dist``: broadcast the per-hop distance table into the
+    edge join so the persisted edge frame never moves (guide §3.1). The
+    table grows toward O(reached nodes); past broadcast limits
+    (~hundreds of millions of reached nodes / the 8 GB relation cap)
+    pass ``False`` for the shuffle-join fallback — same knob family as
+    pagerank's ``broadcast_ranks`` / labelprop's ``broadcast_labels``."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     # single-exchange dedupe + src layout (round-12, guide §2.4)
@@ -44,10 +52,13 @@ def khop_reach(
         "dist", F.lit(0)
     )
     for i in range(1, k + 1):
-        frontier = (
+        rhs = dist.withColumnRenamed("node", "src")
+        if broadcast_dist:
             # O(reached) frontier broadcast: the persisted edges never
-            # move (round-12, guide §3.1)
-            e.join(F.broadcast(dist.withColumnRenamed("node", "src")), "src")
+            # move (round-12, guide §3.1); flag-gated since round 13
+            rhs = F.broadcast(rhs)
+        frontier = (
+            e.join(rhs, "src")
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (

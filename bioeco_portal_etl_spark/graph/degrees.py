@@ -35,7 +35,9 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    edges: DataFrame, broadcast_degrees: bool = True
+) -> DataFrame:
     """Newman's degree assortativity coefficient — the one-number answer
     to "do hubs link to hubs?" (positive: social-network-like; negative:
     hub-and-spoke/technological). It is the Pearson correlation of
@@ -57,7 +59,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
     dx = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
     dy = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
-    pairs = e.join(F.broadcast(dx), "src").join(F.broadcast(dy), "dst")
+    if broadcast_degrees:
+        # node-sized degree lookups broadcast onto the edge stream
+        # (guide §3.1); past broadcast limits pass
+        # broadcast_degrees=False for the shuffle-join fallback
+        dx, dy = F.broadcast(dx), F.broadcast(dy)
+    pairs = e.join(dx, "src").join(dy, "dst")
     agg = pairs.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("dx").alias("sx"),

@@ -48,7 +48,16 @@ def _argmax_label(nbr: DataFrame) -> DataFrame:
     """Per-node most-frequent label, ties to the SMALLEST label — as one
     combinable aggregate: max over (count, -label) structs is
     lexicographic, so it picks max count then min label, exactly the
-    (count DESC, label ASC) row_number()=1 row the window form kept."""
+    (count DESC, label ASC) row_number()=1 row the window form kept.
+
+    CONTRACT (round-13, ADVICE r12): labels must be NUMERIC — the
+    ``-label`` negation tie-break casts non-numeric labels to null and
+    would silently return null/wrong labels instead of erroring. Every
+    caller satisfies this by construction (initial label = the long node
+    id and the update only permutes existing labels), so label ids stay
+    longs forever; a string-keyed graph must map ids to longs first
+    (e.g. ``xxhash64`` or a dimension join), which is also what keeps
+    the label table's shuffle/broadcast bytes narrow (guide §2.3)."""
     return (
         nbr.groupBy("node")
         .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))

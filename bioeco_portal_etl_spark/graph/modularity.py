@@ -29,6 +29,7 @@ def community_modularity(
     labels: DataFrame,
     top_k: int = 20,
     pre_symmetrized: bool = False,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """(community, n_nodes, internal_edges, degree_sum, q_contrib_e6)
     for the ``top_k`` largest communities (size DESC, community ASC).
@@ -40,7 +41,16 @@ def community_modularity(
     shared with the detector) — the scorer then reads the symmetric
     frame directly: internal/m are the symmetric counts halved
     (integer-exact) and degree is the per-src out-count, with the label
-    table broadcast onto both endpoints."""
+    table broadcast onto both endpoints.
+
+    ``broadcast_labels``: broadcast the O(V) label table into the two
+    endpoint joins (guide §3.1). Past broadcast limits (~hundreds of
+    millions of nodes / the 8 GB relation cap) pass ``False`` for the
+    shuffle-join fallback."""
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
     if pre_symmetrized:
         # Round-12 optimization (guide §2.3/§3.1): score straight off the
         # FULL symmetric frame instead of filtering to the src<dst half
@@ -53,9 +63,16 @@ def community_modularity(
         # instead of a 2x union re-shuffled from scratch. The tiny label
         # table is broadcast into both endpoint joins so the O(E) side
         # never moves (it previously sort-merge-joined twice).
+        # Cheap self-loop guard (round-13, ADVICE r12): the old
+        # src<dst canonicalization dropped self-loops for free; the
+        # halved-count form would silently truncate odd counts under
+        # div 2 if a caller violated the self-loop-free certification.
+        # The filter is a scan-level predicate — no exchange, no
+        # measurable cost — and makes the contract enforced, not hoped.
+        edges = edges.filter(F.col("src") != F.col("dst"))
         lu = labels.select(F.col("node").alias("src"), F.col("label").alias("cu"))
         lv = labels.select(F.col("node").alias("dst"), F.col("label").alias("cv"))
-        ann = edges.join(F.broadcast(lu), "src").join(F.broadcast(lv), "dst")
+        ann = edges.join(_bc(lu), "src").join(_bc(lv), "dst")
         internal = (
             ann.filter(F.col("cu") == F.col("cv"))
             .groupBy(F.col("cu").alias("community"))
@@ -77,7 +94,7 @@ def community_modularity(
         )
         lu = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
         lv = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
-        ann = e.join(F.broadcast(lu), "u").join(F.broadcast(lv), "v")
+        ann = e.join(_bc(lu), "u").join(_bc(lv), "v")
         internal = (
             ann.filter(F.col("cu") == F.col("cv"))
             .groupBy(F.col("cu").alias("community"))

@@ -162,6 +162,7 @@ def personalized_pagerank(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Personalized PageRank (PPR): the teleport mass returns to the SEED
     set instead of spreading uniformly, so ranks measure proximity to the
@@ -210,9 +211,14 @@ def personalized_pagerank(
     )
     teleport = (DAMP_DEN - DAMP_NUM) * E9 // DAMP_DEN
     for _ in range(iterations):
-        # broadcast the O(V) rank table (see pagerank() — round-12)
+        # broadcast the O(V) rank table (see pagerank() — round-12);
+        # flag-gated since round 13: pass broadcast_ranks=False past
+        # broadcast limits for the shuffle-join fallback
+        rhs = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rhs = F.broadcast(rhs)
         contribs = (
-            e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            e.join(rhs, "src")
             .filter((F.col("outdeg") > 0) & (F.col("ppr_e9") > 0))
             .select(
                 F.col("dst").alias("node"),

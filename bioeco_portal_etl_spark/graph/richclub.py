@@ -23,10 +23,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+def rich_club(
+    edges: DataFrame, ks: list[int], broadcast_degrees: bool = True
+) -> DataFrame:
     """(k, n_nodes, n_edges, phi_e6) per threshold in ``ks``. ``edges``
     is an undirected (src, dst) list; canonicalized and deduplicated
-    here."""
+    here. ``broadcast_degrees``: broadcast the node-sized degree lookups
+    onto the edge stream (guide §3.1); past broadcast limits pass
+    ``False`` for the shuffle-join fallback (the |ks|-row threshold and
+    per-k aggregate tables stay broadcast either way — constant-sized)."""
     e = edges.filter(F.col("src") != F.col("dst")).select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
@@ -38,7 +43,9 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ann = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    ann = e.join(du, "u").join(dv, "v")
     kt = edges.sparkSession.createDataFrame(
         [(int(k),) for k in ks], "k long"
     )

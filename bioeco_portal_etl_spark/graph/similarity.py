@@ -26,6 +26,7 @@ def node_jaccard(
     min_common: int = 2,
     max_item_degree: int = 64,
     pair_partitions: int | None = None,
+    broadcast_degrees: bool = True,
 ) -> DataFrame:
     """(src_a, src_b, n_common, deg_a, deg_b, jaccard_e4) for src pairs
     sharing >= ``min_common`` distinct neighbors, via neighbors of degree
@@ -83,11 +84,14 @@ def node_jaccard(
     )
     da = deg.select(F.col("src").alias("src_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("src").alias("src_b"), F.col("deg").alias("deg_b"))
-    return (
+    if broadcast_degrees:
         # entity-degree tables are node-sized — broadcast them onto the
-        # pair stream (round-12, guide §3.1)
-        pairs.join(F.broadcast(da), "src_a")
-        .join(F.broadcast(db), "src_b")
+        # pair stream (round-12, guide §3.1); past broadcast limits pass
+        # broadcast_degrees=False for the shuffle-join fallback
+        da, db = F.broadcast(da), F.broadcast(db)
+    return (
+        pairs.join(da, "src_a")
+        .join(db, "src_b")
         .select(
             "src_a",
             "src_b",

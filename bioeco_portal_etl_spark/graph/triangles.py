@@ -32,12 +32,22 @@ def _canonical(edges: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    a: str = "src",
+    b: str = "dst",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
     """One-row graph summary: (n_nodes, n_edges, n_wedges, n_triangles).
 
     n_wedges counts paths of length 2 in the ORIENTED graph (the join's
     actual intermediate cardinality — the quantity degree orientation
     bounds), so the row doubles as a plan-cost witness.
+
+    ``broadcast_degrees``: broadcast the node-sized degree table into
+    the two orientation joins (guide §3.1). Past broadcast limits
+    (~hundreds of millions of nodes / the 8 GB relation cap) pass
+    ``False`` for the shuffle-join fallback.
     """
     # ONE materialization of the canonical edge set: every downstream
     # branch (degrees, orientation, wedge closure, the count row) re-reads
@@ -53,12 +63,14 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     # orient: (deg, id)-lexicographic min endpoint -> max endpoint
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     o = (
         # degree table is node-sized — broadcast both endpoint lookups
         # so the edge frame never shuffles for orientation (round-12,
-        # guide §3.1)
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        # guide §3.1; flag-gated since round 13 — see broadcast_degrees)
+        und.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -100,7 +112,12 @@ def triangle_stats(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFram
     )
 
 
-def local_clustering(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+def local_clustering(
+    edges: DataFrame,
+    a: str = "src",
+    b: str = "dst",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
     """Per-node local clustering coefficient (Watts & Strogatz 1998):
     (node, deg, n_tri, lcc_e6) for every node with deg >= 2, where
     lcc_e6 = (2e6 · T(v)) div (deg·(deg-1)) and T(v) counts triangles
@@ -109,7 +126,9 @@ def local_clustering(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFr
     Same degree-oriented wedge plan as :func:`triangle_stats` (each
     triangle enumerated ONCE), then each closed wedge fans out its three
     corners — a 3× explode of the triangle stream, not a new join — and
-    one combinable count per node. Integer arithmetic throughout."""
+    one combinable count per node. Integer arithmetic throughout.
+    ``broadcast_degrees`` as in :func:`triangle_stats` (pass ``False``
+    past broadcast limits for the shuffle-join fallback)."""
     und = _canonical(edges, a, b).persist()
     deg = (
         und.select(F.col("u").alias("node"))
@@ -119,12 +138,14 @@ def local_clustering(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFr
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     o = (
         # degree table is node-sized — broadcast both endpoint lookups
         # so the edge frame never shuffles for orientation (round-12,
-        # guide §3.1)
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        # guide §3.1; flag-gated since round 13 — see broadcast_degrees)
+        und.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
@@ -250,7 +271,12 @@ tri AS (
 )"""
 
 
-def edge_support(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+def edge_support(
+    edges: DataFrame,
+    a: str = "src",
+    b: str = "dst",
+    broadcast_degrees: bool = True,
+) -> DataFrame:
     """Per-edge triangle support histogram: support(e) = number of
     triangles containing e; support-0 edges are LOCAL BRIDGES
     (Granovetter's weak ties — removing one disconnects its endpoints'
@@ -262,7 +288,9 @@ def edge_support(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     (x,y) in canonical order — so support is one combinable count over
     the 3× exploded triangle stream joined back to the edge set.
     Output: (support, n_edges) plus the derived bridge share is the
-    support-0 row."""
+    support-0 row. ``broadcast_degrees`` as in :func:`triangle_stats`
+    (pass ``False`` past broadcast limits for the shuffle-join
+    fallback)."""
     und = _canonical(edges, a, b).persist()
     deg = (
         und.select(F.col("u").alias("node"))
@@ -272,12 +300,14 @@ def edge_support(edges: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     o = (
         # degree table is node-sized — broadcast both endpoint lookups
         # so the edge frame never shuffles for orientation (round-12,
-        # guide §3.1)
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        # guide §3.1; flag-gated since round 13 — see broadcast_degrees)
+        und.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))
