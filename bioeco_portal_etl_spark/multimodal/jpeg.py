@@ -198,6 +198,22 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 _COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)]
 _C = [1 / math.sqrt(2)] + [1.0] * 7
 
+# Association-stability snap for the two DCT-side roundings (round-13,
+# ADVICE r12): the numpy matrix sandwich and the scalar loop sum the same
+# 64 products in different orders, so a coefficient that lands EXACTLY on
+# a round-half boundary in one path can land ~1e-13-relative below it in
+# the other (measured: -7.5 vs -7.499999999999993) and the encoded bytes
+# diverge between environments. Snapping by a fixed epsilon BEFORE the
+# floor makes both paths round identically: the cross-path divergence is
+# bounded by ~1e-10 absolute (64-term accumulation over |sum| <= 16320,
+# scaled by 0.25), 4 orders of magnitude under the snap, while real
+# coefficient distinctions are O(1), 6 orders above it. Applied to the
+# encoder's round-half-away magnitude and the decoder's floor(v + 128.5)
+# — NOT to the YCbCr conversions, which use the same per-element IEEE
+# operation order in both paths (bit-identical by construction) and are
+# mirrored literal-for-literal by the oracle SQL.
+_ROUND_SNAP = 1e-6
+
 if _np is not None:
     _COS_NP = _np.array(_COS)  # [u][x]
     _CCW_NP = 0.25 * _np.outer(_C, _C)  # [u][v] DCT normalization
@@ -208,17 +224,17 @@ def _fdct_quant(block):
     RASTER order, round-half-away-from-zero (the encoder convention).
 
     numpy path: one 8x8 matrix sandwich (COS @ B @ COS^T) replaces the
-    4096-multiply interpreted loop. Reassociated float sums differ from
-    the scalar path only at ~1e-13 relative — orders of magnitude inside
-    the round-half-away margin for every representable coefficient the
-    fixtures and tests produce (block-constant rasters yield integer-
-    valued coefficients exactly; see module docstring)."""
+    4096-multiply interpreted loop. Both paths round through the
+    _ROUND_SNAP epsilon, so the reassociated sums (divergence ~1e-10
+    absolute) quantize IDENTICALLY — including at exact round-half
+    coefficients, where the raw floor(|v| + 0.5) flipped between paths
+    (tests/test_jpeg.py asserts numpy == scalar on random blocks)."""
     if _np is not None:
         b = block if isinstance(block, _np.ndarray) else _np.asarray(
             block, dtype=_np.float64
         )
         val = _CCW_NP * (_COS_NP @ b @ _COS_NP.T)
-        mag = _np.floor(_np.abs(val) + 0.5)
+        mag = _np.floor(_np.abs(val) + (0.5 + _ROUND_SNAP))
         return (
             _np.where(val >= 0, mag, -mag).astype(_np.int64).ravel().tolist()
         )
@@ -232,14 +248,17 @@ def _fdct_quant(block):
                 for x in range(8):
                     s += row[x] * cy * _COS[v][x]
             val = 0.25 * _C[u] * _C[v] * s
-            out[u * 8 + v] = int(math.floor(abs(val) + 0.5)) * (1 if val >= 0 else -1)
+            out[u * 8 + v] = int(math.floor(abs(val) + (0.5 + _ROUND_SNAP))) * (
+                1 if val >= 0 else -1
+            )
     return out
 
 
 def _idct(coeffs):
     """64 dequantized coeffs (raster order) -> 8x8 spatial samples
-    (still level-shifted, float). numpy path mirrors _fdct_quant (the
-    decoder rounds floor(v + 128.5), same ulp-margin argument)."""
+    (still level-shifted, float). numpy path mirrors _fdct_quant; the
+    decoder's floor(v + 128.5) rounds through the same _ROUND_SNAP so
+    both paths reconstruct identical pixels."""
     if _np is not None:
         w = _CCW_NP * _np.asarray(coeffs, dtype=_np.float64).reshape(8, 8)
         return _COS_NP.T @ w @ _COS_NP
@@ -675,9 +694,9 @@ def _decode_scan(data, w, h, comps):
                         by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                     ] = spat
         iplanes = [
-            _np.clip(_np.floor(fp[:h, :w] + 128.5), 0, 255).astype(
-                _np.int64
-            )
+            _np.clip(
+                _np.floor(fp[:h, :w] + (128.5 + _ROUND_SNAP)), 0, 255
+            ).astype(_np.int64)
             for fp in fplanes
         ]
         if nc == 1:
@@ -707,7 +726,7 @@ def _decode_scan(data, w, h, comps):
                         px = bx * 8 + x
                         if px >= w:
                             break
-                        v = int(math.floor(srow[x] + 128.5))
+                        v = int(math.floor(srow[x] + (128.5 + _ROUND_SNAP)))
                         row[px] = 0 if v < 0 else (255 if v > 255 else v)
     if nc == 1:
         return w, h, 1, planes[0]

@@ -39,6 +39,14 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+try:  # vectorized per-sample/per-pixel kernels INSIDE the existing Arrow
+    # tasks (round-13, guide §4.2); every pure-Python loop below remains
+    # the portable fallback and the reference the numpy forms are tested
+    # against (tests/test_media_numpy_equivalence.py)
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy present in all test envs
+    _np = None
+
 MEDIA_META_SCHEMA = (
     "media_id long, n_bytes long, width long, height long, media_format string"
 )
@@ -457,6 +465,26 @@ def png_channel_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, ch, rows = decode_image(bytes(payload))
+                    if _np is not None:
+                        # one int64 matrix per image; channel c is the
+                        # strided column slice; // floors the nonneg mean
+                        # exactly like the scalar sum//len
+                        a = _np.asarray(rows, dtype=_np.int64)
+                        for c in range(ch):
+                            vals = a[:, c::ch]
+                            rows_out.append(
+                                {
+                                    "media_id": mid,
+                                    "channel": c,
+                                    "n_px": int(vals.size),
+                                    "mean_v": int(vals.sum() // vals.size),
+                                    "min_v": int(vals.min()),
+                                    "max_v": int(vals.max()),
+                                    "decode_ok": 1,
+                                    "decode_err": None,
+                                }
+                            )
+                        continue
                     for c in range(ch):
                         vals = [
                             r[i] for r in rows for i in range(c, len(r), ch)
@@ -519,7 +547,36 @@ def image_histogram_stats(df: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, ch, rows = decode_image(bytes(payload))
+                a = (
+                    _np.asarray(rows, dtype=_np.int64)
+                    if _np is not None
+                    else None
+                )
                 for c in range(ch):
+                    if a is not None:
+                        # 8-bit values -> one bincount; argmax returns
+                        # the SMALLEST value among max-count ties, the
+                        # same tie-break as the scalar min((-count, v))
+                        counts_np = _np.bincount(
+                            a[:, c::ch].ravel(), minlength=256
+                        )
+                        n = int(counts_np.sum())
+                        mode_v = int(counts_np.argmax())
+                        mode_count = int(counts_np[mode_v])
+                        n_distinct = int((counts_np > 0).sum())
+                        sq = int(counts_np @ counts_np)
+                        out.append(
+                            (
+                                mid,
+                                c,
+                                n,
+                                n_distinct,
+                                mode_v,
+                                mode_count,
+                                1_000_000 - (1_000_000 * sq) // (n * n),
+                            )
+                        )
+                        continue
                     counts = Counter(
                         r[i] for r in rows for i in range(c, len(r), ch)
                     )
@@ -1018,11 +1075,16 @@ def synth_pcm_wav(df: DataFrame, id_col: str) -> DataFrame:
                 mid = int(mid)
                 n = SYNTH_N_BASE + mid % SYNTH_N_MOD
                 ids.append(mid)
-                blobs.append(
-                    encode_wav(
-                        [(mid * 13 + i * 7) % 2048 - 1024 for i in range(n)]
-                    )
-                )
+                if _np is not None:
+                    # same formula over int64 — both operands positive,
+                    # so numpy % matches Python % exactly
+                    i = _np.arange(n, dtype=_np.int64)
+                    samples = (mid * 13 + i * 7) % 2048 - 1024
+                else:
+                    samples = [
+                        (mid * 13 + i * 7) % 2048 - 1024 for i in range(n)
+                    ]
+                blobs.append(encode_wav(samples))
             yield pd.DataFrame({"media_id": ids, "payload": blobs})
 
     return df.mapInPandas(gen, schema="media_id long, payload binary")
@@ -1062,12 +1124,37 @@ def wav_clip_stats(df: DataFrame, on_error: str = "raise") -> DataFrame:
     quarantine = on_error == "quarantine"
 
     def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+        from bioeco_portal_etl_spark.multimodal.wavpcm import (
+            decode_wav,
+            decode_wav_np,
+        )
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
+                    if _np is not None:
+                        # int64 throughout: energy = exact integer dot;
+                        # zero_cross counts sign-bit flips between
+                        # neighbors — identical to the scalar fold
+                        _, a = decode_wav_np(bytes(payload))
+                        nz = bool(a.size)
+                        rec = {
+                            "media_id": mid,
+                            "n_samples": int(a.size),
+                            "energy": int(a @ a),
+                            "min_s": int(a.min()) if nz else None,
+                            "max_s": int(a.max()) if nz else None,
+                            "zero_cross": int(
+                                ((a[:-1] >= 0) != (a[1:] >= 0)).sum()
+                            )
+                            if nz
+                            else 0,
+                            "decode_ok": 1,
+                            "decode_err": None,
+                        }
+                        rows.append(rec)
+                        continue
                     _, s = decode_wav(bytes(payload))
                     rec = {
                         "media_id": mid,
@@ -1136,11 +1223,35 @@ def wav_trim_bounds(df: DataFrame, threshold: int = 128) -> DataFrame:
     import pandas as pd
 
     def bounds(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from bioeco_portal_etl_spark.multimodal.wavpcm import decode_wav
+        from bioeco_portal_etl_spark.multimodal.wavpcm import (
+            decode_wav,
+            decode_wav_np,
+        )
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if _np is not None:
+                    # int64 abs (no int16 |−32768| overflow), nonzero for
+                    # the first/last loud index, exact integer dot for
+                    # the kept-span energy
+                    _, a = decode_wav_np(bytes(payload))
+                    (loud_idx,) = _np.nonzero(_np.abs(a) >= threshold)
+                    if loud_idx.size:
+                        lo, hi = int(loud_idx[0]), int(loud_idx[-1])
+                        kept = a[lo : hi + 1]
+                        rec = (
+                            mid,
+                            int(a.size),
+                            lo,
+                            hi,
+                            lo + (int(a.size) - 1 - hi),
+                            int(kept @ kept),
+                        )
+                    else:
+                        rec = (mid, int(a.size), None, None, int(a.size), None)
+                    rows.append(rec)
+                    continue
                 _, s = decode_wav(bytes(payload))
                 loud = [i for i, v in enumerate(s) if abs(v) >= threshold]
                 if loud:
@@ -1191,17 +1302,26 @@ def wav_downsample(df: DataFrame, factor: int = 4) -> DataFrame:
     def ds(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from bioeco_portal_etl_spark.multimodal.wavpcm import (
             decode_wav,
+            decode_wav_np,
             encode_wav,
         )
 
         for pdf in batches:
             ids, blobs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, s = decode_wav(bytes(payload))
-                out = [
-                    sum(s[j * factor : (j + 1) * factor]) // factor
-                    for j in range(len(s) // factor)
-                ]
+                if _np is not None:
+                    # full blocks only (truncate), int64 block sums, //
+                    # is floor division in numpy exactly as in Python —
+                    # negative block sums round identically
+                    rate, a = decode_wav_np(bytes(payload))
+                    nb = a.size // factor
+                    out = a[: nb * factor].reshape(nb, factor).sum(axis=1) // factor
+                else:
+                    rate, s = decode_wav(bytes(payload))
+                    out = [
+                        sum(s[j * factor : (j + 1) * factor]) // factor
+                        for j in range(len(s) // factor)
+                    ]
                 ids.append(mid)
                 blobs.append(encode_wav(out, sample_rate=rate // factor))
             yield pd.DataFrame({"media_id": ids, "payload": blobs})

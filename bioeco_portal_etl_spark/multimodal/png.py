@@ -26,6 +26,13 @@ from __future__ import annotations
 import struct
 import zlib
 
+try:  # vectorized fast paths; the pure-stdlib loops below remain the
+    # portable fallback and reference (round-13, guide §4.2 — same
+    # convention as multimodal/jpeg.py)
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy present in all test envs
+    _np = None
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: color type -> samples per pixel (8-bit depth only)
@@ -118,6 +125,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[list[int]]]:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size mismatch")
+    if _np is not None:
+        arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(
+            height, stride + 1
+        )
+        if not arr[:, 0].any():
+            # every scanline filter-0 (what encode_png writes, and the
+            # common case for synthetic corpora): the whole raster is a
+            # slice — no per-byte unfilter loop (round-13, guide §4.2)
+            return (
+                width,
+                height,
+                channels,
+                arr[:, 1:].astype(_np.int64).tolist(),
+            )
     rows: list[list[int]] = []
     prev = bytearray(stride)
     for y in range(height):
@@ -163,6 +184,16 @@ def resize_nearest(
     scale_num, scale_den = min(max_dim, max(width, height)), max(width, height)
     out_w = max(width * scale_num // scale_den, 1)
     out_h = max(height * scale_num // scale_den, 1)
+    if _np is not None:
+        # identical integer source indexing as the scalar loop, as two
+        # gather index vectors (round-13, guide §4.2)
+        a = _np.asarray(rows, dtype=_np.int64).reshape(
+            len(rows), width, channels
+        )
+        sy = (_np.arange(out_h, dtype=_np.int64) * height) // out_h
+        sx = (_np.arange(out_w, dtype=_np.int64) * width) // out_w
+        picked = a[sy][:, sx].reshape(out_h, out_w * channels)
+        return out_w, out_h, picked.tolist()
     out = []
     for oy in range(out_h):
         sy = oy * height // out_h

@@ -176,3 +176,51 @@ def test_decoder_rejects_unsupported_profiles():
     )
     with pytest.raises(ValueError, match="1-component|3-component"):
         decode_jpeg(four)
+
+
+def test_numpy_scalar_equivalence_randomized():
+    """Round-13 regression (ADVICE r12): the numpy matrix-sandwich DCT and
+    the scalar loop reassociate float sums, so raw floor(|v| + 0.5)
+    quantization flipped at exact round-half coefficients (-7.5 vs
+    -7.499999999999993) and encoder bytes diverged with vs without numpy.
+    Integer inputs produce exact-half DC and (0,4)/(4,0)/(4,4)
+    coefficients routinely (eighth-integer grids), so random images
+    exercise the boundary densely. With the _ROUND_SNAP both paths must
+    be byte- and pixel-identical on arbitrary inputs, not just the
+    block-constant fixtures."""
+    import random
+
+    from bioeco_portal_etl_spark.multimodal import jpeg as J
+
+    assert J._np is not None, "test env must have numpy"
+    rng = random.Random(1312)
+
+    def scalar_only(fn, *a):
+        saved = J._np
+        J._np = None
+        try:
+            return fn(*a)
+        finally:
+            J._np = saved
+
+    # raw kernel: random blocks, both paths quantize identically
+    for _ in range(300):
+        block = [[rng.randrange(-128, 128) for _ in range(8)] for _ in range(8)]
+        assert J._fdct_quant(block) == scalar_only(J._fdct_quant, block)
+
+    # full codec: gray + color roundtrips, bytes and pixels identical
+    for i in range(12):
+        w, h = 8 + rng.randrange(12), 8 + rng.randrange(10)
+        gray = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        enc_np = J.encode_jpeg_gray(gray)
+        enc_sc = scalar_only(J.encode_jpeg_gray, gray)
+        assert enc_np == enc_sc, f"gray encode bytes diverge (img {i})"
+        assert J.decode_jpeg(enc_np) == scalar_only(J.decode_jpeg, enc_np)
+
+        rgb = [
+            [rng.randrange(256) for _ in range(3 * w)] for _ in range(h)
+        ]
+        enc_np = J.encode_jpeg_color(rgb)
+        enc_sc = scalar_only(J.encode_jpeg_color, rgb)
+        assert enc_np == enc_sc, f"color encode bytes diverge (img {i})"
+        assert J.decode_jpeg(enc_np) == scalar_only(J.decode_jpeg, enc_np)
